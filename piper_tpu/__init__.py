@@ -1,0 +1,32 @@
+"""piper-tpu: a TPU-native Piper/VITS text-to-speech inference framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of ocrickard/piper-swift
+(reference surveyed in SURVEY.md). Instead of interpreting the 2755-node ONNX
+graph op-by-op (the reference's GraphExecutor.swift approach), this framework
+parses Piper ONNX checkpoints once into named weight arrays and runs the VITS
+forward pass natively as jit-compiled, static-shape-bucketed JAX modules.
+
+Public API surface (mirrors the reference's PiperMetalRuntime / PiperCore):
+    - VoiceConfig            (reference: PiperConfig.swift:3-47)
+    - AudioFormat/AudioChunk (reference: PiperAudio.swift:3-27)
+    - TestVector/TestSummary (reference: PiperTestVector.swift:3-52)
+    - VoiceIndex/VoiceManager(reference: PiperVoices.swift:54-289)
+    - PiperRuntime           (reference: PiperMetalRuntime.swift:44-124)
+"""
+
+from piper_tpu.core.config import VoiceConfig
+from piper_tpu.core.audio import AudioFormat, AudioChunk
+from piper_tpu.core.test_vector import TestVector, TestSummary
+from piper_tpu.core.voices import VoiceIndex, VoiceManager
+from piper_tpu.version import __version__
+
+__all__ = [
+    "VoiceConfig",
+    "AudioFormat",
+    "AudioChunk",
+    "TestVector",
+    "TestSummary",
+    "VoiceIndex",
+    "VoiceManager",
+    "__version__",
+]

@@ -1,0 +1,37 @@
+"""Streaming audio value types (reference: PiperAudio.swift:3-27)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class AudioFormat:
+    sample_rate: int
+    channels: int = 1
+
+
+@dataclass(frozen=True)
+class AudioChunk:
+    """A chunk of synthesized PCM audio in float32 [-1, 1].
+
+    `start_sample_index` is the absolute offset of this chunk's first sample
+    within the full utterance; `is_final` marks the last chunk of a stream.
+    """
+
+    format: AudioFormat
+    start_sample_index: int
+    samples: np.ndarray  # float32, shape (n,)
+    is_final: bool = False
+
+    @property
+    def duration_seconds(self) -> float:
+        return float(len(self.samples)) / float(self.format.sample_rate)
+
+
+def float_to_int16(samples: np.ndarray) -> np.ndarray:
+    """Convert float32 PCM in [-1, 1] to int16 with clipping."""
+    scaled = np.clip(np.asarray(samples, dtype=np.float32), -1.0, 1.0) * 32767.0
+    return scaled.astype(np.int16)
