@@ -1,0 +1,82 @@
+"""HiFi-GAN generator (the `dec.*` weights): latent frames -> waveform.
+
+This is where the FLOPs are (the waveform axis is hop_length x longer than
+the frame axis), so everything stays as large batched convs for the MXU;
+the upsample stack uses the conv_transpose lowering in ops/conv.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from piper_tpu.models.vits.hparams import VitsHParams
+from piper_tpu.models.vits.params import Params, Prefix
+from piper_tpu.ops.conv import conv1d, conv1d_same, conv_transpose1d
+from piper_tpu.ops.nn import leaky_relu
+
+LRELU_SLOPE = 0.1
+
+
+def _resblock1(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray:
+    """Multi-receptive-field residual block (HiFi-GAN ResBlock1)."""
+    for m, d in enumerate(dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d_same(xt, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"], dilation=d)
+        xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d_same(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"])
+        x = x + xt
+    return x
+
+
+def _resblock2(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray:
+    """Single-conv residual block (HiFi-GAN ResBlock2, used by some voices)."""
+    for m, d in enumerate(dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d_same(xt, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"], dilation=d)
+        x = x + xt
+    return x
+
+
+def hifigan_generator(
+    z: jnp.ndarray,
+    params: Params,
+    hp: VitsHParams,
+    g: Optional[jnp.ndarray] = None,
+    prefix: str = "dec",
+) -> jnp.ndarray:
+    """(B, C, T_frames) latent -> (B, 1, T_frames * hop_length) waveform."""
+    p = Prefix(params, prefix)
+    x = conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
+    if g is not None:
+        x = x + conv1d(g, p["cond.weight"], p["cond.bias"])
+
+    num_kernels = hp.num_resblock_kernels
+    use_resblock2 = f"{prefix}.resblocks.0.convs.0.weight" in params
+    for i in range(hp.num_upsamples):
+        x = leaky_relu(x, LRELU_SLOPE)
+        k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
+        x = conv_transpose1d(
+            x,
+            p[f"ups.{i}.weight"],
+            p[f"ups.{i}.bias"],
+            stride=u,
+            padding=(k - u) // 2,
+        )
+        acc = None
+        for j in range(num_kernels):
+            rb = p.sub(f"resblocks.{i * num_kernels + j}")
+            kernel = hp.resblock_kernel_sizes[j]
+            dils = hp.resblock_dilation_sizes[j]
+            y = (
+                _resblock2(x, rb, kernel, dils)
+                if use_resblock2
+                else _resblock1(x, rb, kernel, dils)
+            )
+            acc = y if acc is None else acc + y
+        x = acc / num_kernels
+
+    x = leaky_relu(x)  # final activation uses the torch default slope 0.01
+    x = conv1d(x, p["conv_post.weight"], p["conv_post.bias"], padding=3)
+    return jnp.tanh(x)

@@ -1,0 +1,223 @@
+"""VITS architecture hyperparameters.
+
+Piper's voice config JSON carries no architecture fields, and the reference
+never needed them (it interprets the exported graph). We run the model
+natively, so hyperparameters are *derived from the checkpoint itself*:
+channel sizes and layer counts from initializer shapes, upsample strides/pads
+from the ConvTranspose node attributes. Quality presets exist for generating
+synthetic checkpoints offline.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from typing import Dict, List
+
+from piper_tpu.onnx.ir import OnnxGraph
+
+
+@dataclass(frozen=True)
+class VitsHParams:
+    n_vocab: int = 256
+    inter_channels: int = 192          # z / flow channels
+    hidden_channels: int = 192         # text-encoder width
+    filter_channels: int = 768         # encoder FFN width
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3               # encoder FFN kernel
+    window_size: int = 4               # relative-attention window
+    # Stochastic duration predictor
+    dp_filter_channels: int = 192
+    dp_kernel_size: int = 3
+    dp_n_flows: int = 4
+    dp_num_bins: int = 10
+    dp_tail_bound: float = 5.0
+    # Flow decoder
+    flow_n_flows: int = 4
+    flow_hidden_channels: int = 192
+    flow_kernel_size: int = 5
+    flow_dilation_rate: int = 1
+    flow_n_layers: int = 4
+    # HiFi-GAN vocoder
+    resblock_kernel_sizes: List[int] = field(default_factory=lambda: [3, 7, 11])
+    resblock_dilation_sizes: List[List[int]] = field(
+        default_factory=lambda: [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
+    )
+    upsample_rates: List[int] = field(default_factory=lambda: [8, 8, 2, 2])
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: List[int] = field(default_factory=lambda: [16, 16, 4, 4])
+    # Speakers
+    n_speakers: int = 1
+    gin_channels: int = 0
+    sample_rate: int = 22050
+
+    @property
+    def hop_length(self) -> int:
+        h = 1
+        for r in self.upsample_rates:
+            h *= r
+        return h
+
+    @property
+    def num_upsamples(self) -> int:
+        return len(self.upsample_rates)
+
+    @property
+    def num_resblock_kernels(self) -> int:
+        return len(self.resblock_kernel_sizes)
+
+
+# Presets for synthetic checkpoint generation (representative of the Piper
+# quality tiers; real checkpoints override everything via derive_hparams).
+PRESETS: Dict[str, VitsHParams] = {
+    "x_low": VitsHParams(
+        hidden_channels=96,
+        inter_channels=96,
+        filter_channels=384,
+        flow_hidden_channels=96,
+        dp_filter_channels=96,
+        upsample_initial_channel=256,
+        upsample_rates=[8, 8, 4],
+        upsample_kernel_sizes=[16, 16, 8],
+        sample_rate=16000,
+    ),
+    "low": VitsHParams(sample_rate=16000),
+    "medium": VitsHParams(),
+    "high": VitsHParams(),
+}
+
+
+def derive_hparams(
+    graph: OnnxGraph, sample_rate: int = 22050, n_speakers: int = 1
+) -> VitsHParams:
+    """Infer the architecture from a parsed Piper checkpoint.
+
+    Initializer names follow the exported PyTorch module paths (the reference
+    pins `enc_p.encoder.attn_layers.0.conv_q.weight` and `sid` in its loader
+    golden test — Tests/PiperONNXTests/ONNXParsingTests.swift:29-37).
+    """
+    init = graph.initializers
+
+    def shape(name: str) -> List[int]:
+        return list(init[name].dims)
+
+    def count(pattern: str) -> int:
+        rx = re.compile(pattern)
+        idx = set()
+        for name in init:
+            m = rx.match(name)
+            if m:
+                idx.add(int(m.group(1)))
+        return len(idx)
+
+    emb = shape("enc_p.emb.weight")  # (n_vocab, hidden)
+    n_vocab, hidden = emb
+    n_layers = count(r"enc_p\.encoder\.attn_layers\.(\d+)\.conv_q\.weight")
+    filter_channels = shape("enc_p.encoder.ffn_layers.0.conv_1.weight")[0]
+    kernel_size = shape("enc_p.encoder.ffn_layers.0.conv_1.weight")[2]
+    # emb_rel_k: (heads_or_1, 2*window+1, k_channels)
+    rel = shape("enc_p.encoder.attn_layers.0.emb_rel_k")
+    window_size = (rel[1] - 1) // 2
+    k_channels = rel[2]
+    n_heads = hidden // k_channels
+    inter_channels = shape("enc_p.proj.weight")[0] // 2
+
+    dp_filter = shape("dp.pre.weight")[0]
+    dp_kernel = shape("dp.convs.convs_sep.0.weight")[2]
+    dp_n_flows = count(r"dp\.flows\.(\d+)\.pre\.weight")
+    # proj emits half*(3*num_bins - 1) channels with half == 1
+    dp_num_bins = (shape("dp.flows.1.proj.weight")[0] + 1) // 3
+
+    flow_n_flows = count(r"flow\.flows\.(\d+)\.pre\.weight")
+    flow_hidden = shape("flow.flows.0.enc.in_layers.0.weight")[0] // 2
+    flow_kernel = shape("flow.flows.0.enc.in_layers.0.weight")[2]
+    flow_n_layers = count(r"flow\.flows\.0\.enc\.in_layers\.(\d+)\.weight")
+    flow_dilation = 1
+    if flow_n_layers >= 2:
+        # dilation_rate**i is baked into each layer's Conv node attrs; shapes
+        # don't carry it, so read it from the graph nodes if present.
+        flow_dilation = _conv_dilation_for(graph, "flow.flows.0.enc.in_layers.1.weight", 1)
+
+    upsample_initial = shape("dec.conv_pre.weight")[0]
+    n_ups = count(r"dec\.ups\.(\d+)\.weight")
+    upsample_kernel_sizes = [shape(f"dec.ups.{i}.weight")[2] for i in range(n_ups)]
+    upsample_rates = [
+        _conv_transpose_stride_for(graph, f"dec.ups.{i}.weight", upsample_kernel_sizes[i])
+        for i in range(n_ups)
+    ]
+    n_res_total = count(r"dec\.resblocks\.(\d+)\.convs1\.0\.weight")
+    num_kernels = n_res_total // n_ups if n_ups else 3
+    resblock_kernel_sizes = [
+        shape(f"dec.resblocks.{j}.convs1.0.weight")[2] for j in range(num_kernels)
+    ]
+    resblock_dilation_sizes = []
+    for j in range(num_kernels):
+        n_d = count(rf"dec\.resblocks\.{j}\.convs1\.(\d+)\.weight")
+        dils = [
+            _conv_dilation_for(graph, f"dec.resblocks.{j}.convs1.{m}.weight", 1)
+            for m in range(n_d)
+        ]
+        resblock_dilation_sizes.append(dils)
+
+    gin_channels = 0
+    n_spk = n_speakers
+    if "emb_g.weight" in init:
+        n_spk, gin_channels = shape("emb_g.weight")
+
+    return VitsHParams(
+        n_vocab=n_vocab,
+        inter_channels=inter_channels,
+        hidden_channels=hidden,
+        filter_channels=filter_channels,
+        n_heads=n_heads,
+        n_layers=n_layers,
+        kernel_size=kernel_size,
+        window_size=window_size,
+        dp_filter_channels=dp_filter,
+        dp_kernel_size=dp_kernel,
+        dp_n_flows=dp_n_flows,
+        dp_num_bins=dp_num_bins,
+        flow_n_flows=flow_n_flows,
+        flow_hidden_channels=flow_hidden,
+        flow_kernel_size=flow_kernel,
+        flow_dilation_rate=flow_dilation,
+        flow_n_layers=flow_n_layers,
+        resblock_kernel_sizes=resblock_kernel_sizes,
+        resblock_dilation_sizes=resblock_dilation_sizes,
+        upsample_rates=upsample_rates,
+        upsample_initial_channel=upsample_initial,
+        upsample_kernel_sizes=upsample_kernel_sizes,
+        n_speakers=n_spk,
+        gin_channels=gin_channels,
+        sample_rate=sample_rate,
+    )
+
+
+def _nodes_by_weight(graph: OnnxGraph, weight_name: str):
+    for n in graph.nodes:
+        if weight_name in n.inputs:
+            yield n
+
+
+def _conv_dilation_for(graph: OnnxGraph, weight_name: str, default: int) -> int:
+    for n in _nodes_by_weight(graph, weight_name):
+        if n.op_type == "Conv":
+            d = n.attr_ints("dilations")
+            if d:
+                return int(d[0])
+    return default
+
+
+def _conv_transpose_stride_for(graph: OnnxGraph, weight_name: str, kernel: int) -> int:
+    for n in _nodes_by_weight(graph, weight_name):
+        if n.op_type == "ConvTranspose":
+            s = n.attr_ints("strides")
+            if s:
+                return int(s[0])
+    # HiFi-GAN convention: stride = kernel // 2.
+    return kernel // 2
+
+
+def with_speakers(hp: VitsHParams, n_speakers: int, gin_channels: int) -> VitsHParams:
+    return replace(hp, n_speakers=n_speakers, gin_channels=gin_channels)

@@ -1,0 +1,121 @@
+"""Full VITS inference graph, composed functionally.
+
+Equivalent surface to the reference's whole-graph execution
+(GraphExecutor.executeOutput, GraphExecutor.swift:156-326), but as a single
+traced JAX program per static shape bucket: phoneme ids -> waveform.
+
+Split entry points (`encode` / `decode`) exist so the serving engine can pick
+the frame bucket on the host between the two compiled programs; `infer` is
+the fused single-program variant used when the frame budget is known.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from piper_tpu.models.vits.duration_predictor import stochastic_duration_predictor_reverse
+from piper_tpu.models.vits.flows import flow_reverse
+from piper_tpu.models.vits.hifigan import hifigan_generator
+from piper_tpu.models.vits.hparams import VitsHParams
+from piper_tpu.models.vits.params import Params
+from piper_tpu.models.vits.text_encoder import text_encoder
+from piper_tpu.ops.masking import generate_path, sequence_mask
+
+
+@dataclass(frozen=True)
+class EncodeResult:
+    """Everything the decode phase needs, all phoneme-axis shaped."""
+
+    m_p: jnp.ndarray        # (B, C, P) prior mean
+    logs_p: jnp.ndarray     # (B, C, P) prior log-std
+    x_mask: jnp.ndarray     # (B, 1, P)
+    w_ceil: jnp.ndarray     # (B, P) integer-valued frame durations
+    g: Optional[jnp.ndarray]  # (B, gin, 1) speaker embedding or None
+
+
+def speaker_embedding(
+    params: Params, hp: VitsHParams, sid: Optional[jnp.ndarray]
+) -> Optional[jnp.ndarray]:
+    if hp.n_speakers <= 1 or "emb_g.weight" not in params:
+        return None
+    if sid is None:
+        raise ValueError("multi-speaker model requires a speaker id")
+    return params["emb_g.weight"][sid][..., None]  # (B, gin, 1)
+
+
+def encode(
+    params: Params,
+    hp: VitsHParams,
+    phoneme_ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    dp_noise: jnp.ndarray,
+    *,
+    length_scale: jnp.ndarray | float = 1.0,
+    noise_w: jnp.ndarray | float = 0.8,
+    sid: Optional[jnp.ndarray] = None,
+) -> EncodeResult:
+    """Text encoder + duration predictor: ids (B, P) -> durations + prior."""
+    x, m_p, logs_p, x_mask = text_encoder(phoneme_ids, lengths, params, hp)
+    g = speaker_embedding(params, hp, sid)
+    logw = stochastic_duration_predictor_reverse(
+        x, x_mask, dp_noise, params, hp, g=g, noise_scale=noise_w
+    )
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[:, 0]  # (B, P)
+    return EncodeResult(m_p=m_p, logs_p=logs_p, x_mask=x_mask, w_ceil=w_ceil, g=g)
+
+
+def decode(
+    params: Params,
+    hp: VitsHParams,
+    enc: EncodeResult,
+    main_noise: jnp.ndarray,
+    *,
+    max_frames: int,
+    noise_scale: jnp.ndarray | float = 0.667,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Durations + prior -> waveform.
+
+    main_noise: (B, C, max_frames) standard normal (injectable).
+    Returns (audio (B, max_frames * hop), y_lengths (B,) in frames).
+    """
+    y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, max_frames)
+    y_mask = sequence_mask(y_lengths.astype(jnp.int32), max_frames).astype(enc.m_p.dtype)
+    path = generate_path(enc.w_ceil, enc.x_mask, y_mask)  # (B, T, P)
+    m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
+    logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
+    z_p = m_p + main_noise * jnp.exp(logs_p) * noise_scale
+    z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
+    audio = hifigan_generator(z * y_mask, params, hp, g=enc.g)
+    return audio[:, 0, :], y_lengths
+
+
+def infer(
+    params: Params,
+    hp: VitsHParams,
+    phoneme_ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    dp_noise: jnp.ndarray,
+    main_noise: jnp.ndarray,
+    *,
+    max_frames: int,
+    noise_scale: jnp.ndarray | float = 0.667,
+    length_scale: jnp.ndarray | float = 1.0,
+    noise_w: jnp.ndarray | float = 0.8,
+    sid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused single-program synthesis: ids -> (audio, y_lengths)."""
+    enc = encode(
+        params,
+        hp,
+        phoneme_ids,
+        lengths,
+        dp_noise,
+        length_scale=length_scale,
+        noise_w=noise_w,
+        sid=sid,
+    )
+    return decode(params, hp, enc, main_noise, max_frames=max_frames, noise_scale=noise_scale)

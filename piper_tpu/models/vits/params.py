@@ -1,0 +1,63 @@
+"""Parameter store: the checkpoint's named weights as a flat JAX pytree.
+
+Keys are the original exported PyTorch parameter paths (`enc_p.*`, `dp.*`,
+`flow.*`, `dec.*`, `emb_g.*`) so every module cites weights by the same
+names the reference's tests pin (ONNXParsingTests.swift:29-37). A flat
+dict[str, Array] is a valid pytree, jit-friendly, and donation-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from piper_tpu.onnx.ir import OnnxGraph, TensorDataType
+
+Params = Dict[str, jnp.ndarray]
+
+
+def params_from_graph(graph: OnnxGraph, dtype=jnp.float32) -> Params:
+    """Extract all float initializers as JAX arrays keyed by name.
+
+    Non-float initializers (shape constants the exported graph needed, the
+    baked `sid`, etc.) are skipped — the native forward pass doesn't use them.
+    """
+    out: Params = {}
+    for name, t in graph.initializers.items():
+        if t.data_type in (TensorDataType.FLOAT, TensorDataType.DOUBLE, TensorDataType.FLOAT16):
+            out[name] = jnp.asarray(np.asarray(t.array), dtype=dtype)
+    return out
+
+
+def params_from_arrays(arrays: Dict[str, np.ndarray], dtype=jnp.float32) -> Params:
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in arrays.items()}
+
+
+class Prefix:
+    """Convenience accessor: p = Prefix(params, 'enc_p.encoder'); p['ffn_layers.0.conv_1.weight']."""
+
+    __slots__ = ("params", "prefix")
+
+    def __init__(self, params: Params, prefix: str = ""):
+        self.params = params
+        self.prefix = prefix
+
+    def __getitem__(self, key: str) -> jnp.ndarray:
+        full = f"{self.prefix}.{key}" if self.prefix else key
+        return self.params[full]
+
+    def __contains__(self, key: str) -> bool:
+        full = f"{self.prefix}.{key}" if self.prefix else key
+        return full in self.params
+
+    def sub(self, key: str) -> "Prefix":
+        full = f"{self.prefix}.{key}" if self.prefix else key
+        return Prefix(self.params, full)
+
+    def keys(self) -> Iterator[str]:
+        pre = self.prefix + "." if self.prefix else ""
+        for k in self.params:
+            if k.startswith(pre):
+                yield k[len(pre):]
