@@ -1,0 +1,131 @@
+"""piper-tpu benchmark entry point.
+
+Runs the reference's headline benchmark — the scale-bench sweep over the
+14-phoneme fixture (README.md:37-58, factors 1/2/4/8) — on whatever JAX
+platform is active (the real TPU chip under axon) and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+vs_baseline compares our factor-1 ms_mean against the reference's published
+Swift/Metal 147.39 ms (BASELINE.md) as a speedup ratio. The headline value is
+real-time factor per chip at factor 1 (target: >=200x, BASELINE.json).
+
+No network: unless --model/--config point at a real voice, a synthetic
+checkpoint with the exact medium-voice architecture (identical shapes/FLOPs)
+is generated and cached — perf-representative even though the audio is noise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO_ROOT))
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+BASELINE_MS_FACTOR1 = 147.39  # reference Swift/Metal ms_mean @ factor 1 (README.md:43)
+
+
+def _percentile(xs, p):
+    s = sorted(xs)
+    k = (len(s) - 1) * (p / 100.0)
+    f, c = int(np.floor(k)), int(np.ceil(k))
+    return s[f] if f == c else s[f] + (s[c] - s[f]) * (k - f)
+
+
+def get_runtime(args):
+    from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+
+    options = RuntimeOptions(precision=args.precision)
+    if args.model:
+        return PiperRuntime(args.model, args.config, options)
+    cache = Path(os.environ.get("PIPER_TPU_CACHE", Path.home() / ".cache" / "piper-tpu"))
+    voice_dir = cache / "synthetic" / args.quality
+    model = voice_dir / f"synthetic-{args.quality}.onnx"
+    if not model.exists():
+        from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+        make_synthetic_voice(voice_dir, quality=args.quality, seed=0)
+    return PiperRuntime(model, None, options)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", help="real voice checkpoint (.onnx)")
+    parser.add_argument("--config", help="voice config (.onnx.json)")
+    parser.add_argument("--quality", default="medium")
+    parser.add_argument("--precision", default="highest",
+                        choices=["highest", "default", "bfloat16"])
+    parser.add_argument("--factors", default="1,2,4,8")
+    parser.add_argument("--warmup", type=int, default=2)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--quick", action="store_true", help="fast smoke (small sweep)")
+    parser.add_argument("--platform", help="force a jax platform (e.g. cpu)")
+    args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.quick:
+        args.factors = "1,2"
+        args.warmup, args.iters = 1, 2
+
+    import jax
+
+    rt = get_runtime(args)
+    factors = [int(x) for x in args.factors.split(",")]
+    rows = []
+    for f in factors:
+        ids = (FIXTURE_IDS * f)[: 4096]
+        # warmup (includes compile)
+        t0 = time.perf_counter()
+        for _ in range(args.warmup):
+            rt.synthesize(ids)
+        warm_s = time.perf_counter() - t0
+        wall, rtfs = [], []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            audio = rt.synthesize(ids)
+            wall.append((time.perf_counter() - t0) * 1e3)
+            rtfs.append((len(audio) / rt.sample_rate) / (wall[-1] / 1e3))
+        rows.append(
+            {
+                "factor": f,
+                "phoneme_count": len(ids),
+                "ms_mean": float(np.mean(wall)),
+                "ms_p50": _percentile(wall, 50),
+                "ms_p95": _percentile(wall, 95),
+                "rtf_mean": float(np.mean(rtfs)),
+                "audio_s": len(audio) / rt.sample_rate,
+                "warmup_s": warm_s,
+            }
+        )
+
+    f1 = rows[0]
+    result = {
+        "metric": "rtf_per_chip_factor1",
+        "value": round(f1["rtf_mean"], 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(BASELINE_MS_FACTOR1 / f1["ms_mean"], 2),
+        "baseline_ms_factor1": BASELINE_MS_FACTOR1,
+        "ms_mean_factor1": round(f1["ms_mean"], 3),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "precision": args.precision,
+        "quality": args.quality,
+        "compile_count": rt.last_run_timings.compile_count,
+        "rows": rows,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,354 @@
+"""piper-tpu command line.
+
+Mirrors the reference CLI's surface (PiperCLI.swift:31-551): one-shot
+synthesis from --text / --ipa / --phoneme-ids, an interactive REPL, and the
+three bench modes (--bench-summary, --scale-bench, --microbench) emitting the
+same JSON schemas so numbers are directly comparable with the reference's
+tables (README.md:37-58) and bench/benchmark_onnxruntime.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from piper_tpu.core.phonemes import ipa_to_ids
+from piper_tpu.core.test_vector import TestSummary
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.utils.wav import write_wav
+
+
+def _percentile(xs: List[float], p: float) -> float:
+    s = sorted(xs)
+    k = (len(s) - 1) * (p / 100.0)
+    f, c = int(np.floor(k)), int(np.ceil(k))
+    if f == c:
+        return s[f]
+    return s[f] + (s[c] - s[f]) * (k - f)
+
+
+def _load_runtime(args) -> PiperRuntime:
+    options = RuntimeOptions(
+        seed=args.seed,
+        precision=args.precision,
+    )
+    if args.voice:
+        return PiperRuntime.load_voice(args.voice, options)
+    if args.model:
+        return PiperRuntime(args.model, args.config, options)
+    raise SystemExit("pass --voice <id> or --model <path> [--config <path>]")
+
+
+def _resolve_runtime_for_summary(args, summary: TestSummary) -> PiperRuntime:
+    if args.voice or args.model:
+        return _load_runtime(args)
+    if summary.model_path:
+        model = Path(summary.model_path)
+        if not model.is_absolute():
+            model = summary.base_dir / model
+        config = Path(summary.config_path) if summary.config_path else None
+        if config is not None and not config.is_absolute():
+            config = summary.base_dir / config
+        return PiperRuntime(model, config, RuntimeOptions(seed=args.seed,
+                                                          precision=args.precision))
+    raise SystemExit(
+        "bench summary has empty model_path/config_path; pass --voice or --model/--config"
+    )
+
+
+def _phoneme_ids_for(args, rt: PiperRuntime) -> List[int]:
+    if args.phoneme_ids:
+        return [int(x) for x in args.phoneme_ids.replace(",", " ").split()]
+    if args.ipa:
+        return ipa_to_ids(args.ipa, rt.config.phoneme_id_map)
+    if args.text:
+        from piper_tpu.phonemize import ESpeakPhonemizer
+
+        voice = rt.config.espeak.voice if rt.config.espeak else "en"
+        return ESpeakPhonemizer(voice, rt.config.phoneme_id_map).phoneme_ids(args.text)
+    raise SystemExit("pass --text, --ipa, or --phoneme-ids (or use the REPL)")
+
+
+def _synth_args(args) -> dict:
+    out = {}
+    if args.noise_scale is not None:
+        out["noise_scale"] = args.noise_scale
+    if args.length_scale is not None:
+        out["length_scale"] = args.length_scale
+    if args.noise_w is not None:
+        out["noise_w"] = args.noise_w
+    if args.speaker_id is not None:
+        out["speaker_id"] = args.speaker_id
+    return out
+
+
+def run_oneshot(args) -> None:
+    rt = _load_runtime(args)
+    ids = _phoneme_ids_for(args, rt)
+    audio = rt.synthesize(ids, **_synth_args(args))
+    out = args.output or "out.wav"
+    write_wav(out, audio, rt.sample_rate)
+    t = rt.last_run_timings
+    print(
+        f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
+        f"in {t.wall_ms:.1f} ms (RTF {t.rtf:.1f}x)"
+    )
+
+
+def run_repl(args) -> None:
+    rt = _load_runtime(args)
+    voice = rt.config.espeak.voice if rt.config.espeak else "en"
+    phonemizer = None
+    print("piper-tpu REPL. Type text to synthesize; :q to quit.")
+    n = 0
+    while True:
+        try:
+            line = input("> ").strip()
+        except EOFError:
+            break
+        if not line or line in (":q", ":quit", "exit"):
+            break
+        try:
+            if phonemizer is None:
+                from piper_tpu.phonemize import ESpeakPhonemizer
+
+                phonemizer = ESpeakPhonemizer(voice, rt.config.phoneme_id_map)
+            ids = phonemizer.phoneme_ids(line)
+            audio = rt.synthesize(ids, **_synth_args(args))
+            out = args.output or f"repl_{n:03d}.wav"
+            write_wav(out, audio, rt.sample_rate)
+            t = rt.last_run_timings
+            print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, RTF {t.rtf:.1f}x)")
+            n += 1
+        except Exception as e:  # noqa: BLE001 — REPL keeps going
+            print(f"error: {e}", file=sys.stderr)
+
+
+def run_bench(args) -> None:
+    """Fixed-fixture bench; JSON schema mirrors runBench (PiperCLI.swift:249-370)."""
+    summary = TestSummary.load(args.bench_summary)
+    rt = _resolve_runtime_for_summary(args, summary)
+    tests = summary.results[: args.max_tests]
+
+    def run_one(tv) -> float:
+        t0 = time.perf_counter()
+        rt.synthesize(
+            tv.phoneme_ids,
+            noise_scale=tv.metadata.noise_scale,
+            length_scale=tv.metadata.length_scale,
+            noise_w=tv.metadata.noise_w,
+            speaker_id=tv.metadata.speaker_id,
+        )
+        return time.perf_counter() - t0
+
+    for _ in range(args.warmup):
+        for tv in tests:
+            run_one(tv)
+    times = []
+    encode_ms, decode_ms, rtfs = [], [], []
+    for _ in range(args.iters):
+        for tv in tests:
+            times.append(run_one(tv))
+            t = rt.last_run_timings
+            encode_ms.append(t.encode_ms)
+            decode_ms.append(t.decode_ms)
+            rtfs.append(t.rtf)
+
+    ms = [t * 1000 for t in times]
+    out = {
+        "backend": "piper-tpu",
+        "mode": "jax-tpu-runtime",
+        "model_path": str(rt.model_path),
+        "num_tests": len(tests),
+        "warmup": args.warmup,
+        "iters": args.iters,
+        "num_runs": len(times),
+        "ms_mean": float(np.mean(ms)),
+        "ms_p50": _percentile(ms, 50),
+        "ms_p95": _percentile(ms, 95),
+        "ms_max": max(ms),
+        "sample_rate": rt.sample_rate,
+        "encode_ms_mean": float(np.mean(encode_ms)),
+        "decode_ms_mean": float(np.mean(decode_ms)),
+        "rtf_mean": float(np.mean(rtfs)),
+        "compile_count": rt.last_run_timings.compile_count,
+    }
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+def run_scale_bench(args) -> None:
+    """Phoneme-count scaling sweep; mirrors runScaleBench (PiperCLI.swift:381-551)."""
+    summary = TestSummary.load(args.bench_summary)
+    rt = _resolve_runtime_for_summary(args, summary)
+    base = summary.results[0]
+    factors = [int(x) for x in args.scale_factors.split(",")]
+
+    results = []
+    for f in factors:
+        ids: List[int] = []
+        target = min(args.max_phonemes, len(base.phoneme_ids) * max(1, f))
+        while len(ids) < target:
+            ids.extend(base.phoneme_ids)
+        ids = ids[: args.max_phonemes]
+
+        def run_one() -> float:
+            t0 = time.perf_counter()
+            rt.synthesize(
+                ids,
+                noise_scale=base.metadata.noise_scale,
+                length_scale=base.metadata.length_scale,
+                noise_w=base.metadata.noise_w,
+            )
+            return time.perf_counter() - t0
+
+        for _ in range(args.warmup):
+            run_one()
+        wall, rtfs, enc, dec = [], [], [], []
+        for _ in range(args.iters):
+            wall.append(run_one() * 1000)
+            t = rt.last_run_timings
+            rtfs.append(t.rtf)
+            enc.append(t.encode_ms)
+            dec.append(t.decode_ms)
+        results.append(
+            {
+                "factor": f,
+                "phoneme_count": len(ids),
+                "ms_mean": float(np.mean(wall)),
+                "ms_p50": _percentile(wall, 50),
+                "ms_p95": _percentile(wall, 95),
+                "ms_max": max(wall),
+                "rtf_mean": float(np.mean(rtfs)),
+                "encode_ms_mean": float(np.mean(enc)),
+                "decode_ms_mean": float(np.mean(dec)),
+                "phoneme_bucket": rt.last_run_timings.phoneme_bucket,
+                "frame_bucket": rt.last_run_timings.frame_bucket,
+            }
+        )
+
+    out = {
+        "backend": "piper-tpu",
+        "mode": "scale-bench",
+        "model_path": str(rt.model_path),
+        "sample_rate": rt.sample_rate,
+        "warmup": args.warmup,
+        "iters": args.iters,
+        "max_phonemes": args.max_phonemes,
+        "scale_factors": factors,
+        "base_test_phonemes": len(base.phoneme_ids),
+        "compile_count": rt.last_run_timings.compile_count,
+        "results": results,
+    }
+    print(json.dumps(out, indent=2, sort_keys=True))
+
+
+def run_microbench(args) -> None:
+    """Dispatch-overhead microbench (reference: PiperMetalMicrobench.swift:19-77).
+
+    On TPU the analog of per-op dispatch vs batched command buffers is
+    eager op dispatch vs one fused jit program."""
+    import jax
+    import jax.numpy as jnp
+
+    n, iters = 4096, 200
+    x = jnp.zeros((n,), jnp.float32)
+
+    def add_chain(x):
+        for _ in range(16):
+            x = x + 1.0
+        return x
+
+    # Eager per-op dispatch
+    add_chain(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x1 = add_chain(x)
+    x1.block_until_ready()
+    eager_ms = (time.perf_counter() - t0) / iters * 1000
+
+    # One compiled program
+    fused = jax.jit(add_chain)
+    fused(x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x2 = fused(x)
+    x2.block_until_ready()
+    fused_ms = (time.perf_counter() - t0) / iters * 1000
+
+    print(
+        json.dumps(
+            {
+                "mode": "microbench",
+                "elements": n,
+                "iters": iters,
+                "ops_per_chain": 16,
+                "eager_chain_ms": eager_ms,
+                "jit_chain_ms": fused_ms,
+                "dispatch_overhead_ratio": eager_ms / fused_ms if fused_ms > 0 else 0,
+            },
+            indent=2,
+            sort_keys=True,
+        )
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="piper-tpu", description=__doc__)
+    p.add_argument("--voice", help="voice id to download/load (e.g. en_GB-northern_english_male-medium)")
+    p.add_argument("--model", help="path to a .onnx checkpoint")
+    p.add_argument("--config", help="path to the .onnx.json config (default: <model>.json)")
+    p.add_argument("--text", help="text to synthesize (requires espeak-ng)")
+    p.add_argument("--ipa", help="IPA string to synthesize")
+    p.add_argument("--phoneme-ids", help="comma/space-separated phoneme ids")
+    p.add_argument("--output", "-o", help="output WAV path")
+    p.add_argument("--noise-scale", type=float, default=None)
+    p.add_argument("--length-scale", type=float, default=None)
+    p.add_argument("--noise-w", type=float, default=None)
+    p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "default", "bfloat16"])
+    p.add_argument("--bench-summary", "--summary", dest="bench_summary",
+                   help="path to test_summary.json (enables bench mode)")
+    p.add_argument("--scale-bench", action="store_true")
+    p.add_argument("--microbench", action="store_true")
+    p.add_argument("--warmup", type=int, default=None)
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--max-tests", type=int, default=None)
+    p.add_argument("--scale-factors", default="1,2,4,8,16")
+    p.add_argument("--max-phonemes", type=int, default=4096)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.microbench:
+        args.warmup = args.warmup if args.warmup is not None else 1
+        args.iters = args.iters if args.iters is not None else 3
+        run_microbench(args)
+    elif args.scale_bench:
+        args.warmup = args.warmup if args.warmup is not None else 1
+        args.iters = args.iters if args.iters is not None else 3
+        args.max_tests = args.max_tests if args.max_tests is not None else 1
+        if not args.bench_summary:
+            raise SystemExit("--scale-bench requires --bench-summary/--summary")
+        run_scale_bench(args)
+    elif args.bench_summary:
+        args.warmup = args.warmup if args.warmup is not None else 2
+        args.iters = args.iters if args.iters is not None else 10
+        args.max_tests = args.max_tests if args.max_tests is not None else 8
+        run_bench(args)
+    elif args.text or args.ipa or args.phoneme_ids:
+        run_oneshot(args)
+    else:
+        run_repl(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,354 @@
+"""PiperRuntime: the public synthesis facade.
+
+Mirrors the reference's PiperMetalRuntime surface (PiperMetalRuntime.swift:
+44-124): load a voice (by id or paths), `synthesize(phoneme_ids, scales) ->
+float32 PCM`, streaming synthesis, and per-run timings. Under the hood the
+whole VITS graph runs as two jit-compiled programs per shape bucket —
+encode (phoneme axis) and decode (frame axis) — with the frame bucket chosen
+on the host from the predicted durations. Steady-state runs therefore have
+zero recompiles and a single scalar host transfer (the frame count); the
+reference's flush-count metric maps to `RunTimings.compile_count` +
+`host_transfers` here (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from piper_tpu.core.audio import AudioChunk, AudioFormat
+from piper_tpu.core.config import VoiceConfig
+from piper_tpu.core.voices import VoiceManager
+from piper_tpu.engine.bucketing import (
+    DEFAULT_FRAME_BUCKETS,
+    DEFAULT_PHONEME_BUCKETS,
+    bucket_for,
+    pad_to,
+)
+from piper_tpu.models.vits import model as vits
+from piper_tpu.models.vits.hparams import VitsHParams, derive_hparams
+from piper_tpu.models.vits.params import Params, params_from_graph
+from piper_tpu.onnx import load_model
+
+
+@dataclass(frozen=True)
+class RuntimeOptions:
+    """Knobs mirroring PiperMetalRuntime.Options (PiperMetalRuntime.swift:11-28)
+    plus TPU-specific precision/bucketing controls."""
+
+    seed: int = 1234  # the reference's fixed RandomNormalLike seed
+    precision: str = "highest"  # matmul precision: "highest" | "default" | "bfloat16"
+    phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
+    frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
+    frames_per_phoneme_cap: int = 12  # fused-mode worst-case frame budget
+
+
+@dataclass
+class RunTimings:
+    """Per-run accounting (reference: RunTimings, GraphExecutor.swift:29-38)."""
+
+    wall_ms: float = 0.0
+    encode_ms: float = 0.0
+    decode_ms: float = 0.0
+    phoneme_bucket: int = 0
+    frame_bucket: int = 0
+    frames: int = 0
+    samples: int = 0
+    compiled: bool = False  # did this run trigger a compile
+    compile_count: int = 0  # cumulative program count so far
+    rtf: float = 0.0  # real-time factor (audio seconds per wall second)
+
+
+class PiperRuntime:
+    """Loads a Piper voice checkpoint and synthesizes speech on TPU/CPU."""
+
+    def __init__(
+        self,
+        model_path: Union[str, Path],
+        config_path: Union[str, Path, None] = None,
+        options: Optional[RuntimeOptions] = None,
+    ):
+        self.options = options or RuntimeOptions()
+        self.model_path = Path(model_path)
+        if not self.model_path.exists():
+            raise FileNotFoundError(f"model checkpoint not found: {self.model_path}")
+        self.config_path = Path(config_path) if config_path else Path(str(model_path) + ".json")
+        self.config = VoiceConfig.load(self.config_path)
+
+        onnx_model = load_model(self.model_path)
+        self.hparams: VitsHParams = derive_hparams(
+            onnx_model.graph,
+            sample_rate=self.config.audio.sample_rate,
+            n_speakers=self.config.num_speakers,
+        )
+        dtype = jnp.bfloat16 if self.options.precision == "bfloat16" else jnp.float32
+        # Weights go to device once and stay resident (the analog of the
+        # reference's persistentF32Buffers cache, GraphExecutor.swift:27).
+        self.params: Params = jax.device_put(params_from_graph(onnx_model.graph, dtype=dtype))
+        del onnx_model
+
+        self._compiled_keys: set = set()
+        self.last_run_timings: Optional[RunTimings] = None
+        self._build_jits()
+
+    # -- construction helpers -------------------------------------------------
+
+    @classmethod
+    def load_voice(
+        cls,
+        voice_id: str,
+        options: Optional[RuntimeOptions] = None,
+        manager: Optional[VoiceManager] = None,
+    ) -> "PiperRuntime":
+        """Download (or reuse cached) voice assets and load them."""
+        manager = manager or VoiceManager()
+        model_path, config_path = manager.ensure_voice(voice_id)
+        return cls(model_path, config_path, options)
+
+    def _matmul_precision(self) -> str:
+        return "default" if self.options.precision == "bfloat16" else self.options.precision
+
+    def _build_jits(self) -> None:
+        hp = self.hparams
+        prec = self._matmul_precision()
+
+        def encode_keyed(params, ids, lengths, key, length_scale, noise_w, sid):
+            with jax.default_matmul_precision(prec):
+                dp_noise = jax.random.normal(key, (ids.shape[0], 2, ids.shape[1]),
+                                             dtype=jnp.float32)
+                return vits.encode(params, hp, ids, lengths, dp_noise,
+                                   length_scale=length_scale, noise_w=noise_w, sid=sid)
+
+        def encode_injected(params, ids, lengths, dp_noise, length_scale, noise_w, sid):
+            with jax.default_matmul_precision(prec):
+                return vits.encode(params, hp, ids, lengths, dp_noise,
+                                   length_scale=length_scale, noise_w=noise_w, sid=sid)
+
+        def decode_keyed(params, enc, key, noise_scale, *, max_frames):
+            with jax.default_matmul_precision(prec):
+                main_noise = jax.random.normal(
+                    key, (enc.m_p.shape[0], enc.m_p.shape[1], max_frames), dtype=jnp.float32
+                )
+                return vits.decode(params, hp, enc, main_noise,
+                                   max_frames=max_frames, noise_scale=noise_scale)
+
+        def decode_injected(params, enc, main_noise, noise_scale):
+            with jax.default_matmul_precision(prec):
+                return vits.decode(params, hp, enc, main_noise,
+                                   max_frames=main_noise.shape[-1], noise_scale=noise_scale)
+
+        self._encode_keyed = jax.jit(encode_keyed)
+        self._encode_injected = jax.jit(encode_injected)
+        self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
+        self._decode_injected = jax.jit(decode_injected)
+
+    # -- synthesis -------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.config.audio.sample_rate
+
+    @property
+    def audio_format(self) -> AudioFormat:
+        return AudioFormat(sample_rate=self.sample_rate)
+
+    def synthesize(
+        self,
+        phoneme_ids: Sequence[int],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+        dp_noise: Optional[np.ndarray] = None,
+        main_noise: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Synthesize one utterance; returns float32 PCM in [-1, 1].
+
+        `dp_noise`/`main_noise` inject recorded RNG tensors for bit-exact
+        comparison (the analog of GraphExecutor's `overrides`,
+        GraphExecutor.swift:101-104). `main_noise`'s frame axis must fit a
+        frame bucket; it is padded up with zeros if shorter.
+        """
+        audios, timings = self._synthesize_batch_impl(
+            [list(phoneme_ids)],
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+            noise_w=noise_w,
+            speaker_ids=[speaker_id] if speaker_id is not None else None,
+            seed=seed,
+            dp_noise=dp_noise,
+            main_noise=main_noise,
+        )
+        self.last_run_timings = timings
+        return audios[0]
+
+    def synthesize_batch(
+        self,
+        phoneme_ids_batch: Sequence[Sequence[int]],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Batched multi-utterance synthesis (pads to a common bucket)."""
+        audios, timings = self._synthesize_batch_impl(
+            [list(x) for x in phoneme_ids_batch],
+            noise_scale=noise_scale,
+            length_scale=length_scale,
+            noise_w=noise_w,
+            speaker_ids=list(speaker_ids) if speaker_ids is not None else None,
+            seed=seed,
+        )
+        self.last_run_timings = timings
+        return audios
+
+    def synthesize_stream(
+        self,
+        phoneme_ids: Sequence[int],
+        chunk_size: int = 2048,
+        **kwargs,
+    ) -> Iterator[AudioChunk]:
+        """Chunked streaming over the synthesized waveform.
+
+        Like the reference (PiperMetalRuntime.swift:93-94), decoding is not
+        yet incremental — the waveform is synthesized in full and then
+        chunked for the consumer.
+        """
+        audio = self.synthesize(phoneme_ids, **kwargs)
+        fmt = self.audio_format
+        n = len(audio)
+        if n == 0:
+            yield AudioChunk(format=fmt, start_sample_index=0,
+                             samples=np.zeros(0, np.float32), is_final=True)
+            return
+        for start in range(0, n, chunk_size):
+            end = min(start + chunk_size, n)
+            yield AudioChunk(
+                format=fmt,
+                start_sample_index=start,
+                samples=audio[start:end],
+                is_final=end >= n,
+            )
+
+    # -- internals ---------------------------------------------------------
+
+    def _scales(self, noise_scale, length_scale, noise_w):
+        inf = self.config.inference
+        ns = inf.noise_scale if noise_scale is None else float(noise_scale)
+        ls = inf.length_scale if length_scale is None else float(length_scale)
+        nw = inf.noise_w if noise_w is None else float(noise_w)
+        return (jnp.float32(ns), jnp.float32(ls), jnp.float32(nw))
+
+    def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int):
+        if self.hparams.n_speakers <= 1:
+            return None
+        if speaker_ids is None:
+            speaker_ids = [0] * batch
+        return jnp.asarray(np.asarray(speaker_ids, dtype=np.int32))
+
+    def _mark(self, kind: str, key) -> bool:
+        k = (kind, key)
+        if k in self._compiled_keys:
+            return False
+        self._compiled_keys.add(k)
+        return True
+
+    def _synthesize_batch_impl(
+        self,
+        ids_batch: List[List[int]],
+        *,
+        noise_scale,
+        length_scale,
+        noise_w,
+        speaker_ids,
+        seed=None,
+        dp_noise: Optional[np.ndarray] = None,
+        main_noise: Optional[np.ndarray] = None,
+    ) -> Tuple[List[np.ndarray], RunTimings]:
+        t_start = time.perf_counter()
+        hp = self.hparams
+        b = len(ids_batch)
+        for seq in ids_batch:
+            if not seq:
+                raise ValueError("empty phoneme sequence")
+            bad = [i for i in seq if not (0 <= i < hp.n_vocab)]
+            if bad:
+                raise ValueError(
+                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
+                    f"check the voice's phoneme_id_map"
+                )
+        lengths = np.asarray([len(x) for x in ids_batch], dtype=np.int32)
+        p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
+        ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
+
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sid = self._sid_array(speaker_ids, b)
+        base_seed = self.options.seed if seed is None else int(seed)
+        key = jax.random.PRNGKey(base_seed)
+        enc_key, dec_key = jax.random.split(key)
+
+        ids_j = jnp.asarray(ids)
+        lengths_j = jnp.asarray(lengths)
+
+        # --- encode ---
+        compiled = False
+        if dp_noise is not None:
+            dpn = np.zeros((b, 2, p_bucket), np.float32)
+            src = np.asarray(dp_noise, np.float32).reshape(b, 2, -1)
+            dpn[:, :, : src.shape[-1]] = src
+            compiled |= self._mark("enc_inj", (b, p_bucket, sid is not None))
+            enc = self._encode_injected(self.params, ids_j, lengths_j, jnp.asarray(dpn),
+                                        ls, nw, sid)
+        else:
+            compiled |= self._mark("enc_key", (b, p_bucket, sid is not None))
+            enc = self._encode_keyed(self.params, ids_j, lengths_j, enc_key, ls, nw, sid)
+
+        # Host sync point: frame counts decide the decode bucket (the one
+        # unavoidable "flush"; everything else stays on device).
+        y_lengths = np.asarray(jnp.sum(enc.w_ceil, axis=-1)).astype(np.int64)
+        t_encode = time.perf_counter()
+        max_needed = max(1, int(y_lengths.max()))
+        f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
+
+        # --- decode ---
+        if main_noise is not None:
+            src = np.asarray(main_noise, np.float32).reshape(b, hp.inter_channels, -1)
+            f_bucket = bucket_for(max(max_needed, src.shape[-1]),
+                                  self.options.frame_buckets, "frame")
+            mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
+            mn[:, :, : src.shape[-1]] = src
+            compiled |= self._mark("dec_inj", (b, f_bucket, sid is not None))
+            audio, y_len = self._decode_injected(self.params, enc, jnp.asarray(mn), ns)
+        else:
+            compiled |= self._mark("dec_key", (b, f_bucket, sid is not None))
+            audio, y_len = self._decode_keyed(self.params, enc, dec_key, ns,
+                                              max_frames=f_bucket)
+        audio = np.asarray(jax.block_until_ready(audio), dtype=np.float32)
+        y_len = np.asarray(y_len).astype(np.int64)
+        t_end = time.perf_counter()
+
+        hop = hp.hop_length
+        out = [audio[i, : int(y_len[i]) * hop] for i in range(b)]
+        total_samples = int(sum(len(a) for a in out))
+        wall = t_end - t_start
+        timings = RunTimings(
+            wall_ms=wall * 1e3,
+            encode_ms=(t_encode - t_start) * 1e3,
+            decode_ms=(t_end - t_encode) * 1e3,
+            phoneme_bucket=p_bucket,
+            frame_bucket=f_bucket,
+            frames=int(y_len.sum()),
+            samples=total_samples,
+            compiled=compiled,
+            compile_count=len(self._compiled_keys),
+            rtf=(total_samples / self.sample_rate) / wall if wall > 0 else 0.0,
+        )
+        return out, timings

@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from piper_tpu.models.vits.duration_predictor import stochastic_duration_predictor_reverse
@@ -25,9 +26,15 @@ from piper_tpu.models.vits.text_encoder import text_encoder
 from piper_tpu.ops.masking import generate_path, sequence_mask
 
 
+@jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class EncodeResult:
-    """Everything the decode phase needs, all phoneme-axis shaped."""
+    """Everything the decode phase needs, all phoneme-axis shaped.
+
+    Registered as a pytree so it can cross jit boundaries (the serving
+    engine runs encode and decode as separate compiled programs and picks
+    the frame bucket on the host in between).
+    """
 
     m_p: jnp.ndarray        # (B, C, P) prior mean
     logs_p: jnp.ndarray     # (B, C, P) prior log-std

@@ -1,0 +1,143 @@
+"""PiperRuntime end-to-end tests on a synthetic voice (CPU)."""
+
+import numpy as np
+import pytest
+import torch
+
+from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.models.vits.hparams import PRESETS
+from piper_tpu.models.vits.synthetic import make_synthetic_voice, synthetic_params
+from piper_tpu.utils.wav import read_wav, write_wav
+
+from oracle import vits_torch as oracle
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_rt")
+    model_path, config_path = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model_path, config_path)
+
+
+def test_bucket_for():
+    assert bucket_for(14, (16, 32, 64)) == 16
+    assert bucket_for(16, (16, 32, 64)) == 16
+    assert bucket_for(17, (16, 32, 64)) == 32
+    with pytest.raises(BucketOverflowError):
+        bucket_for(100, (16, 32, 64))
+
+
+def test_synthesize_basic(runtime):
+    audio = runtime.synthesize(FIXTURE_IDS)
+    assert audio.dtype == np.float32
+    assert len(audio) > 0
+    assert len(audio) % runtime.hparams.hop_length == 0
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0
+    t = runtime.last_run_timings
+    assert t.phoneme_bucket == 16
+    assert t.samples == len(audio)
+    assert t.rtf > 0
+
+
+def test_synthesize_deterministic(runtime):
+    a1 = runtime.synthesize(FIXTURE_IDS)
+    a2 = runtime.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(a1, a2)
+    a3 = runtime.synthesize(FIXTURE_IDS, seed=7)
+    assert len(a3) > 0
+    assert a3.shape != a1.shape or not np.array_equal(a3, a1)
+
+
+def test_no_recompile_on_repeat_and_scale_change(runtime):
+    runtime.synthesize(FIXTURE_IDS)
+    count = runtime.last_run_timings.compile_count
+    runtime.synthesize(FIXTURE_IDS, noise_scale=0.5, length_scale=1.2, noise_w=0.6)
+    t = runtime.last_run_timings
+    # Scale changes are traced scalars: no new program may be compiled
+    # unless the duration change moved us to a different frame bucket.
+    assert t.compile_count <= count + 1
+
+
+def test_synthesize_batch(runtime):
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:8], FIXTURE_IDS * 2]
+    audios = runtime.synthesize_batch(batch)
+    assert len(audios) == 3
+    for a in audios:
+        assert len(a) > 0 and np.isfinite(a).all()
+
+
+def test_synthesize_stream(runtime):
+    chunks = list(runtime.synthesize_stream(FIXTURE_IDS, chunk_size=1024))
+    assert chunks[-1].is_final
+    assert all(not c.is_final for c in chunks[:-1])
+    full = np.concatenate([c.samples for c in chunks])
+    offsets = [c.start_sample_index for c in chunks]
+    assert offsets == sorted(offsets)
+    ref = runtime.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(full, ref)
+
+
+def test_injected_noise_matches_oracle(runtime, tmp_path_factory):
+    """The BASELINE.json fidelity gate: injected-RNG waveform must match the
+    independent oracle within 1e-3 max-abs."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(21)
+    p = len(FIXTURE_IDS)
+    dp_noise = rng.standard_normal((1, 2, p)).astype(np.float32)
+    # Probe durations first to size main_noise to the selected bucket.
+    audio_probe = runtime.synthesize(FIXTURE_IDS, dp_noise=dp_noise)
+    f_bucket = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, f_bucket)).astype(np.float32)
+
+    audio = runtime.synthesize(FIXTURE_IDS, dp_noise=dp_noise, main_noise=main_noise)
+    assert len(audio) == len(audio_probe)
+
+    weights = synthetic_params(PRESETS["x_low"], seed=5)
+    ids = np.asarray([FIXTURE_IDS])
+    dp_padded = np.zeros((1, 2, runtime.last_run_timings.phoneme_bucket), np.float32)
+    dp_padded[:, :, :p] = dp_noise
+    ids_padded = np.zeros((1, runtime.last_run_timings.phoneme_bucket), np.int64)
+    ids_padded[0, :p] = ids
+    with torch.no_grad():
+        audio_t, ylen_t = oracle.infer(
+            weights, runtime.hparams, ids_padded, np.asarray([p]),
+            dp_padded, main_noise, max_frames=f_bucket,
+            noise_scale=runtime.config.inference.noise_scale,
+            length_scale=runtime.config.inference.length_scale,
+            noise_w=runtime.config.inference.noise_w,
+        )
+    valid = int(ylen_t[0]) * hp.hop_length
+    assert len(audio) == valid
+    err = np.max(np.abs(audio - audio_t[0, :valid]))
+    assert err <= 1e-3, f"max-abs waveform err {err} exceeds 1e-3"
+
+
+def test_multispeaker_runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_ms")
+    model_path, config_path = make_synthetic_voice(
+        d, quality="x_low", seed=6, n_speakers=4, gin_channels=32
+    )
+    rt = PiperRuntime(model_path, config_path)
+    a0 = rt.synthesize(FIXTURE_IDS, speaker_id=0)
+    a1 = rt.synthesize(FIXTURE_IDS, speaker_id=1)
+    assert len(a0) > 0 and len(a1) > 0
+    # Different speakers should produce different audio.
+    if a0.shape == a1.shape:
+        assert not np.allclose(a0, a1)
+    # Default speaker is 0.
+    a_default = rt.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(a_default, a0)
+
+
+def test_wav_roundtrip(runtime, tmp_path):
+    audio = runtime.synthesize(FIXTURE_IDS)
+    path = tmp_path / "out.wav"
+    write_wav(path, audio, runtime.sample_rate)
+    loaded, rate = read_wav(path)
+    assert rate == runtime.sample_rate
+    assert len(loaded) == len(audio)
+    np.testing.assert_allclose(loaded, audio, atol=1.0 / 32000)
