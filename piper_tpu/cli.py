@@ -313,7 +313,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--precision", default="highest",
-                   choices=["highest", "default", "bfloat16"])
+                   choices=["highest", "high", "default", "bfloat16"])
     p.add_argument("--bench-summary", "--summary", dest="bench_summary",
                    help="path to test_summary.json (enables bench mode)")
     p.add_argument("--scale-bench", action="store_true")

@@ -28,6 +28,7 @@ from piper_tpu.core.voices import VoiceManager
 from piper_tpu.engine.bucketing import (
     DEFAULT_FRAME_BUCKETS,
     DEFAULT_PHONEME_BUCKETS,
+    BucketOverflowError,
     bucket_for,
     pad_to,
 )
@@ -43,7 +44,27 @@ class RuntimeOptions:
     plus TPU-specific precision/bucketing controls."""
 
     seed: int = 1234  # the reference's fixed RandomNormalLike seed
-    precision: str = "highest"  # matmul precision: "highest" | "default" | "bfloat16"
+    # Matmul/conv precision tier:
+    #   "highest" — fp32-equivalent (6-pass bf16); meets the <=1e-3 waveform
+    #               gate (measured 4.4e-4 vs the oracle on TPU)
+    #   "high"    — 3-pass bf16 (~tf32 accuracy); measured 2.7e-3
+    #   "default" — single-pass bf16 inputs; NOT fidelity-safe for this model
+    #   "bfloat16"— bf16 weights + activations end to end (fastest)
+    precision: str = "highest"
+    # Separate precision for the HiFi-GAN vocoder stage: a single tier name or
+    # a per-upsample-level tuple (None = same as `precision`). The vocoder
+    # carries ~90% of the FLOPs but its error feeds a bounded tanh output, so
+    # (especially the late small-channel levels) it tolerates lower tiers
+    # than the flows.
+    vocoder_precision: Union[str, Tuple[Optional[str], ...], None] = None
+    # Execution mode:
+    #   "split" — encode / decode as two programs with an exact host-chosen
+    #             frame bucket (2 host round trips per call)
+    #   "fused" — one program with a heuristic frame budget and a single
+    #             host round trip; falls back to split when the budget is
+    #             exceeded. Lowest latency on high-RTT device links.
+    mode: str = "split"
+    fused_frames_per_phoneme: int = 6  # fused-mode frame budget heuristic
     phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
     frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
     frames_per_phoneme_cap: int = 12  # fused-mode worst-case frame budget
@@ -117,9 +138,13 @@ class PiperRuntime:
     def _build_jits(self) -> None:
         hp = self.hparams
         prec = self._matmul_precision()
+        voc_prec = self.options.vocoder_precision
 
-        def encode_keyed(params, ids, lengths, key, length_scale, noise_w, sid):
+        def encode_keyed(params, ids, lengths, seed, length_scale, noise_w, sid):
             with jax.default_matmul_precision(prec):
+                # Key derivation happens in-program: eager PRNG ops would each
+                # pay a full device round trip on a tunneled TPU.
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
                 dp_noise = jax.random.normal(key, (ids.shape[0], 2, ids.shape[1]),
                                              dtype=jnp.float32)
                 return vits.encode(params, hp, ids, lengths, dp_noise,
@@ -130,23 +155,51 @@ class PiperRuntime:
                 return vits.encode(params, hp, ids, lengths, dp_noise,
                                    length_scale=length_scale, noise_w=noise_w, sid=sid)
 
-        def decode_keyed(params, enc, key, noise_scale, *, max_frames):
+        def decode_keyed(params, enc, seed, noise_scale, *, max_frames):
             with jax.default_matmul_precision(prec):
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
                 main_noise = jax.random.normal(
                     key, (enc.m_p.shape[0], enc.m_p.shape[1], max_frames), dtype=jnp.float32
                 )
                 return vits.decode(params, hp, enc, main_noise,
-                                   max_frames=max_frames, noise_scale=noise_scale)
+                                   max_frames=max_frames, noise_scale=noise_scale,
+                                   vocoder_precision=voc_prec)
 
         def decode_injected(params, enc, main_noise, noise_scale):
             with jax.default_matmul_precision(prec):
                 return vits.decode(params, hp, enc, main_noise,
-                                   max_frames=main_noise.shape[-1], noise_scale=noise_scale)
+                                   max_frames=main_noise.shape[-1],
+                                   noise_scale=noise_scale,
+                                   vocoder_precision=voc_prec)
+
+        def fused_keyed(params, ids, lengths, seed, scales, sid, *, max_frames):
+            with jax.default_matmul_precision(prec):
+                noise_scale, length_scale, noise_w = scales[0], scales[1], scales[2]
+                base = jax.random.PRNGKey(seed)
+                dp_noise = jax.random.normal(
+                    jax.random.fold_in(base, 0), (ids.shape[0], 2, ids.shape[1]),
+                    dtype=jnp.float32,
+                )
+                main_noise = jax.random.normal(
+                    jax.random.fold_in(base, 1),
+                    (ids.shape[0], hp.inter_channels, max_frames),
+                    dtype=jnp.float32,
+                )
+                enc = vits.encode(params, hp, ids, lengths, dp_noise,
+                                  length_scale=length_scale, noise_w=noise_w, sid=sid)
+                audio, y_len = vits.decode(params, hp, enc, main_noise,
+                                           max_frames=max_frames,
+                                           noise_scale=noise_scale,
+                                           vocoder_precision=voc_prec)
+                # y_total (un-clipped) lets the host detect budget overflow
+                # from the same fetch as the audio.
+                return audio, y_len, enc.y_total
 
         self._encode_keyed = jax.jit(encode_keyed)
         self._encode_injected = jax.jit(encode_injected)
         self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
         self._decode_injected = jax.jit(decode_injected)
+        self._fused_keyed = jax.jit(fused_keyed, static_argnames=("max_frames",))
 
     # -- synthesis -------------------------------------------------------------
 
@@ -241,11 +294,13 @@ class PiperRuntime:
     # -- internals ---------------------------------------------------------
 
     def _scales(self, noise_scale, length_scale, noise_w):
+        """Plain Python floats — call sites convert once. (Device scalars here
+        would turn every later float() into a ~30 ms tunnel round trip.)"""
         inf = self.config.inference
         ns = inf.noise_scale if noise_scale is None else float(noise_scale)
         ls = inf.length_scale if length_scale is None else float(length_scale)
         nw = inf.noise_w if noise_w is None else float(noise_w)
-        return (jnp.float32(ns), jnp.float32(ls), jnp.float32(nw))
+        return ns, ls, nw
 
     def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int):
         if self.hparams.n_speakers <= 1:
@@ -292,48 +347,79 @@ class PiperRuntime:
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array(speaker_ids, b)
         base_seed = self.options.seed if seed is None else int(seed)
-        key = jax.random.PRNGKey(base_seed)
-        enc_key, dec_key = jax.random.split(key)
+        seed_j = jnp.uint32(base_seed)
 
         ids_j = jnp.asarray(ids)
         lengths_j = jnp.asarray(lengths)
-
-        # --- encode ---
         compiled = False
-        if dp_noise is not None:
-            dpn = np.zeros((b, 2, p_bucket), np.float32)
-            src = np.asarray(dp_noise, np.float32).reshape(b, 2, -1)
-            dpn[:, :, : src.shape[-1]] = src
-            compiled |= self._mark("enc_inj", (b, p_bucket, sid is not None))
-            enc = self._encode_injected(self.params, ids_j, lengths_j, jnp.asarray(dpn),
-                                        ls, nw, sid)
-        else:
-            compiled |= self._mark("enc_key", (b, p_bucket, sid is not None))
-            enc = self._encode_keyed(self.params, ids_j, lengths_j, enc_key, ls, nw, sid)
 
-        # Host sync point: frame counts decide the decode bucket (the one
-        # unavoidable "flush"; everything else stays on device).
-        y_lengths = np.asarray(jnp.sum(enc.w_ceil, axis=-1)).astype(np.int64)
-        t_encode = time.perf_counter()
-        max_needed = max(1, int(y_lengths.max()))
-        f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
+        # --- fused single-round-trip path ---
+        use_fused = (
+            self.options.mode == "fused" and dp_noise is None and main_noise is None
+        )
+        if use_fused:
+            budget = max(32, int(lengths.max()) * self.options.fused_frames_per_phoneme)
+            try:
+                f_bucket = bucket_for(budget, self.options.frame_buckets, "frame")
+            except BucketOverflowError:
+                f_bucket = self.options.frame_buckets[-1]
+            scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
+            compiled |= self._mark("fused", (b, p_bucket, f_bucket, sid is not None))
+            audio, y_len_d, y_total_d = self._fused_keyed(
+                self.params, ids_j, lengths_j, seed_j, scales_j, sid,
+                max_frames=f_bucket,
+            )
+            audio, y_len, y_total = jax.device_get((audio, y_len_d, y_total_d))
+            t_encode = time.perf_counter()
+            if int(y_total.max()) > f_bucket:
+                # Budget exceeded (long durations): redo exactly via split.
+                use_fused = False
+            else:
+                audio = np.asarray(audio, np.float32)
+                y_len = np.asarray(y_len).astype(np.int64)
+                t_end = time.perf_counter()
 
-        # --- decode ---
-        if main_noise is not None:
-            src = np.asarray(main_noise, np.float32).reshape(b, hp.inter_channels, -1)
-            f_bucket = bucket_for(max(max_needed, src.shape[-1]),
-                                  self.options.frame_buckets, "frame")
-            mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
-            mn[:, :, : src.shape[-1]] = src
-            compiled |= self._mark("dec_inj", (b, f_bucket, sid is not None))
-            audio, y_len = self._decode_injected(self.params, enc, jnp.asarray(mn), ns)
-        else:
-            compiled |= self._mark("dec_key", (b, f_bucket, sid is not None))
-            audio, y_len = self._decode_keyed(self.params, enc, dec_key, ns,
+        if not use_fused:
+            # --- encode ---
+            if dp_noise is not None:
+                dpn = np.zeros((b, 2, p_bucket), np.float32)
+                src = np.asarray(dp_noise, np.float32).reshape(b, 2, -1)
+                dpn[:, :, : src.shape[-1]] = src
+                compiled |= self._mark("enc_inj", (b, p_bucket, sid is not None))
+                enc = self._encode_injected(self.params, ids_j, lengths_j,
+                                            jnp.asarray(dpn), ls, nw, sid)
+            else:
+                compiled |= self._mark("enc_key", (b, p_bucket, sid is not None))
+                enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j,
+                                         ls, nw, sid)
+
+            # Host sync point: frame counts decide the decode bucket (the one
+            # unavoidable "flush"; everything else stays on device). y_total
+            # is computed inside the encode program, so this is a plain
+            # ready-array fetch — one round trip.
+            y_lengths = np.asarray(enc.y_total).astype(np.int64)
+            t_encode = time.perf_counter()
+            max_needed = max(1, int(y_lengths.max()))
+            f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
+
+            # --- decode ---
+            if main_noise is not None:
+                src = np.asarray(main_noise, np.float32).reshape(b, hp.inter_channels, -1)
+                f_bucket = bucket_for(max(max_needed, src.shape[-1]),
+                                      self.options.frame_buckets, "frame")
+                mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
+                mn[:, :, : src.shape[-1]] = src
+                compiled |= self._mark("dec_inj", (b, f_bucket, sid is not None))
+                audio, _ = self._decode_injected(self.params, enc, jnp.asarray(mn), ns)
+            else:
+                compiled |= self._mark("dec_key", (b, f_bucket, sid is not None))
+                audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                               max_frames=f_bucket)
-        audio = np.asarray(jax.block_until_ready(audio), dtype=np.float32)
-        y_len = np.asarray(y_len).astype(np.int64)
-        t_end = time.perf_counter()
+            # y_len is derivable on the host — fetch only the audio (second
+            # and final round trip).
+            audio = np.asarray(audio, dtype=np.float32)
+            y_len = np.clip(y_lengths, 1, f_bucket)
+            t_end = time.perf_counter()
 
         hop = hp.hop_length
         out = [audio[i, : int(y_len[i]) * hop] for i in range(b)]

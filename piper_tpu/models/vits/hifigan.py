@@ -7,25 +7,30 @@ the upsample stack uses the conv_transpose lowering in ops/conv.py.
 
 from __future__ import annotations
 
-from typing import Optional
+import contextlib
+from typing import Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 
 from piper_tpu.models.vits.hparams import VitsHParams
 from piper_tpu.models.vits.params import Params, Prefix
-from piper_tpu.ops.conv import conv1d, conv1d_same, conv_transpose1d
+from piper_tpu.ops.conv import conv1d, conv1d_same, conv1d_same_opt, conv_transpose1d
 from piper_tpu.ops.nn import leaky_relu
 
 LRELU_SLOPE = 0.1
 
 
 def _resblock1(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray:
-    """Multi-receptive-field residual block (HiFi-GAN ResBlock1)."""
+    """Multi-receptive-field residual block (HiFi-GAN ResBlock1).
+
+    Narrow convs (the late levels) go through the packed lowering in
+    ops/conv.py (full MXU output tiles at fp32; numerically identical)."""
     for m, d in enumerate(dilations):
         xt = leaky_relu(x, LRELU_SLOPE)
-        xt = conv1d_same(xt, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"], dilation=d)
+        xt = conv1d_same_opt(xt, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"], dilation=d)
         xt = leaky_relu(xt, LRELU_SLOPE)
-        xt = conv1d_same(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"])
+        xt = conv1d_same_opt(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"])
         x = x + xt
     return x
 
@@ -34,9 +39,15 @@ def _resblock2(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray
     """Single-conv residual block (HiFi-GAN ResBlock2, used by some voices)."""
     for m, d in enumerate(dilations):
         xt = leaky_relu(x, LRELU_SLOPE)
-        xt = conv1d_same(xt, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"], dilation=d)
+        xt = conv1d_same_opt(xt, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"], dilation=d)
         x = x + xt
     return x
+
+
+def _prec_ctx(precision: Optional[str]):
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
 
 
 def hifigan_generator(
@@ -45,38 +56,53 @@ def hifigan_generator(
     hp: VitsHParams,
     g: Optional[jnp.ndarray] = None,
     prefix: str = "dec",
+    level_precisions: Optional[Union[str, Sequence[Optional[str]]]] = None,
 ) -> jnp.ndarray:
-    """(B, C, T_frames) latent -> (B, 1, T_frames * hop_length) waveform."""
+    """(B, C, T_frames) latent -> (B, 1, T_frames * hop_length) waveform.
+
+    `level_precisions` optionally sets the matmul precision per upsample
+    level (a single string applies to all). The late small-channel levels
+    have short accumulation chains and feed the bounded tanh output, so they
+    tolerate lower tiers than the wide early convs — and they are also the
+    slowest at full precision on the MXU.
+    """
+    if isinstance(level_precisions, str):
+        level_precisions = [level_precisions] * hp.num_upsamples
+    lp = list(level_precisions) if level_precisions is not None else [None] * hp.num_upsamples
+
     p = Prefix(params, prefix)
-    x = conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
-    if g is not None:
-        x = x + conv1d(g, p["cond.weight"], p["cond.bias"])
+    with _prec_ctx(lp[0]):
+        x = conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
+        if g is not None:
+            x = x + conv1d(g, p["cond.weight"], p["cond.bias"])
 
     num_kernels = hp.num_resblock_kernels
     use_resblock2 = f"{prefix}.resblocks.0.convs.0.weight" in params
     for i in range(hp.num_upsamples):
-        x = leaky_relu(x, LRELU_SLOPE)
-        k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
-        x = conv_transpose1d(
-            x,
-            p[f"ups.{i}.weight"],
-            p[f"ups.{i}.bias"],
-            stride=u,
-            padding=(k - u) // 2,
-        )
-        acc = None
-        for j in range(num_kernels):
-            rb = p.sub(f"resblocks.{i * num_kernels + j}")
-            kernel = hp.resblock_kernel_sizes[j]
-            dils = hp.resblock_dilation_sizes[j]
-            y = (
-                _resblock2(x, rb, kernel, dils)
-                if use_resblock2
-                else _resblock1(x, rb, kernel, dils)
+        with _prec_ctx(lp[i]):
+            x = leaky_relu(x, LRELU_SLOPE)
+            k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
+            x = conv_transpose1d(
+                x,
+                p[f"ups.{i}.weight"],
+                p[f"ups.{i}.bias"],
+                stride=u,
+                padding=(k - u) // 2,
             )
-            acc = y if acc is None else acc + y
-        x = acc / num_kernels
+            acc = None
+            for j in range(num_kernels):
+                rb = p.sub(f"resblocks.{i * num_kernels + j}")
+                kernel = hp.resblock_kernel_sizes[j]
+                dils = hp.resblock_dilation_sizes[j]
+                y = (
+                    _resblock2(x, rb, kernel, dils)
+                    if use_resblock2
+                    else _resblock1(x, rb, kernel, dils)
+                )
+                acc = y if acc is None else acc + y
+            x = acc / num_kernels
 
-    x = leaky_relu(x)  # final activation uses the torch default slope 0.01
-    x = conv1d(x, p["conv_post.weight"], p["conv_post.bias"], padding=3)
+    with _prec_ctx(lp[-1]):
+        x = leaky_relu(x)  # final activation uses the torch default slope 0.01
+        x = conv1d(x, p["conv_post.weight"], p["conv_post.bias"], padding=3)
     return jnp.tanh(x)

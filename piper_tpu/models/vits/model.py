@@ -40,6 +40,9 @@ class EncodeResult:
     logs_p: jnp.ndarray     # (B, C, P) prior log-std
     x_mask: jnp.ndarray     # (B, 1, P)
     w_ceil: jnp.ndarray     # (B, P) integer-valued frame durations
+    y_total: jnp.ndarray    # (B,) total frame counts (sum of w_ceil) — computed
+                            # in-program so the host reads a ready array instead
+                            # of paying an eager-op round trip
     g: Optional[jnp.ndarray]  # (B, gin, 1) speaker embedding or None
 
 
@@ -72,7 +75,10 @@ def encode(
     )
     w = jnp.exp(logw) * x_mask * length_scale
     w_ceil = jnp.ceil(w)[:, 0]  # (B, P)
-    return EncodeResult(m_p=m_p, logs_p=logs_p, x_mask=x_mask, w_ceil=w_ceil, g=g)
+    y_total = jnp.sum(w_ceil, axis=-1)
+    return EncodeResult(
+        m_p=m_p, logs_p=logs_p, x_mask=x_mask, w_ceil=w_ceil, y_total=y_total, g=g
+    )
 
 
 def decode(
@@ -83,10 +89,14 @@ def decode(
     *,
     max_frames: int,
     noise_scale: jnp.ndarray | float = 0.667,
+    vocoder_precision: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Durations + prior -> waveform.
 
     main_noise: (B, C, max_frames) standard normal (injectable).
+    `vocoder_precision` optionally lowers the matmul precision of just the
+    HiFi-GAN stage (it carries ~90% of the FLOPs; its error feeds a bounded
+    tanh output, unlike the flow/duration stages whose errors compound).
     Returns (audio (B, max_frames * hop), y_lengths (B,) in frames).
     """
     y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, max_frames)
@@ -96,7 +106,9 @@ def decode(
     logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
     z_p = m_p + main_noise * jnp.exp(logs_p) * noise_scale
     z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
-    audio = hifigan_generator(z * y_mask, params, hp, g=enc.g)
+    audio = hifigan_generator(
+        z * y_mask, params, hp, g=enc.g, level_precisions=vocoder_precision
+    )
     return audio[:, 0, :], y_lengths
 
 
@@ -113,6 +125,7 @@ def infer(
     length_scale: jnp.ndarray | float = 1.0,
     noise_w: jnp.ndarray | float = 0.8,
     sid: Optional[jnp.ndarray] = None,
+    vocoder_precision: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused single-program synthesis: ids -> (audio, y_lengths)."""
     enc = encode(
@@ -125,4 +138,5 @@ def infer(
         noise_w=noise_w,
         sid=sid,
     )
-    return decode(params, hp, enc, main_noise, max_frames=max_frames, noise_scale=noise_scale)
+    return decode(params, hp, enc, main_noise, max_frames=max_frames,
+                  noise_scale=noise_scale, vocoder_precision=vocoder_precision)

@@ -21,13 +21,25 @@ from piper_tpu.onnx.writer import node, save_model
 
 
 def synthetic_params(
-    hp: VitsHParams, seed: int = 0, scale: float = 0.05
+    hp: VitsHParams, seed: int = 0, scale: Optional[float] = None
 ) -> Dict[str, np.ndarray]:
-    """Random weights for every parameter the VITS inference graph uses."""
+    """Random weights for every parameter the VITS inference graph uses.
+
+    Conv/linear weights default to fan-in (Kaiming-style) scaling so layer
+    gains are ~1, matching the activation statistics of trained checkpoints —
+    a flat scale makes activations grow exponentially through the vocoder
+    stack, which saturates the tanh output and wildly exaggerates
+    low-precision error in fidelity measurements."""
     rng = np.random.default_rng(seed)
     w: Dict[str, np.ndarray] = {}
 
-    def add(name: str, *shape: int, s: float = scale) -> None:
+    def add(name: str, *shape: int, s: Optional[float] = scale) -> None:
+        if s is None:
+            if len(shape) >= 2:
+                fan_in = int(np.prod(shape[1:]))
+                s = 1.0 / np.sqrt(fan_in)
+            else:
+                s = 0.02  # biases / 1-D params
         w[name] = (rng.standard_normal(shape) * s).astype(np.float32)
 
     H = hp.hidden_channels
@@ -36,7 +48,9 @@ def synthetic_params(
     kch = H // hp.n_heads
 
     # --- enc_p ---
-    add("enc_p.emb.weight", hp.n_vocab, H, s=1.0)
+    # VITS initializes the embedding ~ N(0, H^-0.5); the forward pass
+    # multiplies by sqrt(H), giving unit-variance activations.
+    add("enc_p.emb.weight", hp.n_vocab, H, s=float(H) ** -0.5)
     for i in range(hp.n_layers):
         a = f"enc_p.encoder.attn_layers.{i}"
         add(f"{a}.emb_rel_k", 1, 2 * hp.window_size + 1, kch)
@@ -77,8 +91,9 @@ def synthetic_params(
     if hp.gin_channels:
         add("dp.cond.weight", dF, hp.gin_channels, 1)
         add("dp.cond.bias", dF)
-    w["dp.flows.0.m"] = (rng.standard_normal((2, 1)) * scale).astype(np.float32)
-    w["dp.flows.0.logs"] = (rng.standard_normal((2, 1)) * scale).astype(np.float32)
+    ea_scale = 0.05 if scale is None else scale
+    w["dp.flows.0.m"] = (rng.standard_normal((2, 1)) * ea_scale).astype(np.float32)
+    w["dp.flows.0.logs"] = (rng.standard_normal((2, 1)) * ea_scale).astype(np.float32)
     nb = hp.dp_num_bins
     for i in range(hp.dp_n_flows):
         cf = f"dp.flows.{2 * i + 1}"

@@ -94,7 +94,28 @@ class OnnxLoadError(ValueError):
         super().__init__(detail)
 
 
-def load_model(path: str | Path | bytes) -> OnnxModel:
+def load_model(path: str | Path | bytes, prefer_native: bool = True) -> OnnxModel:
+    """Parse an ONNX checkpoint.
+
+    Tries the native C++ parser (piper_tpu/native/onnx_parser.cpp, zero-copy
+    weight mapping) first; falls back to the pure-Python decoder. Kill switch:
+    PIPER_TPU_NO_NATIVE=1 (the analog of the reference's PIPER_DISABLE_GPU_*
+    bisection flags, SURVEY.md §5.6)."""
+    import os
+
+    if prefer_native and os.environ.get("PIPER_TPU_NO_NATIVE") != "1":
+        try:
+            from piper_tpu.onnx.native import load_model_native
+
+            m = load_model_native(path)
+            if m is not None:
+                return m
+        except Exception:  # noqa: BLE001 — native path must never be fatal
+            pass
+    return _load_model_python(path)
+
+
+def _load_model_python(path: str | Path | bytes) -> OnnxModel:
     if isinstance(path, (str, Path)):
         data = Path(path).read_bytes()
     else:

@@ -1,0 +1,153 @@
+"""ctypes bindings for the native ONNX parser, with zero-copy weight mapping.
+
+The C++ side walks the protobuf once and returns a JSON index with byte
+offsets for each initializer's raw payload; numpy then views the original
+buffer in place (no per-tensor copies). Falls back to the pure-Python loader
+when the toolchain or a payload encoding is unsupported.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from piper_tpu.onnx import ir as _ir
+from piper_tpu.onnx.ir import (
+    AttrType,
+    OnnxAttribute,
+    OnnxGraph,
+    OnnxModel,
+    OnnxNode,
+    OnnxTensor,
+    OnnxValueInfo,
+    TensorDataType,
+    np_dtype_for,
+)
+
+_lib = None
+_lib_tried = False
+
+
+def _load_lib():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    from piper_tpu.native.build import build_library
+
+    path = build_library(["onnx_parser.cpp"], "libpiper_onnx")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.piper_onnx_parse_index.restype = ctypes.c_void_p
+    lib.piper_onnx_parse_index.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.piper_onnx_free.restype = None
+    lib.piper_onnx_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+def load_model_native(path: str | Path | bytes) -> Optional[OnnxModel]:
+    """Parse via the C++ library; returns None if unavailable/unsupported."""
+    lib = _load_lib()
+    if lib is None:
+        return None
+    data = Path(path).read_bytes() if isinstance(path, (str, Path)) else bytes(path)
+    ptr = lib.piper_onnx_parse_index(data, len(data))
+    if not ptr:
+        return None
+    try:
+        index = json.loads(ctypes.string_at(ptr).decode("utf-8"))
+    finally:
+        lib.piper_onnx_free(ptr)
+    if "error" in index:
+        return None
+
+    g = index["graph"]
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    initializers = {}
+    for t in g["initializers"]:
+        dt = TensorDataType(t["data_type"])
+        dims = t["dims"]
+        n = int(np.prod(dims)) if dims else 1
+        if t["offset"] < 0:
+            # Payload not raw_data (packed repeated fields): unsupported by
+            # the native fast path — signal full-Python fallback.
+            return None
+        np_dt = np_dtype_for(dt)
+        raw = buf[t["offset"] : t["offset"] + t["nbytes"]]
+        arr = raw.view(np_dt)
+        if arr.size != max(n, 0):
+            return None
+        arr = arr.reshape(dims)
+        initializers[t["name"]] = OnnxTensor(
+            name=t["name"], dims=list(dims), data_type=dt, array=arr
+        )
+
+    nodes = []
+    for nd in g["nodes"]:
+        attrs = {}
+        for aname, a in nd["attributes"].items():
+            atype = AttrType(a.get("type", 0)) if a.get("type", 0) in set(
+                int(x) for x in AttrType
+            ) else AttrType.UNDEFINED
+            if "ints" in a:
+                value = a["ints"]
+                atype = AttrType.INTS
+            elif "floats" in a:
+                value = a["floats"]
+                atype = AttrType.FLOATS
+            elif atype == AttrType.INT or ("i" in a and atype == AttrType.UNDEFINED):
+                value = a.get("i", 0)
+            elif atype == AttrType.FLOAT or ("f" in a and atype == AttrType.UNDEFINED):
+                value = a.get("f", 0.0)
+            elif atype == AttrType.STRING or ("s" in a and atype == AttrType.UNDEFINED):
+                value = a.get("s", "").encode("utf-8")
+            elif "i" in a:
+                value = a["i"]
+            elif "f" in a:
+                value = a["f"]
+            elif "s" in a:
+                value = a["s"].encode("utf-8")
+            else:
+                value = None
+            attrs[aname] = OnnxAttribute(name=aname, type=atype, value=value)
+        nodes.append(
+            OnnxNode(
+                op_type=nd["op_type"],
+                inputs=nd["inputs"],
+                outputs=nd["outputs"],
+                name=nd["name"],
+                attributes=attrs,
+            )
+        )
+
+    def vinfo(d):
+        return OnnxValueInfo(
+            name=d["name"],
+            elem_type=TensorDataType(d["elem_type"]),
+            shape=d["shape"],
+        )
+
+    graph = OnnxGraph(
+        name=g["name"],
+        nodes=nodes,
+        initializers=initializers,
+        inputs=[vinfo(x) for x in g["inputs"]],
+        outputs=[vinfo(x) for x in g["outputs"]],
+    )
+    return OnnxModel(
+        ir_version=index["ir_version"],
+        opset_version=index["opset_version"],
+        graph=graph,
+        producer_name=index.get("producer_name", ""),
+    )
