@@ -99,6 +99,8 @@ def run_oneshot(args) -> None:
         f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
         f"in {t.wall_ms:.1f} ms (RTF {t.rtf:.1f}x)"
     )
+    if args.play:
+        _play(str(out))
 
 
 def run_repl(args) -> None:
@@ -298,6 +300,74 @@ def run_microbench(args) -> None:
     )
 
 
+def run_list_voices(args) -> None:
+    from piper_tpu.core.voices import VoiceIndex, VoiceManager
+
+    idx = VoiceIndex.load_bundled()
+    vm = VoiceManager()
+    for e in idx.entries:
+        model, _ = vm.cached_paths(e.id)
+        mark = "*" if model.exists() else " "
+        print(f"{mark} {e.id:<42} {e.language:<7} {e.quality}")
+    print(f"\n{len(idx.entries)} voices (* = cached locally)")
+
+
+def run_record_vectors(args) -> None:
+    """Record test vectors with injected-RNG artifacts (--record-vectors DIR)."""
+    from piper_tpu.testing import record_test_vector, write_test_summary
+
+    rt = _load_runtime(args)
+    ids = _phoneme_ids_for(args, rt)
+    out_dir = Path(args.record_vectors)
+    vec = record_test_vector(
+        rt, ids, out_dir, args.test_id,
+        seed=args.seed, description="recorded by piper-tpu CLI",
+        **_synth_args(args),
+    )
+    path = write_test_summary(rt, [vec], out_dir / "test_summary.json")
+    print(f"recorded {vec['test_id']}: {vec['metadata']['num_samples']} samples -> {path}")
+
+
+def run_verify_summary(args) -> None:
+    """Replay recorded vectors with injected RNG and report max-abs error."""
+    from piper_tpu.core.test_vector import TestSummary
+    from piper_tpu.testing import replay_test_vector
+
+    summary = TestSummary.load(args.verify_summary)
+    rt = _resolve_runtime_for_summary(args, summary)
+    results = []
+    worst = 0.0
+    for i, tv in enumerate(summary.results[: args.max_tests or len(summary.results)]):
+        if tv.random_files is None or not tv.random_files.dp_randomnormalike:
+            results.append({"test_id": tv.test_id, "skipped": "no recorded RNG"})
+            continue
+        r = replay_test_vector(rt, args.verify_summary, i)
+        worst = max(worst, r["max_abs_err"])
+        results.append(r)
+    out = {
+        "mode": "verify-summary",
+        "tolerance": args.tolerance,
+        "max_abs_err_worst": worst,
+        "passed": worst <= args.tolerance,
+        "results": results,
+    }
+    print(json.dumps(out, indent=2, sort_keys=True))
+    if not out["passed"]:
+        raise SystemExit(1)
+
+
+def _play(path: str) -> None:
+    import shutil
+    import subprocess
+
+    player = shutil.which("aplay") or shutil.which("paplay") or shutil.which("afplay")
+    if player is None:
+        print("no audio player found (aplay/paplay/afplay); skipping playback",
+              file=sys.stderr)
+        return
+    subprocess.run([player, path], check=False)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="piper-tpu", description=__doc__)
     p.add_argument("--voice", help="voice id to download/load (e.g. en_GB-northern_english_male-medium)")
@@ -323,12 +393,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tests", type=int, default=None)
     p.add_argument("--scale-factors", default="1,2,4,8,16")
     p.add_argument("--max-phonemes", type=int, default=4096)
+    p.add_argument("--list-voices", action="store_true",
+                   help="print the bundled voice index (* = cached)")
+    p.add_argument("--record-vectors", metavar="DIR",
+                   help="record a test vector (audio + RNG tensors) to DIR")
+    p.add_argument("--test-id", default="vector_0")
+    p.add_argument("--verify-summary", metavar="PATH",
+                   help="replay recorded vectors with injected RNG; exit 1 over tolerance")
+    p.add_argument("--tolerance", type=float, default=1e-3)
+    p.add_argument("--play", action="store_true", help="play the output WAV")
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
-    if args.microbench:
+    if args.list_voices:
+        run_list_voices(args)
+    elif args.record_vectors:
+        run_record_vectors(args)
+    elif args.verify_summary:
+        run_verify_summary(args)
+    elif args.microbench:
         args.warmup = args.warmup if args.warmup is not None else 1
         args.iters = args.iters if args.iters is not None else 3
         run_microbench(args)

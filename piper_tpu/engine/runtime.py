@@ -65,6 +65,18 @@ class RuntimeOptions:
     #             exceeded. Lowest latency on high-RTT device links.
     mode: str = "split"
     fused_frames_per_phoneme: int = 6  # fused-mode frame budget heuristic
+
+    @staticmethod
+    def from_env() -> "RuntimeOptions":
+        """Default options with PIPER_TPU_PRECISION / PIPER_TPU_MODE applied."""
+        from piper_tpu.utils.env import flag
+
+        kwargs = {}
+        if flag("PIPER_TPU_PRECISION"):
+            kwargs["precision"] = flag("PIPER_TPU_PRECISION")
+        if flag("PIPER_TPU_MODE"):
+            kwargs["mode"] = flag("PIPER_TPU_MODE")
+        return RuntimeOptions(**kwargs)
     phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
     frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
     frames_per_phoneme_cap: int = 12  # fused-mode worst-case frame budget
@@ -86,6 +98,32 @@ class RunTimings:
     rtf: float = 0.0  # real-time factor (audio seconds per wall second)
 
 
+_jit_cache_enabled = False
+
+
+def _enable_persistent_jit_cache() -> None:
+    """Persist compiled programs across processes (compiles cost 20-40s on
+    TPU; the reference's analog is its runtime-compiled-pipeline cache,
+    MetalContext.swift:20-50 — ours survives restarts)."""
+    global _jit_cache_enabled
+    if _jit_cache_enabled:
+        return
+    _jit_cache_enabled = True
+    import os
+
+    if os.environ.get("PIPER_TPU_NO_JIT_CACHE") == "1":
+        return
+    from piper_tpu.utils.env import cache_root
+
+    cache_dir = Path(cache_root()) / "jit-cache"
+    try:
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 class PiperRuntime:
     """Loads a Piper voice checkpoint and synthesizes speech on TPU/CPU."""
 
@@ -95,7 +133,8 @@ class PiperRuntime:
         config_path: Union[str, Path, None] = None,
         options: Optional[RuntimeOptions] = None,
     ):
-        self.options = options or RuntimeOptions()
+        _enable_persistent_jit_cache()
+        self.options = options or RuntimeOptions.from_env()
         self.model_path = Path(model_path)
         if not self.model_path.exists():
             raise FileNotFoundError(f"model checkpoint not found: {self.model_path}")
@@ -116,7 +155,23 @@ class PiperRuntime:
 
         self._compiled_keys: set = set()
         self.last_run_timings: Optional[RunTimings] = None
+        from piper_tpu.utils.env import profile_enabled, trace_enabled
+        from piper_tpu.utils.profiling import Profiler
+
+        self.profiler = Profiler()
+        self._trace = trace_enabled()
+        if profile_enabled():
+            import atexit
+
+            atexit.register(self._dump_profile)
         self._build_jits()
+
+    def _dump_profile(self) -> None:
+        import sys
+
+        if self.profiler.stats:
+            print(f"\n[piper-tpu profile] {self.model_path.name}:", file=sys.stderr)
+            self.profiler.dump()
 
     # -- construction helpers -------------------------------------------------
 
@@ -291,6 +346,42 @@ class PiperRuntime:
                 is_final=end >= n,
             )
 
+    def synthesize_debug(
+        self,
+        phoneme_ids: Sequence[int],
+        *,
+        max_frames: int = 256,
+        seed: Optional[int] = None,
+        **scales,
+    ) -> dict:
+        """Run the full graph returning every module boundary tensor as numpy
+        (the analog of the reference's GraphExecutor.execute debug mode)."""
+        from piper_tpu.models.vits.model import debug_infer
+
+        ids = np.asarray(list(phoneme_ids), np.int32)[None]
+        p_bucket = bucket_for(ids.shape[1], self.options.phoneme_buckets, "phoneme")
+        ids = np.pad(ids, ((0, 0), (0, p_bucket - ids.shape[1])))
+        rng = np.random.default_rng(self.options.seed if seed is None else seed)
+        dp_noise = rng.standard_normal((1, 2, p_bucket)).astype(np.float32)
+        main_noise = rng.standard_normal(
+            (1, self.hparams.inter_channels, max_frames)
+        ).astype(np.float32)
+        ns, ls, nw = self._scales(
+            scales.get("noise_scale"), scales.get("length_scale"), scales.get("noise_w")
+        )
+        sid = self._sid_array(
+            [scales["speaker_id"]] if scales.get("speaker_id") is not None else None, 1
+        )
+        with jax.default_matmul_precision(self._matmul_precision()):
+            out = debug_infer(
+                self.params, self.hparams, jnp.asarray(ids),
+                jnp.asarray([len(phoneme_ids)], jnp.int32),
+                jnp.asarray(dp_noise), jnp.asarray(main_noise),
+                max_frames=max_frames, noise_scale=ns, length_scale=ls, noise_w=nw,
+                sid=sid,
+            )
+        return {k: np.asarray(v) for k, v in out.items()}
+
     # -- internals ---------------------------------------------------------
 
     def _scales(self, noise_scale, length_scale, noise_w):
@@ -425,6 +516,20 @@ class PiperRuntime:
         out = [audio[i, : int(y_len[i]) * hop] for i in range(b)]
         total_samples = int(sum(len(a) for a in out))
         wall = t_end - t_start
+        if use_fused:
+            self.profiler.record("fused", f_bucket, wall * 1e3, compiled)
+        else:
+            self.profiler.record("encode", p_bucket, (t_encode - t_start) * 1e3, compiled)
+            self.profiler.record("decode", f_bucket, (t_end - t_encode) * 1e3, compiled)
+        if self._trace:
+            import sys
+
+            print(
+                f"[piper-tpu] B={b} P={p_bucket} T={f_bucket} "
+                f"{'fused' if use_fused else 'split'} wall={wall * 1e3:.1f}ms "
+                f"compiled={compiled}",
+                file=sys.stderr,
+            )
         timings = RunTimings(
             wall_ms=wall * 1e3,
             encode_ms=(t_encode - t_start) * 1e3,

@@ -112,6 +112,62 @@ def decode(
     return audio[:, 0, :], y_lengths
 
 
+def debug_infer(
+    params: Params,
+    hp: VitsHParams,
+    phoneme_ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    dp_noise: jnp.ndarray,
+    main_noise: jnp.ndarray,
+    *,
+    max_frames: int,
+    noise_scale: jnp.ndarray | float = 0.667,
+    length_scale: jnp.ndarray | float = 1.0,
+    noise_w: jnp.ndarray | float = 0.8,
+    sid: Optional[jnp.ndarray] = None,
+) -> dict:
+    """Full inference returning every stage's intermediates.
+
+    The analog of the reference's prefix-execution debug mode
+    (GraphExecutor.execute(maxNodeIndex:), GraphExecutor.swift:73-152):
+    instead of running the graph up to node N, every module boundary tensor
+    comes back in one dict, for parity debugging against an oracle."""
+    from piper_tpu.models.vits.text_encoder import text_encoder as _te
+    from piper_tpu.models.vits.duration_predictor import (
+        stochastic_duration_predictor_reverse as _sdp,
+    )
+
+    x, m_p, logs_p, x_mask = _te(phoneme_ids, lengths, params, hp)
+    g = speaker_embedding(params, hp, sid)
+    logw = _sdp(x, x_mask, dp_noise, params, hp, g=g, noise_scale=noise_w)
+    w = jnp.exp(logw) * x_mask * length_scale
+    w_ceil = jnp.ceil(w)[:, 0]
+    y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, max_frames)
+    y_mask = sequence_mask(y_lengths.astype(jnp.int32), max_frames).astype(m_p.dtype)
+    path = generate_path(w_ceil, x_mask, y_mask)
+    m_p_exp = jnp.einsum("btp,bcp->bct", path, m_p)
+    logs_p_exp = jnp.einsum("btp,bcp->bct", path, logs_p)
+    z_p = m_p_exp + main_noise * jnp.exp(logs_p_exp) * noise_scale
+    z = flow_reverse(z_p, y_mask, params, hp, g=g)
+    audio = hifigan_generator(z * y_mask, params, hp, g=g)
+    return {
+        "enc_hidden": x,
+        "m_p": m_p,
+        "logs_p": logs_p,
+        "x_mask": x_mask,
+        "logw": logw,
+        "w_ceil": w_ceil,
+        "y_lengths": y_lengths,
+        "y_mask": y_mask,
+        "path": path,
+        "m_p_expanded": m_p_exp,
+        "logs_p_expanded": logs_p_exp,
+        "z_p": z_p,
+        "z": z,
+        "audio": audio[:, 0, :],
+    }
+
+
 def infer(
     params: Params,
     hp: VitsHParams,

@@ -1,0 +1,39 @@
+"""PIPER_TPU_* environment flags (analog of the reference's 25 PIPER_* flags,
+SURVEY.md §5.6) — read in one place so the full list is discoverable.
+
+| Flag                   | Effect                                              |
+|------------------------|-----------------------------------------------------|
+| PIPER_TPU_CACHE        | cache root for voices/synthetic checkpoints         |
+| PIPER_TPU_NO_NATIVE    | =1 disables the C++ ONNX parser (pure-Python path)  |
+| PIPER_TPU_PROFILE      | =1 dumps a per-stage timing table to stderr at exit |
+| PIPER_TPU_TRACE        | =1 logs each synthesis stage (bucket, ms) to stderr |
+| PIPER_TPU_PLATFORM     | force a jax platform (e.g. cpu) in CLI/bench        |
+| PIPER_TPU_PRECISION    | override the default matmul precision tier          |
+| PIPER_TPU_MODE         | override execution mode: split | fused              |
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def flag(name: str, default: str = "") -> str:
+    return os.environ.get(name, default)
+
+
+def flag_bool(name: str) -> bool:
+    return os.environ.get(name) == "1"
+
+
+def cache_root() -> str:
+    from pathlib import Path
+
+    return os.environ.get("PIPER_TPU_CACHE", str(Path.home() / ".cache" / "piper-tpu"))
+
+
+def profile_enabled() -> bool:
+    return flag_bool("PIPER_TPU_PROFILE")
+
+
+def trace_enabled() -> bool:
+    return flag_bool("PIPER_TPU_TRACE")
