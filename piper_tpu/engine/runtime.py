@@ -250,11 +250,40 @@ class PiperRuntime:
                 # from the same fetch as the audio.
                 return audio, y_len, enc.y_total
 
+        def decode_window_keyed(params, enc, seed, t_offset, total_frames,
+                                noise_scale, *, window):
+            with jax.default_matmul_precision(prec):
+                # Prior noise must be a function of the ABSOLUTE frame index
+                # so overlapping window halos see identical values.
+                base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+                t_idx = t_offset + jnp.arange(window)
+                b, ch = enc.m_p.shape[0], enc.m_p.shape[1]
+                keys = jax.vmap(lambda t: jax.random.fold_in(base, t))(t_idx)
+                noise = jax.vmap(lambda k: jax.random.normal(k, (b, ch)))(keys)
+                main_noise = noise.transpose(1, 2, 0)  # (B, C, W)
+                return vits.decode_window(
+                    params, hp, enc, main_noise, t_offset,
+                    window=window, total_frames=total_frames,
+                    noise_scale=noise_scale, vocoder_precision=voc_prec,
+                )
+
+        def decode_window_injected(params, enc, main_noise_win, t_offset,
+                                   total_frames, noise_scale):
+            with jax.default_matmul_precision(prec):
+                return vits.decode_window(
+                    params, hp, enc, main_noise_win, t_offset,
+                    window=main_noise_win.shape[-1], total_frames=total_frames,
+                    noise_scale=noise_scale, vocoder_precision=voc_prec,
+                )
+
         self._encode_keyed = jax.jit(encode_keyed)
         self._encode_injected = jax.jit(encode_injected)
         self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
         self._decode_injected = jax.jit(decode_injected)
         self._fused_keyed = jax.jit(fused_keyed, static_argnames=("max_frames",))
+        self._decode_window_keyed = jax.jit(decode_window_keyed,
+                                            static_argnames=("window",))
+        self._decode_window_injected = jax.jit(decode_window_injected)
 
     # -- synthesis -------------------------------------------------------------
 
@@ -322,14 +351,23 @@ class PiperRuntime:
         self,
         phoneme_ids: Sequence[int],
         chunk_size: int = 2048,
+        incremental: bool = False,
         **kwargs,
     ) -> Iterator[AudioChunk]:
         """Chunked streaming over the synthesized waveform.
 
-        Like the reference (PiperMetalRuntime.swift:93-94), decoding is not
-        yet incremental — the waveform is synthesized in full and then
-        chunked for the consumer.
+        With incremental=False this matches the reference's behavior
+        (synthesize fully, then chunk — PiperMetalRuntime.swift:93-94).
+        With incremental=True the decode itself runs in receptive-field-haloed
+        frame windows, so the first audio arrives after one window instead of
+        the whole utterance (a capability the reference lacks). Constant
+        memory in the utterance length.
         """
+        if incremental:
+            yield from self.synthesize_stream_incremental(
+                phoneme_ids, chunk_size=chunk_size, **kwargs
+            )
+            return
         audio = self.synthesize(phoneme_ids, **kwargs)
         fmt = self.audio_format
         n = len(audio)
@@ -345,6 +383,93 @@ class PiperRuntime:
                 samples=audio[start:end],
                 is_final=end >= n,
             )
+
+    def synthesize_stream_incremental(
+        self,
+        phoneme_ids: Sequence[int],
+        chunk_size: int = 2048,
+        chunk_frames: Optional[int] = None,
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+        dp_noise: Optional[np.ndarray] = None,
+        main_noise: Optional[np.ndarray] = None,
+        total_frames: Optional[int] = None,
+        halo_frames: Optional[int] = None,
+    ) -> Iterator[AudioChunk]:
+        """Windowed incremental decode (see synthesize_stream).
+
+        Windows are `chunk_frames` of emitted audio plus a halo of the decode
+        stack's receptive field on each side; the emitted region is then
+        exact (up to fp reduction order) vs a full decode. `main_noise`
+        injects the full-length prior noise for bit-reproducible tests.
+        """
+        from piper_tpu.models.vits.hparams import receptive_field_frames
+
+        hp = self.hparams
+        ids = list(phoneme_ids)
+        p_bucket = bucket_for(len(ids), self.options.phoneme_buckets, "phoneme")
+        ids_j = jnp.asarray(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
+        lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sid = self._sid_array([speaker_id] if speaker_id is not None else None, 1)
+        base_seed = self.options.seed if seed is None else int(seed)
+        seed_j = jnp.uint32(base_seed)
+
+        if dp_noise is not None:
+            dpn = np.zeros((1, 2, p_bucket), np.float32)
+            src = np.asarray(dp_noise, np.float32).reshape(1, 2, -1)
+            dpn[:, :, : src.shape[-1]] = src
+            enc = self._encode_injected(self.params, ids_j, lengths_j,
+                                        jnp.asarray(dpn), ls, nw, sid)
+        else:
+            enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
+        y_len = int(np.asarray(enc.y_total)[0])
+        y_len = max(1, y_len)
+        total = int(total_frames) if total_frames is not None else y_len
+
+        halo = receptive_field_frames(hp) if halo_frames is None else int(halo_frames)
+        c = chunk_frames or max(32, chunk_size // hp.hop_length)
+        window = c + 2 * halo
+        hop = hp.hop_length
+        fmt = self.audio_format
+        emitted = 0
+        n_chunks = -(-y_len // c)
+        for k in range(n_chunks):
+            t_offset = k * c - halo
+            if main_noise is not None:
+                full = np.asarray(main_noise, np.float32).reshape(1, hp.inter_channels, -1)
+                win = np.zeros((1, hp.inter_channels, window), np.float32)
+                lo = max(0, t_offset)
+                hi = min(full.shape[-1], t_offset + window)
+                if hi > lo:
+                    win[:, :, lo - t_offset : hi - t_offset] = full[:, :, lo:hi]
+                audio_win = self._decode_window_injected(
+                    self.params, enc, jnp.asarray(win),
+                    jnp.int32(t_offset), jnp.int32(total), ns,
+                )
+            else:
+                audio_win = self._decode_window_keyed(
+                    self.params, enc, seed_j, jnp.int32(t_offset),
+                    jnp.int32(total), ns, window=window,
+                )
+            audio_win = np.asarray(audio_win, np.float32)[0]
+            start = halo * hop
+            end = start + c * hop
+            samples = audio_win[start:end]
+            remaining = y_len * hop - emitted
+            if len(samples) > remaining:
+                samples = samples[:remaining]
+            is_final = k == n_chunks - 1
+            yield AudioChunk(
+                format=fmt,
+                start_sample_index=emitted,
+                samples=samples,
+                is_final=is_final,
+            )
+            emitted += len(samples)
 
     def synthesize_debug(
         self,

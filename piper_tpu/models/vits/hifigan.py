@@ -21,24 +21,34 @@ from piper_tpu.ops.nn import leaky_relu
 LRELU_SLOPE = 0.1
 
 
-def _resblock1(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray:
+def _resblock1(
+    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None
+) -> jnp.ndarray:
     """Multi-receptive-field residual block (HiFi-GAN ResBlock1).
 
     Narrow convs (the late levels) go through the packed lowering in
     ops/conv.py (full MXU output tiles at fp32; numerically identical)."""
     for m, d in enumerate(dilations):
         xt = leaky_relu(x, LRELU_SLOPE)
+        if t_mask is not None:
+            xt = xt * t_mask
         xt = conv1d_same_opt(xt, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"], dilation=d)
         xt = leaky_relu(xt, LRELU_SLOPE)
+        if t_mask is not None:
+            xt = xt * t_mask
         xt = conv1d_same_opt(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"])
         x = x + xt
     return x
 
 
-def _resblock2(x: jnp.ndarray, p: Prefix, kernel: int, dilations) -> jnp.ndarray:
+def _resblock2(
+    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None
+) -> jnp.ndarray:
     """Single-conv residual block (HiFi-GAN ResBlock2, used by some voices)."""
     for m, d in enumerate(dilations):
         xt = leaky_relu(x, LRELU_SLOPE)
+        if t_mask is not None:
+            xt = xt * t_mask
         xt = conv1d_same_opt(xt, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"], dilation=d)
         x = x + xt
     return x
@@ -57,6 +67,7 @@ def hifigan_generator(
     g: Optional[jnp.ndarray] = None,
     prefix: str = "dec",
     level_precisions: Optional[Union[str, Sequence[Optional[str]]]] = None,
+    t_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, C, T_frames) latent -> (B, 1, T_frames * hop_length) waveform.
 
@@ -65,14 +76,23 @@ def hifigan_generator(
     have short accumulation chains and feed the bounded tanh output, so they
     tolerate lower tiers than the wide early convs — and they are also the
     slowest at full precision on the MXU.
+
+    `t_mask` (B, 1, T_frames) marks frames that lie outside the sequence
+    (streaming window halos): activations are zeroed there before every conv,
+    so a window edge behaves exactly like the full run's zero padding. With
+    t_mask=None (the full run) nothing changes.
     """
     if isinstance(level_precisions, str):
         level_precisions = [level_precisions] * hp.num_upsamples
     lp = list(level_precisions) if level_precisions is not None else [None] * hp.num_upsamples
 
+    def masked(x, m):
+        return x if m is None else x * m
+
+    m = t_mask
     p = Prefix(params, prefix)
     with _prec_ctx(lp[0]):
-        x = conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
+        x = conv1d(masked(z, m), p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
         if g is not None:
             x = x + conv1d(g, p["cond.weight"], p["cond.bias"])
 
@@ -80,29 +100,33 @@ def hifigan_generator(
     use_resblock2 = f"{prefix}.resblocks.0.convs.0.weight" in params
     for i in range(hp.num_upsamples):
         with _prec_ctx(lp[i]):
-            x = leaky_relu(x, LRELU_SLOPE)
+            x = leaky_relu(masked(x, m), LRELU_SLOPE)
             k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
             x = conv_transpose1d(
-                x,
+                masked(x, m),
                 p[f"ups.{i}.weight"],
                 p[f"ups.{i}.bias"],
                 stride=u,
                 padding=(k - u) // 2,
             )
+            if m is not None:
+                m = jnp.repeat(m, u, axis=2)
+                x = x * m
             acc = None
             for j in range(num_kernels):
                 rb = p.sub(f"resblocks.{i * num_kernels + j}")
                 kernel = hp.resblock_kernel_sizes[j]
                 dils = hp.resblock_dilation_sizes[j]
                 y = (
-                    _resblock2(x, rb, kernel, dils)
+                    _resblock2(x, rb, kernel, dils, t_mask=m)
                     if use_resblock2
-                    else _resblock1(x, rb, kernel, dils)
+                    else _resblock1(x, rb, kernel, dils, t_mask=m)
                 )
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 
     with _prec_ctx(lp[-1]):
-        x = leaky_relu(x)  # final activation uses the torch default slope 0.01
-        x = conv1d(x, p["conv_post.weight"], p["conv_post.bias"], padding=3)
-    return jnp.tanh(x)
+        x = leaky_relu(masked(x, m))  # final activation: torch default slope 0.01
+        x = conv1d(masked(x, m), p["conv_post.weight"], p["conv_post.bias"], padding=3)
+    out = jnp.tanh(x)
+    return out if m is None else out * m

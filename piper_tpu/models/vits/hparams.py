@@ -221,3 +221,36 @@ def _conv_transpose_stride_for(graph: OnnxGraph, weight_name: str, kernel: int) 
 
 def with_speakers(hp: VitsHParams, n_speakers: int, gin_channels: int) -> VitsHParams:
     return replace(hp, n_speakers=n_speakers, gin_channels=gin_channels)
+
+
+def receptive_field_frames(hp: VitsHParams) -> int:
+    """One-sided receptive field of the decode stage (flow + vocoder) in
+    frames — the halo needed for exact windowed/streaming decoding."""
+    # Flow: n_flows sequential coupling layers, each a WaveNet stack.
+    wn_half = sum(
+        (hp.flow_kernel_size - 1) // 2 * hp.flow_dilation_rate**i
+        for i in range(hp.flow_n_layers)
+    )
+    flow_rf = hp.flow_n_flows * wn_half
+
+    # Vocoder, converted to frames at each level's sample rate.
+    voc_rf = 3.0  # conv_pre kernel 7
+    upsample = 1
+    for i in range(hp.num_upsamples):
+        k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
+        # conv_transpose: one output draws on ceil(k/u) inputs around it.
+        voc_rf += -(-k // u) / upsample
+        upsample *= u
+        # resblock branches run in parallel: take the widest branch.
+        branch_rf = 0
+        for j, kj in enumerate(hp.resblock_kernel_sizes):
+            rf = sum(
+                (kj - 1) // 2 * d + (kj - 1) // 2
+                for d in hp.resblock_dilation_sizes[j]
+            )
+            branch_rf = max(branch_rf, rf)
+        voc_rf += branch_rf / upsample
+    voc_rf += 3.0 / upsample  # conv_post kernel 7
+    import math
+
+    return flow_rf + math.ceil(voc_rf)

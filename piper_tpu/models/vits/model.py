@@ -112,6 +112,59 @@ def decode(
     return audio[:, 0, :], y_lengths
 
 
+def decode_window(
+    params: Params,
+    hp: VitsHParams,
+    enc: EncodeResult,
+    main_noise_win: jnp.ndarray,
+    t_offset: jnp.ndarray,
+    *,
+    window: int,
+    total_frames: jnp.ndarray,
+    noise_scale: jnp.ndarray | float = 0.667,
+    vocoder_precision=None,
+) -> jnp.ndarray:
+    """Decode only frames [t_offset, t_offset + window) — streaming.
+
+    `total_frames` is the virtual full-sequence length (the array edge):
+    lanes outside [0, total_frames) are masked through every conv so a window
+    edge reproduces the full run's zero padding exactly. With a halo of
+    `receptive_field_frames(hp)` on each side, the central region of the
+    returned audio is identical to the corresponding slice of a full decode.
+
+    main_noise_win: (B, C, window) — the prior noise for these absolute
+    frames (must be consistent across overlapping windows).
+    Returns audio (B, window * hop).
+    """
+    t_idx = t_offset + jnp.arange(window)  # absolute frame indices (window,)
+    y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, total_frames)
+    # Validity inside the sequence (for the prior/flow masking)...
+    y_mask = (t_idx[None, None, :] < y_lengths[:, None, None]).astype(enc.m_p.dtype)
+    y_mask = y_mask * (t_idx >= 0).astype(enc.m_p.dtype)[None, None, :]
+    # ...and inside the virtual array (for conv zero-padding semantics).
+    arr_mask = jnp.logical_and(t_idx >= 0, t_idx < total_frames)
+    arr_mask = arr_mask.astype(enc.m_p.dtype)[None, None, :]
+
+    # Alignment path restricted to the window's absolute frames.
+    cum = jnp.cumsum(enc.w_ceil, axis=-1)  # (B, P)
+    cum_prev = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1)
+    tf = t_idx.astype(enc.w_ceil.dtype)
+    below = tf[None, :, None] < cum[:, None, :]
+    below_prev = tf[None, :, None] < cum_prev[:, None, :]
+    path = jnp.logical_and(below, jnp.logical_not(below_prev)).astype(enc.w_ceil.dtype)
+    path = path * y_mask.transpose(0, 2, 1) * enc.x_mask
+
+    m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
+    logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
+    z_p = m_p + main_noise_win * jnp.exp(logs_p) * noise_scale
+    z = flow_reverse(z_p * arr_mask, y_mask * arr_mask, params, hp, g=enc.g)
+    audio = hifigan_generator(
+        z * y_mask, params, hp, g=enc.g,
+        level_precisions=vocoder_precision, t_mask=arr_mask,
+    )
+    return audio[:, 0, :]
+
+
 def debug_infer(
     params: Params,
     hp: VitsHParams,

@@ -1,0 +1,106 @@
+"""Incremental (windowed) streaming decode tests."""
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.runtime import PiperRuntime
+from piper_tpu.models.vits.hparams import PRESETS, receptive_field_frames
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_stream")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config)
+
+
+def test_receptive_field_reasonable():
+    rf = receptive_field_frames(PRESETS["medium"])
+    assert 20 <= rf <= 120, rf
+    rf_x = receptive_field_frames(PRESETS["x_low"])
+    assert 20 <= rf_x <= 120, rf_x
+
+
+def test_incremental_matches_full_decode(runtime):
+    """With shared injected noise, windowed streaming must reproduce the full
+    decode on the emitted region (halo = receptive field)."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(11)
+    ids = FIXTURE_IDS * 3  # longer utterance => several chunks
+    dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
+    full = runtime.synthesize(ids, dp_noise=dp_noise)
+    fb = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, fb)).astype(np.float32)
+    full = runtime.synthesize(ids, dp_noise=dp_noise, main_noise=main_noise)
+
+    chunks = list(
+        runtime.synthesize_stream_incremental(
+            ids,
+            chunk_frames=16,
+            dp_noise=dp_noise,
+            main_noise=main_noise,
+            total_frames=fb,
+        )
+    )
+    assert chunks[-1].is_final
+    streamed = np.concatenate([c.samples for c in chunks])
+    assert len(streamed) == len(full)
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+    # offsets are contiguous
+    offs = [c.start_sample_index for c in chunks]
+    sizes = [len(c.samples) for c in chunks]
+    assert offs == [int(np.sum(sizes[:i])) for i in range(len(sizes))]
+
+
+def test_incremental_seeded_deterministic(runtime):
+    a1 = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream(FIXTURE_IDS, incremental=True)]
+    )
+    a2 = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream(FIXTURE_IDS, incremental=True)]
+    )
+    np.testing.assert_array_equal(a1, a2)
+    assert len(a1) > 0 and np.isfinite(a1).all()
+
+
+def test_incremental_chunk_boundaries_consistent(runtime):
+    """Different chunk sizes must produce identical audio (same noise)."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(12)
+    dp_noise = rng.standard_normal((1, 2, len(FIXTURE_IDS))).astype(np.float32)
+    runtime.synthesize(FIXTURE_IDS, dp_noise=dp_noise)
+    fb = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, fb)).astype(np.float32)
+    kw = dict(dp_noise=dp_noise, main_noise=main_noise, total_frames=fb)
+    a_16 = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream_incremental(
+            FIXTURE_IDS, chunk_frames=16, **kw)]
+    )
+    a_8 = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream_incremental(
+            FIXTURE_IDS, chunk_frames=8, **kw)]
+    )
+    assert len(a_16) == len(a_8)
+    np.testing.assert_allclose(a_16, a_8, atol=1e-5)
+
+
+def test_insufficient_halo_detectable(runtime):
+    """Sanity: a halo far below the receptive field must NOT reproduce the
+    full decode — proving the exactness test has teeth."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(13)
+    ids = FIXTURE_IDS * 3
+    dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
+    runtime.synthesize(ids, dp_noise=dp_noise)
+    fb = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, fb)).astype(np.float32)
+    full = runtime.synthesize(ids, dp_noise=dp_noise, main_noise=main_noise)
+    streamed = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream_incremental(
+            ids, chunk_frames=16, halo_frames=1,
+            dp_noise=dp_noise, main_noise=main_noise, total_frames=fb)]
+    )
+    assert np.abs(streamed - full).max() > 1e-4
