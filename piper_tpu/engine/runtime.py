@@ -65,6 +65,12 @@ class RuntimeOptions:
     #             exceeded. Lowest latency on high-RTT device links.
     mode: str = "split"
     fused_frames_per_phoneme: int = 6  # fused-mode frame budget heuristic
+    # Fused Pallas kernels for the narrow vocoder convs (measured 1.4-2.9x
+    # over XLA's conv lowering on TPU). None = auto: on for the TPU backend,
+    # off elsewhere; PIPER_TPU_NO_PALLAS=1 also disables.
+    use_pallas: Optional[bool] = None
+    phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
+    frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
 
     @staticmethod
     def from_env() -> "RuntimeOptions":
@@ -77,9 +83,6 @@ class RuntimeOptions:
         if flag("PIPER_TPU_MODE"):
             kwargs["mode"] = flag("PIPER_TPU_MODE")
         return RuntimeOptions(**kwargs)
-    phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
-    frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
-    frames_per_phoneme_cap: int = 12  # fused-mode worst-case frame budget
 
 
 @dataclass
@@ -190,10 +193,23 @@ class PiperRuntime:
     def _matmul_precision(self) -> str:
         return "default" if self.options.precision == "bfloat16" else self.options.precision
 
+    def _resolve_pallas(self) -> bool:
+        import os
+
+        if os.environ.get("PIPER_TPU_NO_PALLAS") == "1":
+            return False
+        if self.options.use_pallas is not None:
+            return bool(self.options.use_pallas)
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:  # noqa: BLE001
+            return False
+
     def _build_jits(self) -> None:
         hp = self.hparams
         prec = self._matmul_precision()
         voc_prec = self.options.vocoder_precision
+        use_pallas = self._resolve_pallas()
 
         def encode_keyed(params, ids, lengths, seed, length_scale, noise_w, sid):
             with jax.default_matmul_precision(prec):
@@ -218,14 +234,14 @@ class PiperRuntime:
                 )
                 return vits.decode(params, hp, enc, main_noise,
                                    max_frames=max_frames, noise_scale=noise_scale,
-                                   vocoder_precision=voc_prec)
+                                   vocoder_precision=voc_prec, use_pallas=use_pallas)
 
         def decode_injected(params, enc, main_noise, noise_scale):
             with jax.default_matmul_precision(prec):
                 return vits.decode(params, hp, enc, main_noise,
                                    max_frames=main_noise.shape[-1],
                                    noise_scale=noise_scale,
-                                   vocoder_precision=voc_prec)
+                                   vocoder_precision=voc_prec, use_pallas=use_pallas)
 
         def fused_keyed(params, ids, lengths, seed, scales, sid, *, max_frames):
             with jax.default_matmul_precision(prec):
@@ -245,7 +261,8 @@ class PiperRuntime:
                 audio, y_len = vits.decode(params, hp, enc, main_noise,
                                            max_frames=max_frames,
                                            noise_scale=noise_scale,
-                                           vocoder_precision=voc_prec)
+                                           vocoder_precision=voc_prec,
+                                           use_pallas=use_pallas)
                 # y_total (un-clipped) lets the host detect budget overflow
                 # from the same fetch as the audio.
                 return audio, y_len, enc.y_total
@@ -470,6 +487,64 @@ class PiperRuntime:
                 is_final=is_final,
             )
             emitted += len(samples)
+
+    def dispatch_fused(
+        self,
+        phoneme_ids: Sequence[int],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        """Dispatch one fused synthesis without blocking; returns
+        (device_outputs, meta) for a later fetch. The building block of the
+        async serving pipeline (device round trips overlap across requests)."""
+        ids = list(phoneme_ids)
+        if not ids:
+            raise ValueError("empty phoneme sequence")
+        bad = [i for i in ids if not (0 <= i < self.hparams.n_vocab)]
+        if bad:
+            raise ValueError(
+                f"phoneme id(s) {bad[:5]} out of range [0, {self.hparams.n_vocab})"
+            )
+        p_bucket = bucket_for(len(ids), self.options.phoneme_buckets, "phoneme")
+        ids_j = jnp.asarray(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
+        lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sid = self._sid_array([speaker_id] if speaker_id is not None else None, 1)
+        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        budget = max(32, len(ids) * self.options.fused_frames_per_phoneme)
+        try:
+            f_bucket = bucket_for(budget, self.options.frame_buckets, "frame")
+        except BucketOverflowError:
+            f_bucket = self.options.frame_buckets[-1]
+        scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
+        self._mark("fused", (1, p_bucket, f_bucket, sid is not None))
+        outs = self._fused_keyed(
+            self.params, ids_j, lengths_j, seed_j, scales_j, sid, max_frames=f_bucket
+        )
+        meta = {
+            "ids": ids,
+            "f_bucket": f_bucket,
+            "scales": (ns, ls, nw),
+            "speaker_id": speaker_id,
+            "seed": seed,
+        }
+        return outs, meta
+
+    def fetch_fused(self, outs, meta) -> np.ndarray:
+        """Complete a dispatch_fused: one device round trip; falls back to a
+        blocking split-mode synthesis if the frame budget overflowed."""
+        audio, y_len, y_total = jax.device_get(outs)
+        if int(np.asarray(y_total).max()) > meta["f_bucket"]:
+            ns, ls, nw = meta["scales"]
+            return self.synthesize(
+                meta["ids"], noise_scale=ns, length_scale=ls, noise_w=nw,
+                speaker_id=meta["speaker_id"], seed=meta["seed"],
+            )
+        hop = self.hparams.hop_length
+        return np.asarray(audio, np.float32)[0, : int(np.asarray(y_len)[0]) * hop]
 
     def synthesize_debug(
         self,

@@ -90,6 +90,7 @@ def decode(
     max_frames: int,
     noise_scale: jnp.ndarray | float = 0.667,
     vocoder_precision: Optional[str] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Durations + prior -> waveform.
 
@@ -107,7 +108,8 @@ def decode(
     z_p = m_p + main_noise * jnp.exp(logs_p) * noise_scale
     z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
     audio = hifigan_generator(
-        z * y_mask, params, hp, g=enc.g, level_precisions=vocoder_precision
+        z * y_mask, params, hp, g=enc.g, level_precisions=vocoder_precision,
+        use_pallas=use_pallas,
     )
     return audio[:, 0, :], y_lengths
 
@@ -235,6 +237,7 @@ def infer(
     noise_w: jnp.ndarray | float = 0.8,
     sid: Optional[jnp.ndarray] = None,
     vocoder_precision: Optional[str] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused single-program synthesis: ids -> (audio, y_lengths)."""
     enc = encode(
@@ -248,4 +251,5 @@ def infer(
         sid=sid,
     )
     return decode(params, hp, enc, main_noise, max_frames=max_frames,
-                  noise_scale=noise_scale, vocoder_precision=vocoder_precision)
+                  noise_scale=noise_scale, vocoder_precision=vocoder_precision,
+                  use_pallas=use_pallas)

@@ -1,0 +1,71 @@
+"""Async serving pipeline tests."""
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.pipeline import ServingPipeline
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_pipe")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config)
+
+
+def test_pipeline_matches_fused_synthesize(runtime):
+    rt_fused = PiperRuntime(
+        runtime.model_path, runtime.config_path, RuntimeOptions(mode="fused")
+    )
+    ref = rt_fused.synthesize(FIXTURE_IDS, seed=9)
+    with ServingPipeline(runtime) as pipe:
+        fut = pipe.submit(FIXTURE_IDS, seed=9)
+        audio = fut.result(timeout=300)
+    np.testing.assert_array_equal(audio, ref)
+
+
+def test_pipeline_many_requests_in_flight(runtime):
+    reqs = [FIXTURE_IDS, FIXTURE_IDS[:8], FIXTURE_IDS * 2, FIXTURE_IDS[:4]] * 3
+    with ServingPipeline(runtime, max_inflight=4) as pipe:
+        futs = [pipe.submit(ids, seed=i) for i, ids in enumerate(reqs)]
+        audios = [f.result(timeout=300) for f in futs]
+    assert len(audios) == len(reqs)
+    for a in audios:
+        assert len(a) > 0 and np.isfinite(a).all()
+    # Determinism across the pipeline: same request+seed, same audio.
+    with ServingPipeline(runtime) as pipe:
+        again = pipe.submit(reqs[0], seed=0).result(timeout=300)
+    np.testing.assert_array_equal(again, audios[0])
+
+
+def test_pipeline_overflow_falls_back(runtime):
+    rt = PiperRuntime(
+        runtime.model_path, runtime.config_path,
+        RuntimeOptions(mode="fused", fused_frames_per_phoneme=1),
+    )
+    ref = rt.synthesize(FIXTURE_IDS, length_scale=3.0)  # overflows the budget
+    with ServingPipeline(rt) as pipe:
+        audio = pipe.submit(FIXTURE_IDS, length_scale=3.0).result(timeout=300)
+    np.testing.assert_array_equal(audio, ref)
+
+
+def test_pipeline_error_propagates(runtime):
+    with ServingPipeline(runtime) as pipe:
+        fut = pipe.submit([999999])  # out-of-range phoneme id
+        with pytest.raises(ValueError):
+            fut.result(timeout=60)
+    # pipeline still usable after an error
+    with ServingPipeline(runtime) as pipe:
+        audio = pipe.submit(FIXTURE_IDS).result(timeout=300)
+    assert len(audio) > 0
+
+
+def test_submit_after_close_raises(runtime):
+    pipe = ServingPipeline(runtime)
+    pipe.close()
+    with pytest.raises(RuntimeError):
+        pipe.submit(FIXTURE_IDS)
