@@ -40,19 +40,23 @@ def _percentile(xs, p):
     return s[f] if f == c else s[f] + (s[c] - s[f]) * (k - f)
 
 
-def get_runtime(args):
+def get_runtime(args, n_speakers: int = 1, gin: int = 0):
     from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 
     options = RuntimeOptions(precision=args.precision, mode=args.mode)
     if args.model:
         return PiperRuntime(args.model, args.config, options)
     cache = Path(os.environ.get("PIPER_TPU_CACHE", Path.home() / ".cache" / "piper-tpu"))
-    voice_dir = cache / "synthetic" / args.quality
-    model = voice_dir / f"synthetic-{args.quality}.onnx"
+    tag = args.quality if n_speakers <= 1 else f"{args.quality}-ms{n_speakers}"
+    voice_dir = cache / "synthetic" / tag
+    name = f"synthetic-{args.quality}" if n_speakers <= 1 else f"synthetic-{tag}"
+    model = voice_dir / f"{name}.onnx"
     if not model.exists():
         from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
-        make_synthetic_voice(voice_dir, quality=args.quality, seed=0)
+        make_synthetic_voice(voice_dir, quality=args.quality, seed=0,
+                             n_speakers=n_speakers, gin_channels=gin,
+                             voice_name=name if n_speakers > 1 else None)
     return PiperRuntime(model, None, options)
 
 
@@ -69,6 +73,11 @@ def main(argv=None):
     parser.add_argument("--mode", default="fused", choices=["split", "fused"])
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for the throughput measurement (0 = skip)")
+    parser.add_argument("--pipeline", action="store_true", default=True,
+                        help="measure pipelined serving throughput")
+    parser.add_argument("--no-pipeline", dest="pipeline", action="store_false")
+    parser.add_argument("--multi-speaker", type=int, default=0, metavar="N",
+                        help="also bench an N-speaker voice with batched mixed-sid serving")
     parser.add_argument("--quick", action="store_true", help="fast smoke (small sweep)")
     parser.add_argument("--platform", help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -136,6 +145,48 @@ def main(argv=None):
             "rtf_throughput": round(total_audio_s / wall, 1),
         }
 
+    # Pipelined single-utterance serving (hides device round trips).
+    pipeline_row = None
+    if args.pipeline:
+        from piper_tpu.engine.pipeline import ServingPipeline
+
+        with ServingPipeline(rt, max_inflight=16, num_fetchers=8) as pipe:
+            [f.result() for f in [pipe.submit(FIXTURE_IDS, seed=i) for i in range(4)]]
+            n_req = 32
+            t0 = time.perf_counter()
+            futs = [pipe.submit(FIXTURE_IDS, seed=i) for i in range(n_req)]
+            audios = [f.result() for f in futs]
+            wall = time.perf_counter() - t0
+        audio_s = sum(len(a) for a in audios) / rt.sample_rate
+        pipeline_row = {
+            "requests": n_req,
+            "ms_per_utt": round(wall / n_req * 1e3, 2),
+            "rtf": round(audio_s / wall, 1),
+        }
+
+    # Multi-speaker batched serving (the en_US-libritts-high-style config:
+    # 900+ speaker embeddings, batched utterances with mixed speaker ids).
+    multispeaker_row = None
+    if args.multi_speaker:
+        rt_ms = get_runtime(args, n_speakers=args.multi_speaker, gin=512)
+        bsz = max(2, args.batch or 8)
+        ids8 = (FIXTURE_IDS * 8)[:4096]
+        batch = [ids8] * bsz
+        sids = list(np.arange(bsz) % args.multi_speaker)
+        rt_ms.synthesize_batch(batch, speaker_ids=sids)
+        iters = max(2, args.iters // 2)
+        t0 = time.perf_counter()
+        audio_s = 0.0
+        for _ in range(iters):
+            audios = rt_ms.synthesize_batch(batch, speaker_ids=sids)
+            audio_s += sum(len(a) for a in audios) / rt_ms.sample_rate
+        wall = time.perf_counter() - t0
+        multispeaker_row = {
+            "n_speakers": args.multi_speaker,
+            "batch": bsz,
+            "rtf_throughput": round(audio_s / wall, 1),
+        }
+
     f1 = rows[0]
     headline_rtf = throughput["rtf_throughput"] if throughput else f1["rtf_mean"]
     result = {
@@ -153,6 +204,8 @@ def main(argv=None):
         "quality": args.quality,
         "compile_count": rt.last_run_timings.compile_count,
         "throughput": throughput,
+        "pipeline": pipeline_row,
+        "multispeaker": multispeaker_row,
         "rows": rows,
     }
     print(json.dumps(result))

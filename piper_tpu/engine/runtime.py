@@ -274,10 +274,9 @@ class PiperRuntime:
                 # so overlapping window halos see identical values.
                 base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
                 t_idx = t_offset + jnp.arange(window)
-                b, ch = enc.m_p.shape[0], enc.m_p.shape[1]
-                keys = jax.vmap(lambda t: jax.random.fold_in(base, t))(t_idx)
-                noise = jax.vmap(lambda k: jax.random.normal(k, (b, ch)))(keys)
-                main_noise = noise.transpose(1, 2, 0)  # (B, C, W)
+                main_noise = vits.per_frame_noise(
+                    base, t_idx, enc.m_p.shape[0], enc.m_p.shape[1]
+                )
                 return vits.decode_window(
                     params, hp, enc, main_noise, t_offset,
                     window=window, total_frames=total_frames,

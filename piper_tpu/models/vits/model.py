@@ -114,6 +114,16 @@ def decode(
     return audio[:, 0, :], y_lengths
 
 
+def per_frame_noise(base_key, t_idx: jnp.ndarray, b: int, ch: int) -> jnp.ndarray:
+    """Prior noise derived per ABSOLUTE frame index -> (B, C, len(t_idx)).
+
+    Shared by streaming windows and sequence-parallel decode so overlapping
+    halos and shard boundaries see identical values."""
+    keys = jax.vmap(lambda t: jax.random.fold_in(base_key, t))(t_idx)
+    noise = jax.vmap(lambda k: jax.random.normal(k, (b, ch)))(keys)
+    return noise.transpose(1, 2, 0)
+
+
 def decode_window(
     params: Params,
     hp: VitsHParams,

@@ -21,9 +21,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from piper_tpu.models.vits import model as vits
-from piper_tpu.models.vits.hparams import VitsHParams
+from piper_tpu.models.vits.hparams import VitsHParams, receptive_field_frames
 from piper_tpu.models.vits.params import Params
-from piper_tpu.parallel.mesh import DATA_AXIS, batch_sharded, replicated
+from piper_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS, batch_sharded, replicated
 
 
 @dataclass
@@ -103,3 +103,82 @@ class ShardedVits:
             args.append(jax.device_put(jnp.asarray(sid, jnp.int32), b_sh))
         audio, y_len = fn(*args)
         return np.asarray(audio), np.asarray(y_len)
+
+    # -- sequence-parallel decode (long outputs) ----------------------------
+
+    def sp_decode_fn(self, span: int, halo: Optional[int] = None):
+        """Build a jitted sequence-parallel decode over the `sp` mesh axis.
+
+        Each sp shard decodes a contiguous block of `span` frames using the
+        same haloed-window formulation as streaming (model.decode_window), so
+        shard boundaries are exact; audio shards concatenate along time via
+        the output sharding. The waveform axis is the natural shard axis for
+        very long outputs (SURVEY.md §5.7).
+
+        Returns fn(enc, seed, total_frames, noise_scale) -> audio
+        (B, n_sp * span * hop), sharded over sp on the time axis.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        hp = self.hp
+        h = receptive_field_frames(hp) if halo is None else int(halo)
+        window = span + 2 * h
+        hop = hp.hop_length
+        mesh = self.mesh
+
+        def shard_fn(params, enc, seed, total_frames, noise_scale):
+            idx = jax.lax.axis_index(SEQ_AXIS)
+            t_offset = idx * span - h
+            base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
+            t_idx = t_offset + jnp.arange(window)
+            noise = vits.per_frame_noise(base, t_idx, enc.m_p.shape[0], enc.m_p.shape[1])
+            audio = vits.decode_window(
+                params, hp, enc, noise, t_offset,
+                window=window, total_frames=total_frames,
+                noise_scale=noise_scale,
+            )
+            return audio[:, h * hop : (h + span) * hop]
+
+        mapped = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=P(None, SEQ_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(lambda enc, seed, total, ns: mapped(self.params, enc, seed, total, ns))
+
+    def synthesize_long(
+        self,
+        ids: np.ndarray,
+        lengths: np.ndarray,
+        *,
+        span: int,
+        scales: Tuple[float, float, float] = (0.667, 1.0, 0.8),
+        seed: int = 1234,
+        sid: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode once (replicated), then decode with the frame axis sharded
+        over `sp`. Covers total_frames = n_sp * span."""
+        ns, ls, nw = scales
+        r_sh = replicated(self.mesh)
+
+        def enc_fn(params, ids_j, lengths_j, sid_j):
+            base = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(seed)), 0)
+            dp_noise = jax.random.normal(base, (ids_j.shape[0], 2, ids_j.shape[1]))
+            return vits.encode(params, self.hp, ids_j, lengths_j, dp_noise,
+                               length_scale=ls, noise_w=nw, sid=sid_j)
+
+        ids_j = jax.device_put(jnp.asarray(ids, jnp.int32), r_sh)
+        lengths_j = jax.device_put(jnp.asarray(lengths, jnp.int32), r_sh)
+        sid_j = jax.device_put(jnp.asarray(sid, jnp.int32), r_sh) if sid is not None else None
+        enc = jax.jit(enc_fn)(self.params, ids_j, lengths_j, sid_j)
+
+        n_sp = self.mesh.shape[SEQ_AXIS]
+        total = n_sp * span
+        fn = self.sp_decode_fn(span)
+        audio = fn(enc, jnp.uint32(seed), jnp.int32(total), jnp.float32(ns))
+        y_len = np.clip(np.asarray(enc.y_total).astype(np.int64), 1, total)
+        return np.asarray(audio), y_len

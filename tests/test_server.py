@@ -1,0 +1,75 @@
+"""Multi-voice server tests."""
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.server import VoiceServer
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def voices(tmp_path_factory):
+    d = tmp_path_factory.mktemp("server_voices")
+    v1, _ = make_synthetic_voice(d / "a", quality="x_low", seed=1, voice_name="voice-a")
+    v2, _ = make_synthetic_voice(d / "b", quality="x_low", seed=2, voice_name="voice-b")
+    v3, _ = make_synthetic_voice(
+        d / "c", quality="x_low", seed=3, n_speakers=4, gin_channels=16,
+        voice_name="voice-multispeaker",
+    )
+    return v1, v2, v3
+
+
+def test_multi_voice_loading_and_synthesis(voices):
+    v1, v2, v3 = voices
+    with VoiceServer() as server:
+        k1 = server.load(v1)
+        k2 = server.load(v2)
+        assert server.loaded_voices == ["voice-a", "voice-b"]
+        a1 = server.synthesize(k1, FIXTURE_IDS)
+        a2 = server.synthesize(k2, FIXTURE_IDS)
+        assert len(a1) > 0 and len(a2) > 0
+        # Different weights => different audio.
+        if a1.shape == a2.shape:
+            assert not np.allclose(a1, a2)
+        # Loading again is a no-op (same runtime object).
+        rt = server.runtime(k1)
+        server.load(v1)
+        assert server.runtime(k1) is rt
+
+
+def test_multispeaker_voice_via_server(voices):
+    _, _, v3 = voices
+    with VoiceServer() as server:
+        k = server.load(v3)
+        a0 = server.synthesize(k, FIXTURE_IDS, speaker_id=0)
+        a2 = server.synthesize(k, FIXTURE_IDS, speaker_id=2)
+        assert len(a0) > 0 and len(a2) > 0
+        if a0.shape == a2.shape:
+            assert not np.allclose(a0, a2)
+
+
+def test_lru_eviction(voices):
+    v1, v2, v3 = voices
+    with VoiceServer(max_voices=2) as server:
+        server.load(v1)
+        server.load(v2)
+        server.load(v3)
+        assert len(server.loaded_voices) == 2
+        assert "voice-a" not in server.loaded_voices
+        # Touch voice-b, then load voice-a again: voice-multispeaker evicts.
+        server.synthesize("voice-b", FIXTURE_IDS)
+        server.load(v1)
+        assert set(server.loaded_voices) == {"voice-b", "voice-a"}
+
+
+def test_server_pipeline(voices):
+    v1, _, _ = voices
+    with VoiceServer() as server:
+        k = server.load(v1)
+        pipe = server.pipeline(k)
+        futs = [pipe.submit(FIXTURE_IDS, seed=i) for i in range(3)]
+        audios = [f.result(timeout=300) for f in futs]
+        assert all(len(a) > 0 for a in audios)
+        assert server.pipeline(k) is pipe
