@@ -644,8 +644,14 @@ class PiperRuntime:
         compiled = False
 
         # --- fused single-round-trip path ---
+        # Fused mode optimizes single-utterance latency; batches want the
+        # exact split-chosen frame bucket (the heuristic budget would waste
+        # decode FLOPs on every utterance in the batch).
         use_fused = (
-            self.options.mode == "fused" and dp_noise is None and main_noise is None
+            self.options.mode == "fused"
+            and b == 1
+            and dp_noise is None
+            and main_noise is None
         )
         if use_fused:
             budget = max(32, int(lengths.max()) * self.options.fused_frames_per_phoneme)
