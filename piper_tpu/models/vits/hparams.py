@@ -40,6 +40,7 @@ class VitsHParams:
     flow_dilation_rate: int = 1
     flow_n_layers: int = 4
     # HiFi-GAN vocoder
+    resblock: str = "1"  # "1" = ResBlock1 (convs1/convs2); "2" = ResBlock2 (convs)
     resblock_kernel_sizes: List[int] = field(default_factory=lambda: [3, 7, 11])
     resblock_dilation_sizes: List[List[int]] = field(
         default_factory=lambda: [[1, 3, 5], [1, 3, 5], [1, 3, 5]]
@@ -81,6 +82,9 @@ PRESETS: Dict[str, VitsHParams] = {
         upsample_rates=[8, 8, 4],
         upsample_kernel_sizes=[16, 16, 8],
         sample_rate=16000,
+        resblock="2",
+        resblock_kernel_sizes=[3, 5, 7],
+        resblock_dilation_sizes=[[1, 2], [2, 6], [3, 12]],
     ),
     "low": VitsHParams(sample_rate=16000),
     "medium": VitsHParams(),
@@ -146,16 +150,20 @@ def derive_hparams(
         _conv_transpose_stride_for(graph, f"dec.ups.{i}.weight", upsample_kernel_sizes[i])
         for i in range(n_ups)
     ]
-    n_res_total = count(r"dec\.resblocks\.(\d+)\.convs1\.0\.weight")
+    # ResBlock flavor: "1" has convs1/convs2 pairs; "2" (used by low/x_low
+    # quality voices) has a single convs list per branch.
+    resblock = "2" if "dec.resblocks.0.convs.0.weight" in init else "1"
+    convs_key = "convs" if resblock == "2" else "convs1"
+    n_res_total = count(rf"dec\.resblocks\.(\d+)\.{convs_key}\.0\.weight")
     num_kernels = n_res_total // n_ups if n_ups else 3
     resblock_kernel_sizes = [
-        shape(f"dec.resblocks.{j}.convs1.0.weight")[2] for j in range(num_kernels)
+        shape(f"dec.resblocks.{j}.{convs_key}.0.weight")[2] for j in range(num_kernels)
     ]
     resblock_dilation_sizes = []
     for j in range(num_kernels):
-        n_d = count(rf"dec\.resblocks\.{j}\.convs1\.(\d+)\.weight")
+        n_d = count(rf"dec\.resblocks\.{j}\.{convs_key}\.(\d+)\.weight")
         dils = [
-            _conv_dilation_for(graph, f"dec.resblocks.{j}.convs1.{m}.weight", 1)
+            _conv_dilation_for(graph, f"dec.resblocks.{j}.{convs_key}.{m}.weight", 1)
             for m in range(n_d)
         ]
         resblock_dilation_sizes.append(dils)
@@ -167,6 +175,7 @@ def derive_hparams(
 
     return VitsHParams(
         n_vocab=n_vocab,
+        resblock=resblock,
         inter_channels=inter_channels,
         hidden_channels=hidden,
         filter_channels=filter_channels,

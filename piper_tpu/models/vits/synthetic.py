@@ -139,10 +139,14 @@ def synthetic_params(
             rb = f"dec.resblocks.{i * nk + j}"
             kj = hp.resblock_kernel_sizes[j]
             for m, _d in enumerate(hp.resblock_dilation_sizes[j]):
-                add(f"{rb}.convs1.{m}.weight", ch_out, ch_out, kj)
-                add(f"{rb}.convs1.{m}.bias", ch_out)
-                add(f"{rb}.convs2.{m}.weight", ch_out, ch_out, kj)
-                add(f"{rb}.convs2.{m}.bias", ch_out)
+                if hp.resblock == "2":
+                    add(f"{rb}.convs.{m}.weight", ch_out, ch_out, kj)
+                    add(f"{rb}.convs.{m}.bias", ch_out)
+                else:
+                    add(f"{rb}.convs1.{m}.weight", ch_out, ch_out, kj)
+                    add(f"{rb}.convs1.{m}.bias", ch_out)
+                    add(f"{rb}.convs2.{m}.weight", ch_out, ch_out, kj)
+                    add(f"{rb}.convs2.{m}.bias", ch_out)
         ch = ch_out
     add("dec.conv_post.weight", 1, ch, 7)
     add("dec.conv_post.bias", 1)
@@ -177,6 +181,7 @@ def _stub_nodes(hp: VitsHParams):
                 dilations=[1],
             )
         )
+        convs_key = "convs" if hp.resblock == "2" else "convs1"
         for j in range(nk):
             rb = f"dec.resblocks.{i * nk + j}"
             kj = hp.resblock_kernel_sizes[j]
@@ -184,7 +189,9 @@ def _stub_nodes(hp: VitsHParams):
                 nodes.append(
                     node(
                         "Conv",
-                        [f"rb_in_{i}_{j}_{m}", f"{rb}.convs1.{m}.weight", f"{rb}.convs1.{m}.bias"],
+                        [f"rb_in_{i}_{j}_{m}",
+                         f"{rb}.{convs_key}.{m}.weight",
+                         f"{rb}.{convs_key}.{m}.bias"],
                         [f"rb_out_{i}_{j}_{m}"],
                         dilations=[d],
                         pads=[(kj - 1) // 2 * d] * 2,

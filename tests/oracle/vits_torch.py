@@ -287,6 +287,7 @@ def flow_reverse(z, y_mask, params, hp, g=None):
 
 def hifigan(z, params, hp, g=None):
     p = P(params, "dec")
+    use_rb2 = "dec.resblocks.0.convs.0.weight" in params
     x = F.conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
     if g is not None:
         x = x + F.conv1d(g, p["cond.weight"], p["cond.bias"])
@@ -302,12 +303,17 @@ def hifigan(z, params, hp, g=None):
             kj = hp.resblock_kernel_sizes[j]
             y = x
             for m, d in enumerate(hp.resblock_dilation_sizes[j]):
-                yt = F.leaky_relu(y, 0.1)
-                yt = F.conv1d(yt, rb[f"convs1.{m}.weight"], rb[f"convs1.{m}.bias"],
-                              padding=(kj - 1) // 2 * d, dilation=d)
-                yt = F.leaky_relu(yt, 0.1)
-                yt = F.conv1d(yt, rb[f"convs2.{m}.weight"], rb[f"convs2.{m}.bias"],
-                              padding=(kj - 1) // 2)
+                if use_rb2:
+                    yt = F.leaky_relu(y, 0.1)
+                    yt = F.conv1d(yt, rb[f"convs.{m}.weight"], rb[f"convs.{m}.bias"],
+                                  padding=(kj - 1) // 2 * d, dilation=d)
+                else:
+                    yt = F.leaky_relu(y, 0.1)
+                    yt = F.conv1d(yt, rb[f"convs1.{m}.weight"], rb[f"convs1.{m}.bias"],
+                                  padding=(kj - 1) // 2 * d, dilation=d)
+                    yt = F.leaky_relu(yt, 0.1)
+                    yt = F.conv1d(yt, rb[f"convs2.{m}.weight"], rb[f"convs2.{m}.bias"],
+                                  padding=(kj - 1) // 2)
                 y = y + yt
             acc = y if acc is None else acc + y
         x = acc / nk
