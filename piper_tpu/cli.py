@@ -212,8 +212,16 @@ def run_scale_bench(args) -> None:
         for _ in range(args.warmup):
             run_one()
         wall, rtfs, enc, dec = [], [], [], []
+        cpu_user, cpu_sys, max_rss = [], [], []
+        import resource
+
         for _ in range(args.iters):
+            ru0 = resource.getrusage(resource.RUSAGE_SELF)
             wall.append(run_one() * 1000)
+            ru1 = resource.getrusage(resource.RUSAGE_SELF)
+            cpu_user.append((ru1.ru_utime - ru0.ru_utime) * 1000)
+            cpu_sys.append((ru1.ru_stime - ru0.ru_stime) * 1000)
+            max_rss.append(float(ru1.ru_maxrss))
             t = rt.last_run_timings
             rtfs.append(t.rtf)
             enc.append(t.encode_ms)
@@ -231,6 +239,11 @@ def run_scale_bench(args) -> None:
                 "decode_ms_mean": float(np.mean(dec)),
                 "phoneme_bucket": rt.last_run_timings.phoneme_bucket,
                 "frame_bucket": rt.last_run_timings.frame_bucket,
+                # resource columns matching the reference's scale-bench rows
+                # (PiperCLI.swift:512-534)
+                "cpu_user_ms_mean": float(np.mean(cpu_user)),
+                "cpu_sys_ms_mean": float(np.mean(cpu_sys)),
+                "max_rss_max": max(max_rss),
             }
         )
 

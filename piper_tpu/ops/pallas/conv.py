@@ -51,7 +51,7 @@ def pallas_conv1d_same(
     *,
     dilation: int = 1,
     act_slope: float = 0.0,
-    tile: int = 2048,
+    tile: int = 4096,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Same-padded conv1d (odd kernel) with optional fused leaky-relu input.
@@ -66,6 +66,12 @@ def pallas_conv1d_same(
     pad = (k - 1) // 2 * dilation
     halo = (k - 1) * dilation
 
+    # Cap the tile so VMEM stays within budget: the im2col scratch is the
+    # big consumer at (k*ch, tile) fp32, plus the haloed window, the output
+    # block (double-buffered by the pipeline), and the weights.
+    vmem_budget = 6 * 1024 * 1024
+    max_tile = vmem_budget // (k * ch * 4)
+    tile = min(tile, max(512, max_tile // 128 * 128))
     tile = min(tile, max(128, -(-n // 128) * 128))
     n_pad = -(-n // tile) * tile
     win = -(-(tile + halo) // 128) * 128  # lane-aligned DMA window

@@ -1,0 +1,71 @@
+"""Continuous-batching server tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.batcher import BatchingServer
+from piper_tpu.engine.runtime import PiperRuntime
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_batch")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config)
+
+
+def test_batched_group_serves_all(runtime):
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=50) as server:
+        futs = [server.submit(FIXTURE_IDS) for _ in range(8)]
+        audios = [f.result(timeout=300) for f in futs]
+    assert len(audios) == 8
+    for a in audios:
+        assert len(a) > 0 and np.isfinite(a).all()
+    # Each batch row draws independent prior noise: same utterance, same
+    # group, but (stochastically) distinct samples.
+    if audios[0].shape == audios[1].shape:
+        assert not np.array_equal(audios[0], audios[1])
+
+
+def test_mixed_lengths_batch(runtime):
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=50) as server:
+        futs = [
+            server.submit(FIXTURE_IDS),
+            server.submit(FIXTURE_IDS[:6]),
+            server.submit(FIXTURE_IDS * 2),
+        ]
+        audios = [f.result(timeout=300) for f in futs]
+    lengths = [len(a) for a in audios]
+    assert all(n > 0 for n in lengths)
+    # Longer input should not produce shorter audio than a 6-id input.
+    assert lengths[2] > lengths[1]
+
+
+def test_scale_mismatch_served_separately(runtime):
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=100) as server:
+        f1 = server.submit(FIXTURE_IDS)
+        f2 = server.submit(FIXTURE_IDS, length_scale=2.0)
+        a1 = f1.result(timeout=300)
+        a2 = f2.result(timeout=300)
+    assert len(a2) > len(a1)  # length_scale=2 roughly doubles duration
+
+
+def test_bad_request_fails_fast(runtime):
+    with BatchingServer(runtime) as server:
+        with pytest.raises(ValueError):
+            server.submit([999999])
+        # Server still healthy.
+        a = server.submit(FIXTURE_IDS).result(timeout=300)
+        assert len(a) > 0
+
+
+def test_submit_after_close(runtime):
+    server = BatchingServer(runtime)
+    server.close()
+    with pytest.raises(RuntimeError):
+        server.submit(FIXTURE_IDS)
