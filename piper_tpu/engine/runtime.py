@@ -34,7 +34,7 @@ from piper_tpu.engine.bucketing import (
 )
 from piper_tpu.models.vits import model as vits
 from piper_tpu.models.vits.hparams import VitsHParams, derive_hparams
-from piper_tpu.models.vits.params import Params, params_from_graph
+from piper_tpu.models.vits.params import Params
 from piper_tpu.onnx import load_model
 
 
@@ -151,9 +151,14 @@ class PiperRuntime:
             n_speakers=self.config.num_speakers,
         )
         dtype = jnp.bfloat16 if self.options.precision == "bfloat16" else jnp.float32
-        # Weights go to device once and stay resident (the analog of the
-        # reference's persistentF32Buffers cache, GraphExecutor.swift:27).
-        self.params: Params = jax.device_put(params_from_graph(onnx_model.graph, dtype=dtype))
+        # Weights go to device once (packed single transfer) and stay
+        # resident (the analog of the reference's persistentF32Buffers cache,
+        # GraphExecutor.swift:27).
+        from piper_tpu.models.vits.params import device_put_packed, host_arrays_from_graph
+
+        self.params: Params = device_put_packed(
+            host_arrays_from_graph(onnx_model.graph), dtype=dtype
+        )
         del onnx_model
 
         self._compiled_keys: set = set()

@@ -35,6 +35,42 @@ def params_from_arrays(arrays: Dict[str, np.ndarray], dtype=jnp.float32) -> Para
     return {k: jnp.asarray(v, dtype=dtype) for k, v in arrays.items()}
 
 
+def host_arrays_from_graph(graph: OnnxGraph) -> Dict[str, np.ndarray]:
+    """Float initializers as host numpy arrays (no device transfer)."""
+    out: Dict[str, np.ndarray] = {}
+    for name, t in graph.initializers.items():
+        if t.data_type in (TensorDataType.FLOAT, TensorDataType.DOUBLE, TensorDataType.FLOAT16):
+            out[name] = np.asarray(t.array)
+    return out
+
+
+def device_put_packed(arrays: Dict[str, np.ndarray], dtype=jnp.float32) -> Params:
+    """Upload a whole parameter set as ONE flat transfer + on-device unpack.
+
+    Uploading ~500 small arrays individually serializes device round trips
+    (measured 11.5 s for a 113 MB checkpoint over the tunneled TPU); a single
+    packed upload plus a jitted split/reshape takes the link-bandwidth time."""
+    import jax
+
+    names = sorted(arrays)
+    shapes = {n: arrays[n].shape for n in names}
+    flat = np.concatenate(
+        [np.ascontiguousarray(arrays[n], dtype=np.float32).ravel() for n in names]
+    )
+    flat_j = jnp.asarray(flat)
+
+    def unpack(f):
+        out = {}
+        offset = 0
+        for n in names:
+            size = int(np.prod(shapes[n])) if shapes[n] else 1
+            out[n] = f[offset : offset + size].reshape(shapes[n]).astype(dtype)
+            offset += size
+        return out
+
+    return jax.jit(unpack)(flat_j)
+
+
 class Prefix:
     """Convenience accessor: p = Prefix(params, 'enc_p.encoder'); p['ffn_layers.0.conv_1.weight']."""
 
