@@ -89,16 +89,38 @@ def _synth_args(args) -> dict:
 
 
 def run_oneshot(args) -> None:
+    import time
+
+    from piper_tpu.utils.wav import WavWriter
+
     rt = _load_runtime(args)
     ids = _phoneme_ids_for(args, rt)
-    audio = rt.synthesize(ids, **_synth_args(args))
     out = args.output or "out.wav"
-    write_wav(out, audio, rt.sample_rate)
-    t = rt.last_run_timings
-    print(
-        f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
-        f"in {t.wall_ms:.1f} ms (RTF {t.rtf:.1f}x)"
-    )
+    if args.stream:
+        # Incremental decode: audio reaches the file chunk by chunk.
+        t0 = time.perf_counter()
+        first_ms = None
+        n = 0
+        with WavWriter(out, rt.sample_rate) as w:
+            for chunk in rt.synthesize_stream(ids, incremental=True,
+                                              **_synth_args(args)):
+                if first_ms is None:
+                    first_ms = (time.perf_counter() - t0) * 1e3
+                w.append_float32(chunk.samples)
+                n += len(chunk.samples)
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        print(
+            f"wrote {out}: {n} samples ({n / rt.sample_rate:.2f}s) streamed in "
+            f"{wall_ms:.1f} ms (first audio after {first_ms:.1f} ms)"
+        )
+    else:
+        audio = rt.synthesize(ids, **_synth_args(args))
+        write_wav(out, audio, rt.sample_rate)
+        t = rt.last_run_timings
+        print(
+            f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
+            f"in {t.wall_ms:.1f} ms (RTF {t.rtf:.1f}x)"
+        )
     if args.play:
         _play(str(out))
 
@@ -415,6 +437,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay recorded vectors with injected RNG; exit 1 over tolerance")
     p.add_argument("--tolerance", type=float, default=1e-3)
     p.add_argument("--play", action="store_true", help="play the output WAV")
+    p.add_argument("--stream", action="store_true",
+                   help="incremental windowed decode (first audio before completion)")
     return p
 
 
