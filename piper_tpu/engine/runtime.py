@@ -701,7 +701,20 @@ class PiperRuntime:
             y_lengths = np.asarray(enc.y_total).astype(np.int64)
             t_encode = time.perf_counter()
             max_needed = max(1, int(y_lengths.max()))
-            f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
+            try:
+                f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
+            except BucketOverflowError:
+                # Degenerate durations (extreme length_scale / pathological
+                # inputs): clamp to the largest bucket and truncate the tail
+                # rather than failing the request.
+                import sys
+
+                f_bucket = self.options.frame_buckets[-1]
+                print(
+                    f"[piper-tpu] warning: predicted {max_needed} frames exceeds "
+                    f"the largest bucket {f_bucket}; audio will be truncated",
+                    file=sys.stderr,
+                )
 
             # --- decode ---
             if main_noise is not None:

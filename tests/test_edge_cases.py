@@ -1,0 +1,57 @@
+"""Edge-case robustness: extreme scales, degenerate inputs, truncation."""
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_edge")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config)
+
+
+def test_frame_overflow_truncates_with_warning(tmp_path_factory, capsys):
+    d = tmp_path_factory.mktemp("voice_tiny_buckets")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    rt = PiperRuntime(
+        model, config,
+        RuntimeOptions(frame_buckets=(32, 64)),  # artificially tiny ladder
+    )
+    audio = rt.synthesize(FIXTURE_IDS, length_scale=10.0)
+    # Clamped to the largest bucket instead of raising.
+    assert len(audio) == 64 * rt.hparams.hop_length
+    assert np.isfinite(audio).all()
+
+
+def test_extreme_scales(runtime):
+    a_fast = runtime.synthesize(FIXTURE_IDS, length_scale=0.1)
+    a_slow = runtime.synthesize(FIXTURE_IDS, length_scale=2.5)
+    assert 0 < len(a_fast) < len(a_slow)
+    for a in (a_fast, a_slow):
+        assert np.isfinite(a).all()
+    a_noisy = runtime.synthesize(FIXTURE_IDS, noise_scale=5.0, noise_w=5.0)
+    assert np.isfinite(a_noisy).all()
+    assert np.abs(a_noisy).max() <= 1.0  # tanh-bounded even at silly noise
+    a_silent = runtime.synthesize(FIXTURE_IDS, noise_scale=0.0, noise_w=0.0)
+    assert np.isfinite(a_silent).all()
+
+
+def test_single_phoneme(runtime):
+    audio = runtime.synthesize([1])
+    assert len(audio) >= runtime.hparams.hop_length
+    assert np.isfinite(audio).all()
+
+
+def test_repeated_synthesize_stable(runtime):
+    """No state leaks across calls: interleaved shapes stay deterministic."""
+    a1 = runtime.synthesize(FIXTURE_IDS)
+    runtime.synthesize(FIXTURE_IDS * 3)
+    runtime.synthesize(FIXTURE_IDS[:4])
+    a2 = runtime.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(a1, a2)
