@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""Cross-validate piper-tpu against onnxruntime on a real voice checkpoint.
+
+The BASELINE fidelity gate: max-abs waveform error <= 1e-3 vs the ORT CPU
+reference with injected RNG tensors. This script:
+
+  1. rewrites the checkpoint so its RandomNormalLike nodes become inputs
+     (piper_tpu.onnx.rewrite.externalize_random),
+  2. synthesizes with piper-tpu using recorded noise tensors,
+  3. runs the rewritten graph under onnxruntime with the SAME noise,
+  4. reports the max-abs error over the overlapping samples.
+
+Requires the `onnxruntime` package and a real voice checkpoint — neither is
+available in the offline development environment, so this tool is exercised
+there only down to the graph rewrite (tests/test_rewrite.py); run it on a
+networked machine for the full gate:
+
+    python tools/compare_with_ort.py --model en_GB-....onnx [--ids "1,20,...""]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--ids", default=None, help="comma-separated phoneme ids")
+    parser.add_argument("--tolerance", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        raise SystemExit("onnxruntime is required for this comparison")
+
+    from piper_tpu.engine.runtime import PiperRuntime
+    from piper_tpu.onnx import load_model
+    from piper_tpu.onnx.rewrite import externalize_random
+    from piper_tpu.onnx.writer import save_model_ir
+
+    ids = [int(x) for x in args.ids.split(",")] if args.ids else FIXTURE_IDS
+    rt = PiperRuntime(args.model, args.config)
+    hp = rt.hparams
+
+    rng = np.random.default_rng(args.seed)
+    dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
+    rt.synthesize(ids, dp_noise=dp_noise)  # probe for the frame bucket
+    frames = int(rt.last_run_timings.frames)
+    main_noise = rng.standard_normal((1, hp.inter_channels, frames)).astype(np.float32)
+    ours = rt.synthesize(ids, dp_noise=dp_noise, main_noise=main_noise)
+
+    # Rewrite the graph so ORT takes the same noise as inputs.
+    model = load_model(args.model)
+    rewritten, noise_inputs = externalize_random(model)
+    if len(noise_inputs) != 2:
+        print(f"warning: expected 2 RNG nodes (dp, main); found {noise_inputs}")
+    rewritten_path = str(Path(args.model).with_suffix(".norng.onnx"))
+    save_model_ir(rewritten_path, rewritten)
+
+    sess = ort.InferenceSession(rewritten_path, providers=["CPUExecutionProvider"])
+    feeds = {
+        "input": np.asarray([ids], np.int64),
+        "input_lengths": np.asarray([len(ids)], np.int64),
+        "scales": np.asarray(
+            [rt.config.inference.noise_scale, rt.config.inference.length_scale,
+             rt.config.inference.noise_w], np.float32,
+        ),
+    }
+    # Piper's export orders the dp noise node before the main one.
+    if len(noise_inputs) >= 2:
+        feeds[noise_inputs[0]] = dp_noise
+        feeds[noise_inputs[1]] = main_noise
+    theirs = sess.run(None, feeds)[0].reshape(-1).astype(np.float32)
+
+    n = min(len(ours), len(theirs))
+    err = float(np.max(np.abs(ours[:n] - theirs[:n]))) if n else float("inf")
+    ok = err <= args.tolerance and abs(len(ours) - len(theirs)) <= 256
+    print(
+        f"piper-tpu {len(ours)} samples, ORT {len(theirs)} samples, "
+        f"max-abs err {err:.2e} (tolerance {args.tolerance}) -> "
+        f"{'PASS' if ok else 'FAIL'}"
+    )
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
