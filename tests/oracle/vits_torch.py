@@ -285,41 +285,54 @@ def flow_reverse(z, y_mask, params, hp, g=None):
 # --- HiFi-GAN ---
 
 
-def hifigan(z, params, hp, g=None):
+def hifigan(z, params, hp, g=None, y_mask=None):
+    """HiFi-GAN generator. `y_mask` (B, 1, T_frames) gives exact-length
+    semantics on padded buckets: activations are zeroed before every conv so
+    the region beyond y_len behaves like the end of the array (matching
+    piper_tpu's hifigan_generator t_mask)."""
+
+    def mk(x, m):
+        return x if m is None else x * m
+
     p = P(params, "dec")
     use_rb2 = "dec.resblocks.0.convs.0.weight" in params
-    x = F.conv1d(z, p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
+    m = y_mask
+    x = F.conv1d(mk(z, m), p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
     if g is not None:
         x = x + F.conv1d(g, p["cond.weight"], p["cond.bias"])
     nk = hp.num_resblock_kernels
     for i in range(hp.num_upsamples):
-        x = F.leaky_relu(x, 0.1)
+        x = F.leaky_relu(mk(x, m), 0.1)
         k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
-        x = F.conv_transpose1d(x, p[f"ups.{i}.weight"], p[f"ups.{i}.bias"],
+        x = F.conv_transpose1d(mk(x, m), p[f"ups.{i}.weight"], p[f"ups.{i}.bias"],
                                stride=u, padding=(k - u) // 2)
+        if m is not None:
+            m = torch.repeat_interleave(m, u, dim=2)
+            x = x * m
         acc = None
         for j in range(nk):
             rb = p.sub(f"resblocks.{i * nk + j}")
             kj = hp.resblock_kernel_sizes[j]
             y = x
-            for m, d in enumerate(hp.resblock_dilation_sizes[j]):
+            for mi, d in enumerate(hp.resblock_dilation_sizes[j]):
                 if use_rb2:
                     yt = F.leaky_relu(y, 0.1)
-                    yt = F.conv1d(yt, rb[f"convs.{m}.weight"], rb[f"convs.{m}.bias"],
+                    yt = F.conv1d(mk(yt, m), rb[f"convs.{mi}.weight"], rb[f"convs.{mi}.bias"],
                                   padding=(kj - 1) // 2 * d, dilation=d)
                 else:
                     yt = F.leaky_relu(y, 0.1)
-                    yt = F.conv1d(yt, rb[f"convs1.{m}.weight"], rb[f"convs1.{m}.bias"],
+                    yt = F.conv1d(mk(yt, m), rb[f"convs1.{mi}.weight"], rb[f"convs1.{mi}.bias"],
                                   padding=(kj - 1) // 2 * d, dilation=d)
                     yt = F.leaky_relu(yt, 0.1)
-                    yt = F.conv1d(yt, rb[f"convs2.{m}.weight"], rb[f"convs2.{m}.bias"],
+                    yt = F.conv1d(mk(yt, m), rb[f"convs2.{mi}.weight"], rb[f"convs2.{mi}.bias"],
                                   padding=(kj - 1) // 2)
                 y = y + yt
             acc = y if acc is None else acc + y
         x = acc / nk
-    x = F.leaky_relu(x)
-    x = F.conv1d(x, p["conv_post.weight"], p["conv_post.bias"], padding=3)
-    return torch.tanh(x)
+    x = F.leaky_relu(mk(x, m))
+    x = F.conv1d(mk(x, m), p["conv_post.weight"], p["conv_post.bias"], padding=3)
+    out = torch.tanh(x)
+    return out if m is None else out * m
 
 
 # --- full inference ---
@@ -359,5 +372,5 @@ def infer(params, hp, ids, lengths, dp_noise, main_noise, *, max_frames,
     logs_p = torch.einsum("btp,bcp->bct", path, logs_p)
     z_p = m_p + main_noise * torch.exp(logs_p) * noise_scale
     z = flow_reverse(z_p, y_mask, params, hp, g=g)
-    audio = hifigan(z * y_mask, params, hp, g=g)
+    audio = hifigan(z * y_mask, params, hp, g=g, y_mask=y_mask)
     return audio[:, 0, :].numpy(), y_lengths.numpy()

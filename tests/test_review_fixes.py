@@ -1,0 +1,140 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from piper_tpu import cli
+from piper_tpu.engine.batcher import BatchingServer
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.models.vits.hparams import VitsHParams
+from piper_tpu.models.vits.model import encode, decode
+from piper_tpu.models.vits.params import params_from_arrays
+from piper_tpu.models.vits.synthetic import make_synthetic_voice, synthetic_params
+from piper_tpu.testing import record_test_vector
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+SMALL = VitsHParams(
+    n_vocab=40, inter_channels=32, hidden_channels=32, filter_channels=64,
+    n_heads=2, n_layers=1, dp_filter_channels=32, dp_n_flows=2,
+    flow_n_flows=1, flow_hidden_channels=32, flow_n_layers=2,
+    resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3]],
+    upsample_rates=[4, 4], upsample_initial_channel=64,
+    upsample_kernel_sizes=[8, 8],
+)
+
+
+@pytest.fixture(scope="module")
+def runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_fixes")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config)
+
+
+def test_padded_decode_equals_exact_length_decode():
+    """Finding 1: bucket padding must not contaminate the valid audio tail.
+
+    Decoding at a padded bucket and at exactly y_len frames must agree on
+    the valid region (the dynamic-shape reference ends its array at y_len)."""
+    weights = synthetic_params(SMALL, seed=31)
+    params = params_from_arrays(weights)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, SMALL.n_vocab, size=(1, 12))
+    dp_noise = rng.standard_normal((1, 2, 12)).astype(np.float32)
+    enc = encode(params, SMALL, jnp.asarray(ids), jnp.asarray([12]),
+                 jnp.asarray(dp_noise))
+    y_len = int(np.asarray(enc.y_total)[0])
+    assert y_len >= 4, "need a few frames for the comparison"
+    big = y_len + 40
+    noise = rng.standard_normal((1, SMALL.inter_channels, big)).astype(np.float32)
+
+    a_pad, _ = decode(params, SMALL, enc, jnp.asarray(noise), max_frames=big)
+    a_exact, _ = decode(params, SMALL, enc, jnp.asarray(noise[:, :, :y_len]),
+                        max_frames=y_len)
+    n = y_len * SMALL.hop_length
+    np.testing.assert_allclose(np.asarray(a_pad)[0, :n], np.asarray(a_exact)[0, :n],
+                               atol=1e-5)
+
+
+def test_streaming_matches_full_without_total_frames(runtime):
+    """Finding 3: with shared injected noise, streaming must equal the full
+    decode even with the DEFAULT total_frames (no override)."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(11)
+    ids = FIXTURE_IDS * 2
+    dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
+    runtime.synthesize(ids, dp_noise=dp_noise)
+    fb = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, fb)).astype(np.float32)
+    full = runtime.synthesize(ids, dp_noise=dp_noise, main_noise=main_noise)
+    streamed = np.concatenate([
+        c.samples for c in runtime.synthesize_stream_incremental(
+            ids, chunk_frames=16, dp_noise=dp_noise, main_noise=main_noise)
+    ])
+    assert len(streamed) == len(full)
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_injected_noise_overflow_clamps(tmp_path_factory):
+    """Finding 2: the injected-noise path clamps instead of raising."""
+    d = tmp_path_factory.mktemp("voice_clamp")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    rt = PiperRuntime(model, config, RuntimeOptions(frame_buckets=(32, 64)))
+    rng = np.random.default_rng(0)
+    mn = rng.standard_normal((1, rt.hparams.inter_channels, 64)).astype(np.float32)
+    audio = rt.synthesize(FIXTURE_IDS, length_scale=10.0, main_noise=mn)
+    assert len(audio) == 64 * rt.hparams.hop_length
+    assert np.isfinite(audio).all()
+
+
+def test_streaming_validates_inputs(runtime):
+    """Finding 6: streaming validates like every other entry point."""
+    with pytest.raises(ValueError):
+        list(runtime.synthesize_stream_incremental([]))
+    with pytest.raises(ValueError):
+        list(runtime.synthesize_stream_incremental([999999]))
+
+
+def test_recorder_times_only_recorded_run(runtime, tmp_path):
+    """Finding 5: inference_time_sec covers one synthesis, so RTF is sane."""
+    vec = record_test_vector(runtime, FIXTURE_IDS * 4, tmp_path, "t", seed=1)
+    md = vec["metadata"]
+    # One x_low synthesis of ~1.3s audio takes well under 2s on CPU once
+    # compiled; the old double-counting made this 2x.
+    assert md["inference_time_sec"] < 10
+    assert md["real_time_factor"] == pytest.approx(
+        md["audio_duration_sec"] / md["inference_time_sec"], rel=1e-6
+    )
+
+
+def test_batcher_preserves_arrival_order_on_scale_mismatch(runtime):
+    """Finding 8: a mismatched-scale request starts the NEXT group."""
+    import time
+
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=150) as server:
+        f_a = server.submit(FIXTURE_IDS)
+        time.sleep(0.02)
+        f_b = server.submit(FIXTURE_IDS, length_scale=2.0)
+        a = f_a.result(timeout=300)
+        b = f_b.result(timeout=300)
+    assert len(b) > len(a)
+
+
+def test_cli_env_precision_flag(tmp_path_factory, monkeypatch):
+    """Finding 9: PIPER_TPU_PRECISION reaches the runtime from the CLI."""
+    d = tmp_path_factory.mktemp("voice_env")
+    model, _ = make_synthetic_voice(d, quality="x_low", seed=5)
+    monkeypatch.setenv("PIPER_TPU_PRECISION", "high")
+    captured = {}
+    orig_init = PiperRuntime.__init__
+
+    def spy(self, *a, **k):
+        orig_init(self, *a, **k)
+        captured["precision"] = self.options.precision
+
+    monkeypatch.setattr(PiperRuntime, "__init__", spy)
+    out = d / "o.wav"
+    cli.main(["--model", str(model), "--phoneme-ids", "1,20,0,2", "-o", str(out)])
+    assert captured["precision"] == "high"
