@@ -93,6 +93,8 @@ def conv_transpose1d(
 
     c_in, c_out, k = weight.shape
     t = x.shape[-1]
+    if output_padding >= stride:
+        raise ValueError("output_padding must be < stride")
     t_out = (t - 1) * stride + k - 2 * padding + output_padding
     # Pad kernel taps so K is a multiple of the stride (extra taps are zero).
     k_pad = -(-k // stride) * stride
@@ -117,6 +119,10 @@ def conv_transpose1d(
     # Interleave: sample n (0-based, pre-crop) lives at phase r = n % stride,
     # position q = n // stride.
     y = y.reshape(b, stride, c_out, q).transpose(0, 2, 3, 1).reshape(b, c_out, q * stride)
+    short = padding + t_out - y.shape[-1]
+    if short > 0:
+        # output_padding region beyond the last kernel tap: zeros (+ bias).
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, short)))
     out = lax.slice_in_dim(y, padding, padding + t_out, axis=2)
     if bias is not None:
         out = out + bias[None, :, None]

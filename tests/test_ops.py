@@ -39,6 +39,28 @@ def test_conv_transpose1d_matches_torch(cin, cout, k, stride, padding, t):
     np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,padding,out_pad,t",
+    [(3, 4, 6, 4, 1, 2, 7), (2, 2, 8, 4, 2, 3, 5), (2, 3, 5, 3, 2, 2, 9)],
+)
+def test_conv_transpose1d_output_padding(cin, cout, k, stride, padding, out_pad, t):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, cin, t)).astype(np.float32)
+    w = rng.standard_normal((cin, cout, k)).astype(np.float32)
+    b = rng.standard_normal((cout,)).astype(np.float32)
+    got = conv_transpose1d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                           stride=stride, padding=padding, output_padding=out_pad)
+    with torch.no_grad():
+        want = F.conv_transpose1d(torch.from_numpy(x), torch.from_numpy(w),
+                                  torch.from_numpy(b), stride=stride,
+                                  padding=padding, output_padding=out_pad)
+    assert got.shape == tuple(want.shape)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
+    with pytest.raises(ValueError):
+        conv_transpose1d(jnp.asarray(x), jnp.asarray(w), stride=stride,
+                         padding=padding, output_padding=stride)
+
+
 @pytest.mark.parametrize("groups,dilation", [(1, 1), (1, 3), (4, 1), (4, 2)])
 def test_conv1d_matches_torch(groups, dilation):
     rng = np.random.default_rng(1)
