@@ -28,5 +28,29 @@ __all__ = [
     "TestSummary",
     "VoiceIndex",
     "VoiceManager",
+    "PiperRuntime",
+    "RuntimeOptions",
+    "ServingPipeline",
+    "BatchingServer",
+    "VoiceServer",
     "__version__",
 ]
+
+_LAZY = {
+    # Engine classes import jax; load them on first access so `import
+    # piper_tpu` stays light for config/voice-only use.
+    "PiperRuntime": ("piper_tpu.engine.runtime", "PiperRuntime"),
+    "RuntimeOptions": ("piper_tpu.engine.runtime", "RuntimeOptions"),
+    "ServingPipeline": ("piper_tpu.engine.pipeline", "ServingPipeline"),
+    "BatchingServer": ("piper_tpu.engine.batcher", "BatchingServer"),
+    "VoiceServer": ("piper_tpu.engine.server", "VoiceServer"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'piper_tpu' has no attribute {name!r}")

@@ -446,11 +446,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--play", action="store_true", help="play the output WAV")
     p.add_argument("--stream", action="store_true",
                    help="incremental windowed decode (first audio before completion)")
+    p.add_argument("--profile-trace", metavar="DIR",
+                   help="capture a jax.profiler/XLA trace of the run into DIR "
+                        "(view with TensorBoard)")
     return p
 
 
 def main(argv: Optional[List[str]] = None) -> None:
     args = build_parser().parse_args(argv)
+    if args.profile_trace:
+        import contextlib
+
+        import jax
+
+        with jax.profiler.trace(args.profile_trace):
+            with contextlib.suppress(SystemExit):
+                _dispatch(args)
+        print(f"trace written to {args.profile_trace}", file=sys.stderr)
+        return
+    _dispatch(args)
+
+
+def _dispatch(args) -> None:
     if args.list_voices:
         run_list_voices(args)
     elif args.record_vectors:
