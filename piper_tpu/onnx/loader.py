@@ -120,6 +120,26 @@ def _load_model_python(path: str | Path | bytes) -> OnnxModel:
         data = Path(path).read_bytes()
     else:
         data = path
+    try:
+        return _decode_model(data)
+    except Exception as e:  # noqa: BLE001 — re-raise with positional context
+        if isinstance(e, OnnxLoadError):
+            raise
+        # Rich error context with a hex snippet around the failure offset
+        # (the reference does the same on a bad tag — ONNXLoader.swift:280-288).
+        offset = getattr(e, "offset", None)
+        if offset is None:
+            import re
+
+            m = re.search(r"offset (\d+)", str(e))
+            offset = int(m.group(1)) if m else None
+        snippet = b""
+        if offset is not None:
+            snippet = bytes(data[max(0, offset - 8) : offset + 8])
+        raise OnnxLoadError(str(e), offset=offset, snippet=snippet) from e
+
+
+def _decode_model(data: bytes) -> OnnxModel:
     r = Reader(data)
     ir_version = 0
     opset_version = 0
