@@ -83,6 +83,7 @@ def hifigan_generator(
     level_precisions: Optional[Union[str, Sequence[Optional[str]]]] = None,
     t_mask: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    t_bounds: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, C, T_frames) latent -> (B, 1, T_frames * hop_length) waveform.
 
@@ -96,6 +97,11 @@ def hifigan_generator(
     (streaming window halos): activations are zeroed there before every conv,
     so a window edge behaves exactly like the full run's zero padding. With
     t_mask=None (the full run) nothing changes.
+
+    `t_bounds` (B,) int32 gives each row's valid FRAME count; with
+    use_pallas it lets the fused resblock-branch kernel apply the same
+    exact-length masking per row inside VMEM (one kernel per branch instead
+    of six conv kernels + mask passes).
     """
     if isinstance(level_precisions, str):
         level_precisions = [level_precisions] * hp.num_upsamples
@@ -113,6 +119,9 @@ def hifigan_generator(
 
     num_kernels = hp.num_resblock_kernels
     use_resblock2 = f"{prefix}.resblocks.0.convs.0.weight" in params
+    bounds = None
+    if t_bounds is not None:
+        bounds = t_bounds.astype(jnp.int32)
     for i in range(hp.num_upsamples):
         with _prec_ctx(lp[i]):
             x = leaky_relu(masked(x, m), LRELU_SLOPE)
@@ -127,16 +136,41 @@ def hifigan_generator(
             if m is not None:
                 m = jnp.repeat(m, u, axis=2)
                 x = x * m
+            if bounds is not None:
+                bounds = bounds * u
+            ch_here = x.shape[1]
+            # Fused whole-branch kernel: valid when the branch's bound-style
+            # masking matches the array-mask semantics — i.e. we either have
+            # per-row bounds (or no mask at all, where bounds default to the
+            # full length); two-sided window masks keep the unfused path.
+            fuse_branch = (
+                use_pallas and not use_resblock2 and ch_here < 128
+                and (m is None or bounds is not None)
+            )
             acc = None
             for j in range(num_kernels):
                 rb = p.sub(f"resblocks.{i * num_kernels + j}")
                 kernel = hp.resblock_kernel_sizes[j]
                 dils = hp.resblock_dilation_sizes[j]
-                y = (
-                    _resblock2(x, rb, kernel, dils, t_mask=m, use_pallas=use_pallas)
-                    if use_resblock2
-                    else _resblock1(x, rb, kernel, dils, t_mask=m, use_pallas=use_pallas)
-                )
+                if fuse_branch:
+                    from piper_tpu.ops.pallas.resblock import pallas_resblock1_branch
+
+                    n_d = len(dils)
+                    w1 = jnp.stack([rb[f"convs1.{mm}.weight"] for mm in range(n_d)])
+                    b1 = jnp.stack([rb[f"convs1.{mm}.bias"] for mm in range(n_d)])
+                    w2 = jnp.stack([rb[f"convs2.{mm}.weight"] for mm in range(n_d)])
+                    b2 = jnp.stack([rb[f"convs2.{mm}.bias"] for mm in range(n_d)])
+                    y = pallas_resblock1_branch(
+                        x, w1, b1, w2, b2, kernel=kernel, dilations=dils,
+                        bounds=bounds, slope=LRELU_SLOPE,
+                    )
+                else:
+                    y = (
+                        _resblock2(x, rb, kernel, dils, t_mask=m, use_pallas=use_pallas)
+                        if use_resblock2
+                        else _resblock1(x, rb, kernel, dils, t_mask=m,
+                                        use_pallas=use_pallas)
+                    )
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 

@@ -114,6 +114,7 @@ def decode(
     audio = hifigan_generator(
         z * y_mask, params, hp, g=enc.g, level_precisions=vocoder_precision,
         use_pallas=use_pallas, t_mask=y_mask,
+        t_bounds=y_lengths.astype(jnp.int32),
     )
     return audio[:, 0, :], y_lengths
 

@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: one whole HiFi-GAN ResBlock1 branch in VMEM.
+
+A branch is y = x; for m in 0..M-1: y += conv2_m(lrelu(conv1_m(lrelu(y))))
+with conv1_m dilated and conv2_m dense — six narrow convs chained. Run as
+separate kernels each conv streams the full activation through HBM; on this
+chip that stream is the bottleneck (~5 ms per conv at the late levels,
+matching bytes/55 GB/s). This kernel DMAs one haloed window per time tile,
+keeps the entire chain in VMEM, and writes only the central tile — cutting
+HBM traffic by ~6x per branch.
+
+Margins: each stage consumes (k-1)/2*d_m + (k-1)/2 lanes per side; the
+window halo is the total, so the central tile is exact (the same shrinking-
+validity argument as streaming windows).
+
+Exact-length semantics: `bounds` (B,) int32 gives each row's valid sample
+count at this level's rate; lanes at global positions outside [0, bound)
+are zeroed after every activation, reproducing a dynamic-shape array edge
+(what hifigan's t_mask does, but in VMEM for free).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                   xwin, ybuf, tbuf, cols, sems, *,
+                   k: int, dils: Sequence[int], tile: int, wb: int, ch: int,
+                   nt: int, total: int, slope: float):
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    s = i * nt + t
+
+    def dma_for(step, slot):
+        i2 = step // nt
+        t2 = step % nt
+        return pltpu.make_async_copy(
+            x_hbm.at[i2, :, pl.ds(t2 * tile, wb)], xwin.at[slot], sems.at[slot]
+        )
+
+    @pl.when(s == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s + 1 < total)
+    def _():
+        dma_for(s + 1, jax.lax.rem(s + 1, 2)).start()
+
+    dma_for(s, slot).wait()
+    ybuf[:] = xwin[slot]
+
+    h2 = (k - 1) // 2
+    halo_total = sum((k - 1) // 2 * d + h2 for d in dils)
+
+    # Global sample index of lane l: t*tile + l - halo_total (x was
+    # left-padded by the halo). Valid iff 0 <= g < bounds[i]. The mask is
+    # ALWAYS applied: without it, bias propagation into the left halo lanes
+    # (global g < 0) diverges from the real array edge; it also provides
+    # exact-length (dynamic-shape) semantics past each row's bound.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+    g = t * tile + lane - halo_total
+    bound = bounds_ref[i]
+    mask = jnp.logical_and(g >= 0, g < bound).astype(jnp.float32)
+
+    def act(v):
+        v = jnp.where(v >= 0, v, v * slope)
+        return v * mask
+
+    margin = 0
+    for m, d in enumerate(dils):
+        h1 = (k - 1) // 2 * d
+        # conv1 (dilated): output valid on [margin+h1, wb-margin-h1)
+        a1 = margin + h1
+        width1 = wb - 2 * a1
+        src = act(ybuf[:])
+        for j in range(k):
+            off = a1 - h1 + j * d
+            cols[j * ch : (j + 1) * ch, 0:width1] = src[:, off : off + width1]
+        y1 = jnp.dot(w1_ref[m], cols[:, 0:width1],
+                     preferred_element_type=jnp.float32) + b1_ref[m]
+        tbuf[:, a1 : a1 + width1] = y1
+        # conv2 (dense): output valid on [a1+h2, wb-a1-h2)
+        a2 = a1 + h2
+        width2 = wb - 2 * a2
+        src2 = act(tbuf[:])
+        for j in range(k):
+            off = a2 - h2 + j
+            cols[j * ch : (j + 1) * ch, 0:width2] = src2[:, off : off + width2]
+        y2 = jnp.dot(w2_ref[m], cols[:, 0:width2],
+                     preferred_element_type=jnp.float32) + b2_ref[m]
+        # residual: y += y2 on the valid region
+        ybuf[:, a2 : a2 + width2] = ybuf[:, a2 : a2 + width2] + y2
+        margin = a2
+
+    o_ref[:] = ybuf[:, halo_total : halo_total + tile]
+
+
+def pallas_resblock1_branch(
+    x: jnp.ndarray,
+    w1s: jnp.ndarray,   # (M, C, C, K) conv1 weights (dilated convs)
+    b1s: jnp.ndarray,   # (M, C)
+    w2s: jnp.ndarray,   # (M, C, C, K) conv2 weights (dense convs)
+    b2s: jnp.ndarray,   # (M, C)
+    *,
+    kernel: int,
+    dilations: Sequence[int],
+    bounds: Optional[jnp.ndarray] = None,  # (B,) valid samples per row
+    slope: float = 0.1,
+    tile: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One ResBlock1 branch: returns y after all (conv1, conv2, +) stages."""
+    b, ch, n = x.shape
+    m = len(dilations)
+    k = kernel
+    h2 = (k - 1) // 2
+    halo = sum((k - 1) // 2 * d + h2 for d in dilations)
+
+    vmem_budget = 4 * 1024 * 1024
+    max_tile = vmem_budget // (k * ch * 4)
+    tile = min(tile, max(512, max_tile // 128 * 128))
+    tile = min(tile, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // tile) * tile
+    wb = -(-(tile + 2 * halo) // 128) * 128
+    extra = wb - tile - halo  # right-side pad beyond the left halo
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo, max(extra + (n_pad - n), 0))))
+
+    # (M, C_out, C_in, K) -> (M, C_out, K*C_in) tap-major to match im2col.
+    w1p = w1s.transpose(0, 1, 3, 2).reshape(m, ch, k * ch)
+    w2p = w2s.transpose(0, 1, 3, 2).reshape(m, ch, k * ch)
+    b1p = b1s.reshape(m, ch, 1)
+    b2p = b2s.reshape(m, ch, 1)
+    bounds_arr = (bounds if bounds is not None else jnp.full((b,), n)).astype(jnp.int32)
+
+    nt = n_pad // tile
+    grid = (b, nt)
+    out = pl.pallas_call(
+        functools.partial(
+            _branch_kernel, k=k, dils=tuple(dilations), tile=tile, wb=wb, ch=ch,
+            nt=nt, total=b * nt, slope=slope,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((m, ch, k * ch), lambda i, t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, ch, 1), lambda i, t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, ch, k * ch), lambda i, t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, ch, 1), lambda i, t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((None, ch, tile), lambda i, t, *_: (i, 0, t),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, ch, wb), jnp.float32),
+                pltpu.VMEM((ch, wb), jnp.float32),
+                pltpu.VMEM((ch, wb), jnp.float32),
+                pltpu.VMEM((k * ch, wb), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, ch, n_pad), x.dtype),
+        interpret=interpret,
+    )(bounds_arr, xp, w1p, b1p, w2p, b2p)
+    return out[:, :, :n]
