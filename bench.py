@@ -89,6 +89,7 @@ def main(argv=None):
     if args.quick:
         args.factors = "1,2"
         args.warmup, args.iters = 1, 2
+    args.iters = max(1, args.iters)
 
     import jax
 
@@ -168,7 +169,12 @@ def main(argv=None):
     # 900+ speaker embeddings, batched utterances with mixed speaker ids).
     multispeaker_row = None
     if args.multi_speaker:
-        rt_ms = get_runtime(args, n_speakers=args.multi_speaker, gin=512)
+        # Always bench a synthetic N-speaker voice — a user-supplied --model
+        # is (usually) single-speaker and would silently drop the sids.
+        import argparse as _ap
+
+        ms_args = _ap.Namespace(**{**vars(args), "model": None, "config": None})
+        rt_ms = get_runtime(ms_args, n_speakers=args.multi_speaker, gin=512)
         bsz = max(2, args.batch or 8)
         ids8 = (FIXTURE_IDS * 8)[:4096]
         batch = [ids8] * bsz
@@ -187,7 +193,9 @@ def main(argv=None):
             "rtf_throughput": round(audio_s / wall, 1),
         }
 
-    f1 = rows[0]
+    # Baseline comparison row: the factor-1 row when present (the *_factor1
+    # keys would otherwise silently describe whatever factor was listed first).
+    f1 = next((r for r in rows if r["factor"] == 1), rows[0])
     headline_rtf = throughput["rtf_throughput"] if throughput else f1["rtf_mean"]
     result = {
         "metric": "rtf_per_chip",

@@ -10,9 +10,15 @@ import os
 import sys
 from pathlib import Path
 
+import re as _re
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_force_host_platform_device_count" in _flags:
+    _flags = _re.sub(r"--xla_force_host_platform_device_count=\d+",
+                     "--xla_force_host_platform_device_count=8", _flags)
+else:
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

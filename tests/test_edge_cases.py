@@ -24,9 +24,10 @@ def test_frame_overflow_truncates_with_warning(tmp_path_factory, capsys):
         RuntimeOptions(frame_buckets=(32, 64)),  # artificially tiny ladder
     )
     audio = rt.synthesize(FIXTURE_IDS, length_scale=10.0)
-    # Clamped to the largest bucket instead of raising.
+    # Clamped to the largest bucket instead of raising — and says so.
     assert len(audio) == 64 * rt.hparams.hop_length
     assert np.isfinite(audio).all()
+    assert "truncated" in capsys.readouterr().err
 
 
 def test_extreme_scales(runtime):

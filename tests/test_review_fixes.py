@@ -110,16 +110,21 @@ def test_recorder_times_only_recorded_run(runtime, tmp_path):
 
 
 def test_batcher_preserves_arrival_order_on_scale_mismatch(runtime):
-    """Finding 8: a mismatched-scale request starts the NEXT group."""
+    """Finding 8: a mismatched-scale request is served AFTER the group it
+    interrupted — completion order follows arrival order."""
     import time
 
+    done_order = []
     with BatchingServer(runtime, max_batch=8, max_wait_ms=150) as server:
         f_a = server.submit(FIXTURE_IDS)
+        f_a.add_done_callback(lambda _: done_order.append("a"))
         time.sleep(0.02)
         f_b = server.submit(FIXTURE_IDS, length_scale=2.0)
+        f_b.add_done_callback(lambda _: done_order.append("b"))
         a = f_a.result(timeout=300)
         b = f_b.result(timeout=300)
     assert len(b) > len(a)
+    assert done_order == ["a", "b"]
 
 
 def test_cli_env_precision_flag(tmp_path_factory, monkeypatch):

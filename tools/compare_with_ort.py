@@ -66,7 +66,10 @@ def main() -> None:
     model = load_model(args.model)
     rewritten, noise_inputs = externalize_random(model)
     if len(noise_inputs) != 2:
-        print(f"warning: expected 2 RNG nodes (dp, main); found {noise_inputs}")
+        raise SystemExit(
+            f"expected exactly 2 RNG nodes (dp, main) in the export; found "
+            f"{noise_inputs} — cannot feed recorded noise unambiguously"
+        )
     rewritten_path = str(Path(args.model).with_suffix(".norng.onnx"))
     save_model_ir(rewritten_path, rewritten)
 
@@ -78,12 +81,31 @@ def main() -> None:
             [rt.config.inference.noise_scale, rt.config.inference.length_scale,
              rt.config.inference.noise_w], np.float32,
         ),
+        # Piper's export orders the dp noise node before the main one.
+        noise_inputs[0]: dp_noise,
     }
-    # Piper's export orders the dp noise node before the main one.
-    if len(noise_inputs) >= 2:
-        feeds[noise_inputs[0]] = dp_noise
-        feeds[noise_inputs[1]] = main_noise
-    theirs = sess.run(None, feeds)[0].reshape(-1).astype(np.float32)
+    # ORT computes its own frame count from the durations; fp32 rounding can
+    # put it off-by-a-few vs ours, and the injected main noise must match its
+    # internal shape exactly — retry with padded/sliced noise around ours.
+    theirs = None
+    last_err = None
+    for delta in (0, 1, -1, 2, -2, 3, -3):
+        nf = frames + delta
+        if nf <= 0:
+            continue
+        mn = np.zeros((1, main_noise.shape[1], nf), np.float32)
+        span = min(nf, main_noise.shape[-1])
+        mn[:, :, :span] = main_noise[:, :, :span]
+        try:
+            theirs = sess.run(None, {**feeds, noise_inputs[1]: mn})[0]
+            theirs = theirs.reshape(-1).astype(np.float32)
+            if delta:
+                print(f"note: ORT frame count differed by {delta:+d}")
+            break
+        except Exception as e:  # noqa: BLE001 — shape mismatch, try next
+            last_err = e
+    if theirs is None:
+        raise SystemExit(f"ORT run failed for all frame counts near {frames}: {last_err}")
 
     n = min(len(ours), len(theirs))
     err = float(np.max(np.abs(ours[:n] - theirs[:n]))) if n else float("inf")
