@@ -49,7 +49,9 @@ class RuntimeOptions:
     #               gate (measured 4.4e-4 vs the oracle on TPU)
     #   "high"    — 3-pass bf16 (~tf32 accuracy); measured 2.7e-3
     #   "default" — single-pass bf16 inputs; NOT fidelity-safe for this model
-    #   "bfloat16"— bf16 weights + activations end to end (fastest)
+    #   "bfloat16"— bf16 weights + activations end to end; throughput-only:
+    #               durations may round differently and the waveform diverges
+    #               audibly from fp32 (use for capacity, never for fidelity)
     precision: str = "highest"
     # Separate precision for the HiFi-GAN vocoder stage: a single tier name or
     # a per-upsample-level tuple (None = same as `precision`). The vocoder
@@ -120,6 +122,12 @@ def _enable_persistent_jit_cache() -> None:
 
     cache_dir = Path(cache_root()) / "jit-cache"
     try:
+        # TPU-only: cached CPU AOT executables can carry machine features the
+        # loading host lacks (observed "+prefer-no-scatter ... could lead to
+        # SIGILL" warnings when the remote compile helper differs from the
+        # host), so CPU runs always compile fresh.
+        if jax.default_backend() != "tpu":
+            return
         cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

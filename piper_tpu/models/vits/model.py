@@ -69,6 +69,7 @@ def encode(
 ) -> EncodeResult:
     """Text encoder + duration predictor: ids (B, P) -> durations + prior."""
     x, m_p, logs_p, x_mask = text_encoder(phoneme_ids, lengths, params, hp)
+    dp_noise = dp_noise.astype(x.dtype)  # bf16-weight mode: noise arrives f32
     g = speaker_embedding(params, hp, sid)
     logw = stochastic_duration_predictor_reverse(
         x, x_mask, dp_noise, params, hp, g=g, noise_scale=noise_w
@@ -105,7 +106,7 @@ def decode(
     path = generate_path(enc.w_ceil, enc.x_mask, y_mask)  # (B, T, P)
     m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
     logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
-    z_p = m_p + main_noise * jnp.exp(logs_p) * noise_scale
+    z_p = m_p + main_noise.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
     # t_mask=y_mask makes every vocoder conv see zeros beyond y_len, exactly
     # like a dynamic-shape decode whose array ends at y_len — without it,
@@ -173,7 +174,7 @@ def decode_window(
 
     m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
     logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
-    z_p = m_p + main_noise_win * jnp.exp(logs_p) * noise_scale
+    z_p = m_p + main_noise_win.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_reverse(z_p * arr_mask, y_mask * arr_mask, params, hp, g=enc.g)
     # Mask the vocoder at BOTH the window/array edges and beyond y_len,
     # matching decode()'s exact-length semantics.
