@@ -1,0 +1,31 @@
+"""bfloat16 end-to-end mode (throughput-only tier) smoke tests."""
+
+import numpy as np
+import pytest
+
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def bf16_runtime(tmp_path_factory):
+    d = tmp_path_factory.mktemp("voice_bf16")
+    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+    return PiperRuntime(model, config, RuntimeOptions(precision="bfloat16"))
+
+
+def test_bf16_synthesize(bf16_runtime):
+    audio = bf16_runtime.synthesize(FIXTURE_IDS)
+    assert audio.dtype == np.float32  # output converts back to f32 PCM
+    assert len(audio) > 0 and np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0
+
+
+def test_bf16_batch_and_stream(bf16_runtime):
+    audios = bf16_runtime.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS[:6]])
+    assert all(len(a) > 0 and np.isfinite(a).all() for a in audios)
+    chunks = list(bf16_runtime.synthesize_stream(FIXTURE_IDS, incremental=True))
+    assert chunks[-1].is_final
+    assert np.isfinite(np.concatenate([c.samples for c in chunks])).all()
