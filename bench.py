@@ -86,6 +86,10 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    else:
+        from piper_tpu.utils.env import apply_platform_override
+
+        apply_platform_override()
     if args.quick:
         args.factors = "1,2"
         args.warmup, args.iters = 1, 2

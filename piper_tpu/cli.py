@@ -453,6 +453,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from piper_tpu.utils.env import apply_platform_override
+
+    apply_platform_override()
     args = build_parser().parse_args(argv)
     if args.profile_trace:
         import contextlib

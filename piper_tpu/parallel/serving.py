@@ -34,17 +34,30 @@ class ShardedVits:
     params: Params
     hp: VitsHParams
 
+    def __post_init__(self) -> None:
+        # Compiled-fn caches: jax.jit objects are cheap to *call* but a fresh
+        # one per call retraces/recompiles every time. Keyed the same way
+        # PiperRuntime._build_jits keys its programs.
+        self._infer_fns: dict = {}
+        self._sp_decode_fns: dict = {}
+
     @classmethod
     def create(cls, mesh: Mesh, params: Params, hp: VitsHParams) -> "ShardedVits":
         placed = jax.device_put(params, replicated(mesh))
         return cls(mesh=mesh, params=placed, hp=hp)
 
     def infer_fn(self, max_frames: int, with_sid: bool = False):
-        """Build a jitted, batch-sharded fused synthesis step.
+        """Return the jitted, batch-sharded fused synthesis step for this
+        (max_frames, with_sid) — cached, so repeated serving calls reuse the
+        compiled program instead of retracing.
 
         Inputs are expected sharded along batch (axis 0) over `dp`; the
         returned audio is sharded the same way.
         """
+        key = (int(max_frames), bool(with_sid))
+        cached = self._infer_fns.get(key)
+        if cached is not None:
+            return cached
         hp = self.hp
         b_sh = batch_sharded(self.mesh)
         r_sh = replicated(self.mesh)
@@ -66,6 +79,7 @@ class ShardedVits:
             in_shardings=in_shardings,
             out_shardings=(b_sh, b_sh),
         )
+        self._infer_fns[key] = fn
         return fn
 
     def synthesize_batch(
@@ -107,7 +121,8 @@ class ShardedVits:
     # -- sequence-parallel decode (long outputs) ----------------------------
 
     def sp_decode_fn(self, span: int, halo: Optional[int] = None):
-        """Build a jitted sequence-parallel decode over the `sp` mesh axis.
+        """Return the jitted sequence-parallel decode over the `sp` mesh axis
+        for this (span, halo) — cached like infer_fn.
 
         Each sp shard decodes a contiguous block of `span` frames using the
         same haloed-window formulation as streaming (model.decode_window), so
@@ -124,6 +139,10 @@ class ShardedVits:
 
         hp = self.hp
         h = receptive_field_frames(hp) if halo is None else int(halo)
+        key = (int(span), h)
+        cached = self._sp_decode_fns.get(key)
+        if cached is not None:
+            return cached
         window = span + 2 * h
         hop = hp.hop_length
         mesh = self.mesh
@@ -148,7 +167,9 @@ class ShardedVits:
             out_specs=P(None, SEQ_AXIS),
             check_vma=False,
         )
-        return jax.jit(lambda enc, seed, total, ns: mapped(self.params, enc, seed, total, ns))
+        fn = jax.jit(lambda enc, seed, total, ns: mapped(self.params, enc, seed, total, ns))
+        self._sp_decode_fns[key] = fn
+        return fn
 
     def synthesize_long(
         self,
