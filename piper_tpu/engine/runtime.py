@@ -582,10 +582,14 @@ class PiperRuntime:
         *,
         max_frames: int = 256,
         seed: Optional[int] = None,
+        per_layer: bool = False,
         **scales,
     ) -> dict:
         """Run the full graph returning every module boundary tensor as numpy
-        (the analog of the reference's GraphExecutor.execute debug mode)."""
+        (the analog of the reference's GraphExecutor.execute debug mode).
+        per_layer=True additionally returns one tensor per conv/flow-step/attn
+        layer keyed by its checkpoint parameter path, for bisecting a
+        divergence to a single layer."""
         from piper_tpu.models.vits.model import debug_infer
 
         ids = np.asarray(list(phoneme_ids), np.int32)[None]
@@ -602,14 +606,22 @@ class PiperRuntime:
         sid = self._sid_array(
             [scales["speaker_id"]] if scales.get("speaker_id") is not None else None, 1
         )
-        with jax.default_matmul_precision(self._matmul_precision()):
-            out = debug_infer(
-                self.params, self.hparams, jnp.asarray(ids),
-                jnp.asarray([len(phoneme_ids)], jnp.int32),
-                jnp.asarray(dp_noise), jnp.asarray(main_noise),
-                max_frames=max_frames, noise_scale=ns, length_scale=ls, noise_w=nw,
-                sid=sid,
-            )
+        # Jitted: trace_put captures tracers during tracing, so every
+        # per-layer entry becomes a program output — one compiled run instead
+        # of a (much slower) eager sweep.
+        def run(params, ids_j, lengths_j, dpn, mn):
+            with jax.default_matmul_precision(self._matmul_precision()):
+                return debug_infer(
+                    params, self.hparams, ids_j, lengths_j, dpn, mn,
+                    max_frames=max_frames, noise_scale=ns, length_scale=ls,
+                    noise_w=nw, sid=sid, per_layer=per_layer,
+                )
+
+        out = jax.jit(run)(
+            self.params, jnp.asarray(ids),
+            jnp.asarray([len(phoneme_ids)], jnp.int32),
+            jnp.asarray(dp_noise), jnp.asarray(main_noise),
+        )
         return {k: np.asarray(v) for k, v in out.items()}
 
     # -- internals ---------------------------------------------------------

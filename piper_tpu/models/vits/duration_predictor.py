@@ -17,6 +17,7 @@ from piper_tpu.models.vits.params import Params, Prefix
 from piper_tpu.ops.conv import conv1d, conv1d_same
 from piper_tpu.ops.nn import gelu_exact, layer_norm_channels
 from piper_tpu.ops.spline import rational_quadratic_spline
+from piper_tpu.utils.debug_trace import trace_put
 
 
 def _dds_conv(
@@ -48,6 +49,7 @@ def _dds_conv(
         y = layer_norm_channels(y, n2["gamma"], n2["beta"])
         y = gelu_exact(y)
         x = x + y
+        trace_put(f"{p.prefix}.layer.{i}", x)
     return x * x_mask
 
 
@@ -117,7 +119,9 @@ def stochastic_duration_predictor_reverse(
     for idx in reversed(conv_flow_indices[1:]):  # 7, 5, 3
         z = jnp.flip(z, axis=1)  # Flip flow
         z = _conv_flow_reverse(z, x_mask, p.sub(f"flows.{idx}"), hp, g=h)
+        trace_put(f"{prefix}.flows.{idx}", z)
     z = jnp.flip(z, axis=1)  # Flip preceding the skipped CF@1
     z = _elementwise_affine_reverse(z, x_mask, p.sub("flows.0"))
+    trace_put(f"{prefix}.flows.0", z)
     logw = z[:, :1]
     return logw

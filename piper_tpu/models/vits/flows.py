@@ -14,6 +14,7 @@ from piper_tpu.models.vits.hparams import VitsHParams
 from piper_tpu.models.vits.params import Params, Prefix
 from piper_tpu.ops.conv import conv1d, conv1d_same
 from piper_tpu.ops.nn import fused_add_tanh_sigmoid_multiply
+from piper_tpu.utils.debug_trace import trace_put
 
 
 def wavenet(
@@ -36,6 +37,7 @@ def wavenet(
         x_in = conv1d_same(
             x, p[f"in_layers.{i}.weight"], p[f"in_layers.{i}.bias"], dilation=dilation
         )
+        trace_put(f"{p.prefix}.in_layers.{i}", x_in)
         if g_all is not None:
             g_l = g_all[:, i * 2 * hidden_channels : (i + 1) * 2 * hidden_channels]
         else:
@@ -44,6 +46,7 @@ def wavenet(
         res_skip = conv1d(
             acts, p[f"res_skip_layers.{i}.weight"], p[f"res_skip_layers.{i}.bias"]
         )
+        trace_put(f"{p.prefix}.res_skip_layers.{i}", res_skip)
         if i < n_layers - 1:
             x = (x + res_skip[:, :hidden_channels]) * x_mask
             output = output + res_skip[:, hidden_channels:]
@@ -97,4 +100,5 @@ def flow_reverse(
     for i in reversed(range(hp.flow_n_flows)):
         z = jnp.flip(z, axis=1)  # inverse of the Flip that follows RCL@2i
         z = _residual_coupling_reverse(z, y_mask, p.sub(f"flows.{2 * i}"), hp, g)
+        trace_put(f"{prefix}.flows.{2 * i}", z)
     return z

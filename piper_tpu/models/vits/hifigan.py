@@ -17,6 +17,7 @@ from piper_tpu.models.vits.hparams import VitsHParams
 from piper_tpu.models.vits.params import Params, Prefix
 from piper_tpu.ops.conv import conv1d, conv1d_same, conv1d_same_opt, conv_transpose1d
 from piper_tpu.ops.nn import leaky_relu
+from piper_tpu.utils.debug_trace import trace_put
 
 LRELU_SLOPE = 0.1
 
@@ -51,8 +52,10 @@ def _resblock1(
     for m, d in enumerate(dilations):
         xt = _lrelu_conv(x, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"],
                          dilation=d, t_mask=t_mask, use_pallas=use_pallas)
+        trace_put(f"{p.prefix}.convs1.{m}", xt)
         xt = _lrelu_conv(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"],
                          t_mask=t_mask, use_pallas=use_pallas)
+        trace_put(f"{p.prefix}.convs2.{m}", xt)
         x = x + xt
     return x
 
@@ -64,6 +67,7 @@ def _resblock2(
     for m, d in enumerate(dilations):
         xt = _lrelu_conv(x, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"],
                          dilation=d, t_mask=t_mask, use_pallas=use_pallas)
+        trace_put(f"{p.prefix}.convs.{m}", xt)
         x = x + xt
     return x
 
@@ -116,6 +120,7 @@ def hifigan_generator(
         x = conv1d(masked(z, m), p["conv_pre.weight"], p["conv_pre.bias"], padding=3)
         if g is not None:
             x = x + conv1d(g, p["cond.weight"], p["cond.bias"])
+        trace_put(f"{prefix}.conv_pre", x)
 
     num_kernels = hp.num_resblock_kernels
     use_resblock2 = f"{prefix}.resblocks.0.convs.0.weight" in params
@@ -133,6 +138,7 @@ def hifigan_generator(
                 stride=u,
                 padding=(k - u) // 2,
             )
+            trace_put(f"{prefix}.ups.{i}", x)
             if m is not None:
                 m = jnp.repeat(m, u, axis=2)
                 x = x * m
@@ -171,11 +177,13 @@ def hifigan_generator(
                         else _resblock1(x, rb, kernel, dils, t_mask=m,
                                         use_pallas=use_pallas)
                     )
+                trace_put(f"{prefix}.resblocks.{i * num_kernels + j}", y)
                 acc = y if acc is None else acc + y
             x = acc / num_kernels
 
     with _prec_ctx(lp[-1]):
         x = leaky_relu(masked(x, m))  # final activation: torch default slope 0.01
         x = conv1d(masked(x, m), p["conv_post.weight"], p["conv_post.bias"], padding=3)
+        trace_put(f"{prefix}.conv_post", x)
     out = jnp.tanh(x)
     return out if m is None else out * m

@@ -198,17 +198,36 @@ def debug_infer(
     length_scale: jnp.ndarray | float = 1.0,
     noise_w: jnp.ndarray | float = 0.8,
     sid: Optional[jnp.ndarray] = None,
+    per_layer: bool = False,
 ) -> dict:
     """Full inference returning every stage's intermediates.
 
     The analog of the reference's prefix-execution debug mode
     (GraphExecutor.execute(maxNodeIndex:), GraphExecutor.swift:73-152):
     instead of running the graph up to node N, every module boundary tensor
-    comes back in one dict, for parity debugging against an oracle."""
+    comes back in one dict, for parity debugging against an oracle.
+
+    With per_layer=True the dict additionally carries one entry per conv /
+    flow step / attention layer, keyed by the checkpoint parameter path that
+    produced it (e.g. "flow.flows.2.enc.in_layers.1") — fine-grained enough
+    to bisect a single-layer divergence, the way the reference inspects its
+    whole value table."""
     from piper_tpu.models.vits.text_encoder import text_encoder as _te
     from piper_tpu.models.vits.duration_predictor import (
         stochastic_duration_predictor_reverse as _sdp,
     )
+
+    if per_layer:
+        from contextlib import ExitStack
+
+        from piper_tpu.utils.debug_trace import collecting
+
+        layer_trace: dict = {}
+        stack = ExitStack()
+        stack.enter_context(collecting(layer_trace))
+    else:
+        layer_trace = {}
+        stack = None
 
     x, m_p, logs_p, x_mask = _te(phoneme_ids, lengths, params, hp)
     g = speaker_embedding(params, hp, sid)
@@ -223,7 +242,10 @@ def debug_infer(
     z_p = m_p_exp + main_noise * jnp.exp(logs_p_exp) * noise_scale
     z = flow_reverse(z_p, y_mask, params, hp, g=g)
     audio = hifigan_generator(z * y_mask, params, hp, g=g, t_mask=y_mask)
+    if stack is not None:
+        stack.close()
     return {
+        **layer_trace,
         "enc_hidden": x,
         "m_p": m_p,
         "logs_p": logs_p,

@@ -17,6 +17,7 @@ from piper_tpu.ops.attention import multi_head_attention
 from piper_tpu.ops.conv import conv1d, conv1d_same
 from piper_tpu.ops.masking import sequence_mask
 from piper_tpu.ops.nn import layer_norm_channels
+from piper_tpu.utils.debug_trace import trace_put
 
 
 def _ffn(x: jnp.ndarray, x_mask: jnp.ndarray, p: Prefix) -> jnp.ndarray:
@@ -55,11 +56,15 @@ def encoder(
     x = x * x_mask
     for i in range(hp.n_layers):
         y = _attn_layer(x, attn_mask, p.sub(f"attn_layers.{i}"), hp)
+        trace_put(f"{prefix}.attn_layers.{i}", y)
         n1 = p.sub(f"norm_layers_1.{i}")
         x = layer_norm_channels(x + y, n1["gamma"], n1["beta"])
+        trace_put(f"{prefix}.norm_layers_1.{i}", x)
         y = _ffn(x, x_mask, p.sub(f"ffn_layers.{i}"))
+        trace_put(f"{prefix}.ffn_layers.{i}", y)
         n2 = p.sub(f"norm_layers_2.{i}")
         x = layer_norm_channels(x + y, n2["gamma"], n2["beta"])
+        trace_put(f"{prefix}.norm_layers_2.{i}", x)
     return x * x_mask
 
 
