@@ -300,6 +300,7 @@ class PiperRuntime:
                     params, hp, enc, main_noise, t_offset,
                     window=window, total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
+                    use_pallas=use_pallas,
                 )
 
         def decode_window_injected(params, enc, main_noise_win, t_offset,
@@ -309,6 +310,7 @@ class PiperRuntime:
                     params, hp, enc, main_noise_win, t_offset,
                     window=main_noise_win.shape[-1], total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
+                    use_pallas=use_pallas,
                 )
 
         self._encode_keyed = jax.jit(encode_keyed)

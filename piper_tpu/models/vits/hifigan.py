@@ -22,7 +22,17 @@ from piper_tpu.utils.debug_trace import trace_put
 LRELU_SLOPE = 0.1
 
 
-def _lrelu_conv(x, w, b, *, dilation=1, t_mask=None, use_pallas=False):
+def _pallas_precision(precision):
+    """Map a level-precision tier onto the Pallas mxu_dot tiers."""
+    if precision in (None, "highest"):
+        return "highest"
+    if precision == "high":
+        return "high"
+    return "default"  # "default" / "bfloat16"
+
+
+def _lrelu_conv(x, w, b, *, dilation=1, t_mask=None, use_pallas=False,
+                precision=None):
     """leaky_relu -> (mask ->) same-conv, via the fused Pallas kernel for
     narrow square convs on TPU (measured 1.4-2.9x over XLA's conv lowering),
     else the packed/plain XLA lowering.
@@ -34,7 +44,9 @@ def _lrelu_conv(x, w, b, *, dilation=1, t_mask=None, use_pallas=False):
         from piper_tpu.ops.pallas.conv import pallas_conv1d_same
 
         xin = x if t_mask is None else x * t_mask
-        return pallas_conv1d_same(xin, w, b, dilation=dilation, act_slope=LRELU_SLOPE)
+        return pallas_conv1d_same(xin, w, b, dilation=dilation,
+                                  act_slope=LRELU_SLOPE,
+                                  precision=_pallas_precision(precision))
     xt = leaky_relu(x, LRELU_SLOPE)
     if t_mask is not None:
         xt = xt * t_mask
@@ -42,7 +54,8 @@ def _lrelu_conv(x, w, b, *, dilation=1, t_mask=None, use_pallas=False):
 
 
 def _resblock1(
-    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None, use_pallas=False
+    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None,
+    use_pallas=False, precision=None
 ) -> jnp.ndarray:
     """Multi-receptive-field residual block (HiFi-GAN ResBlock1).
 
@@ -51,22 +64,26 @@ def _resblock1(
     numerically identical)."""
     for m, d in enumerate(dilations):
         xt = _lrelu_conv(x, p[f"convs1.{m}.weight"], p[f"convs1.{m}.bias"],
-                         dilation=d, t_mask=t_mask, use_pallas=use_pallas)
+                         dilation=d, t_mask=t_mask, use_pallas=use_pallas,
+                         precision=precision)
         trace_put(f"{p.prefix}.convs1.{m}", xt)
         xt = _lrelu_conv(xt, p[f"convs2.{m}.weight"], p[f"convs2.{m}.bias"],
-                         t_mask=t_mask, use_pallas=use_pallas)
+                         t_mask=t_mask, use_pallas=use_pallas,
+                         precision=precision)
         trace_put(f"{p.prefix}.convs2.{m}", xt)
         x = x + xt
     return x
 
 
 def _resblock2(
-    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None, use_pallas=False
+    x: jnp.ndarray, p: Prefix, kernel: int, dilations, t_mask=None,
+    use_pallas=False, precision=None
 ) -> jnp.ndarray:
     """Single-conv residual block (HiFi-GAN ResBlock2, used by some voices)."""
     for m, d in enumerate(dilations):
         xt = _lrelu_conv(x, p[f"convs.{m}.weight"], p[f"convs.{m}.bias"],
-                         dilation=d, t_mask=t_mask, use_pallas=use_pallas)
+                         dilation=d, t_mask=t_mask, use_pallas=use_pallas,
+                         precision=precision)
         trace_put(f"{p.prefix}.convs.{m}", xt)
         x = x + xt
     return x
@@ -102,10 +119,11 @@ def hifigan_generator(
     so a window edge behaves exactly like the full run's zero padding. With
     t_mask=None (the full run) nothing changes.
 
-    `t_bounds` (B,) int32 gives each row's valid FRAME count; with
-    use_pallas it lets the fused resblock-branch kernel apply the same
-    exact-length masking per row inside VMEM (one kernel per branch instead
-    of six conv kernels + mask passes).
+    `t_bounds` gives each row's valid FRAME interval — (B,) int32 meaning
+    [0, hi) for bulk decode, or (B, 2) [lo, hi) for streaming windows whose
+    left edge sits mid-sequence; with use_pallas it lets the fused
+    resblock-branch kernel apply the same exact-length masking per row inside
+    VMEM (one kernel per branch instead of six conv kernels + mask passes).
     """
     if isinstance(level_precisions, str):
         level_precisions = [level_precisions] * hp.num_upsamples
@@ -127,6 +145,8 @@ def hifigan_generator(
     bounds = None
     if t_bounds is not None:
         bounds = t_bounds.astype(jnp.int32)
+        if bounds.ndim == 1:
+            bounds = jnp.stack([jnp.zeros_like(bounds), bounds], axis=1)
     for i in range(hp.num_upsamples):
         with _prec_ctx(lp[i]):
             x = leaky_relu(masked(x, m), LRELU_SLOPE)
@@ -169,13 +189,15 @@ def hifigan_generator(
                     y = pallas_resblock1_branch(
                         x, w1, b1, w2, b2, kernel=kernel, dilations=dils,
                         bounds=bounds, slope=LRELU_SLOPE,
+                        precision=_pallas_precision(lp[i]),
                     )
                 else:
                     y = (
-                        _resblock2(x, rb, kernel, dils, t_mask=m, use_pallas=use_pallas)
+                        _resblock2(x, rb, kernel, dils, t_mask=m,
+                                   use_pallas=use_pallas, precision=lp[i])
                         if use_resblock2
                         else _resblock1(x, rb, kernel, dils, t_mask=m,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas, precision=lp[i])
                     )
                 trace_put(f"{prefix}.resblocks.{i * num_kernels + j}", y)
                 acc = y if acc is None else acc + y

@@ -141,6 +141,7 @@ def decode_window(
     total_frames: jnp.ndarray,
     noise_scale: jnp.ndarray | float = 0.667,
     vocoder_precision=None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Decode only frames [t_offset, t_offset + window) — streaming.
 
@@ -177,10 +178,18 @@ def decode_window(
     z_p = m_p + main_noise_win.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
     z = flow_reverse(z_p * arr_mask, y_mask * arr_mask, params, hp, g=enc.g)
     # Mask the vocoder at BOTH the window/array edges and beyond y_len,
-    # matching decode()'s exact-length semantics.
+    # matching decode()'s exact-length semantics. In window coordinates the
+    # combined valid region is the contiguous interval [lo, hi): lo is the
+    # left halo clipped at the sequence start, hi is min(y_len, total)
+    # relative to the window — expressed as per-row bounds so the fused
+    # Pallas branch kernel can apply it in VMEM.
+    b = enc.m_p.shape[0]
+    lo = jnp.broadcast_to(jnp.clip(-t_offset, 0, window).astype(jnp.int32), (b,))
+    hi = jnp.clip(y_lengths.astype(jnp.int32) - t_offset, 0, window)
     audio = hifigan_generator(
         z * y_mask, params, hp, g=enc.g,
         level_precisions=vocoder_precision, t_mask=y_mask * arr_mask,
+        use_pallas=use_pallas, t_bounds=jnp.stack([lo, hi], axis=1),
     )
     return audio[:, 0, :]
 

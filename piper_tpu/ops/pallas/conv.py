@@ -26,8 +26,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def force_interpret() -> bool:
+    """PIPER_TPU_PALLAS_INTERPRET=1 runs every Pallas kernel in interpreter
+    mode — lets CPU CI exercise the exact model-level kernel plumbing
+    (bounds, precision tiers) that production runs on TPU."""
+    import os
+
+    return os.environ.get("PIPER_TPU_PALLAS_INTERPRET") == "1"
+
+
+def mxu_dot(w, x, precision: str = "highest"):
+    """(C, C*K) x (C*K, T) dot at an explicit MXU precision tier.
+
+    Pallas bypasses XLA's default_matmul_precision, so the tier is explicit:
+      "highest"             — fp32 inputs (Mosaic's multi-pass fp32 path)
+      "high"                — 3-pass bf16 split (w = w_hi + w_lo, x = x_hi +
+                              x_lo; drop the lo*lo term) — tf32-class error
+      "default"/"bfloat16"  — single bf16 pass
+    All tiers accumulate in fp32.
+    """
+    if precision in (None, "highest"):
+        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+    if precision == "high":
+        w_hi = w.astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out = jnp.dot(w_hi, x_hi, preferred_element_type=jnp.float32)
+        out += jnp.dot(w_hi, x_lo, preferred_element_type=jnp.float32)
+        out += jnp.dot(w_lo, x_hi, preferred_element_type=jnp.float32)
+        return out
+    # "default" / "bfloat16": one bf16 pass, fp32 accumulate.
+    return jnp.dot(
+        w.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, cols, sems, *, k: int, dilation: int,
-            tile: int, win: int, act_slope: float, ch: int, nt: int, total: int):
+            tile: int, win: int, act_slope: float, ch: int, nt: int, total: int,
+            precision: str):
     i = pl.program_id(0)
     t = pl.program_id(1)
     s = i * nt + t  # linear step over the whole grid
@@ -59,7 +97,7 @@ def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, cols, sems, *, k: int, dilation: i
     # slices directly).
     for j in range(k):
         cols[j * ch : (j + 1) * ch, :] = x[:, j * dilation : j * dilation + tile]
-    y = jnp.dot(w_ref[:], cols[:], preferred_element_type=jnp.float32)
+    y = mxu_dot(w_ref[:], cols[:], precision)
     o_ref[:] = y + b_ref[:]
 
 
@@ -72,13 +110,16 @@ def pallas_conv1d_same(
     act_slope: float = 0.0,
     tile: int = 4096,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Same-padded conv1d (odd kernel) with optional fused leaky-relu input.
 
     Equivalent to `conv1d_same(leaky_relu(x, act_slope), weight, bias,
     dilation=dilation)` (identity activation when act_slope == 0).
     x: (B, C, N) fp32; weight: (C_out, C_in, K) with square channels.
+    `precision` picks the MXU tier (see mxu_dot).
     """
+    interpret = interpret or force_interpret()
     b, ch, n = x.shape
     c_out, c_in, k = weight.shape
     assert c_out == ch and c_in == ch, "square-channel convs only"
@@ -107,7 +148,7 @@ def pallas_conv1d_same(
     out = pl.pallas_call(
         functools.partial(
             _kernel, k=k, dilation=dilation, tile=tile, win=win,
-            act_slope=act_slope, ch=ch, nt=nt, total=b * nt,
+            act_slope=act_slope, ch=ch, nt=nt, total=b * nt, precision=precision,
         ),
         grid=grid,
         in_specs=[

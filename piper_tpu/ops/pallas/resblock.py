@@ -12,10 +12,18 @@ Margins: each stage consumes (k-1)/2*d_m + (k-1)/2 lanes per side; the
 window halo is the total, so the central tile is exact (the same shrinking-
 validity argument as streaming windows).
 
-Exact-length semantics: `bounds` (B,) int32 gives each row's valid sample
-count at this level's rate; lanes at global positions outside [0, bound)
-are zeroed after every activation, reproducing a dynamic-shape array edge
-(what hifigan's t_mask does, but in VMEM for free).
+Exact-length semantics: `bounds` gives each row's valid sample interval at
+this level's rate — (B,) meaning [0, hi) for bulk decode, or (B, 2) [lo, hi)
+for streaming windows whose left edge sits mid-sequence; lanes at global
+positions outside the interval are zeroed after every activation,
+reproducing a dynamic-shape array edge (what hifigan's t_mask does, but in
+VMEM for free).
+
+`precision` picks the MXU tier for the six dots: "highest" (fp32),
+"high" (3-pass bf16 split — tf32-class), or "default"/"bfloat16"
+(single-pass bf16). The late levels are HBM-bound on this chip, so lower
+tiers mainly help once activations shrink; the tier is calibrated against
+the torch oracle in tools/calibrate_precision.py.
 """
 
 from __future__ import annotations
@@ -28,11 +36,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from piper_tpu.ops.pallas.conv import mxu_dot
+
 
 def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                    xwin, ybuf, tbuf, cols, sems, *,
                    k: int, dils: Sequence[int], tile: int, wb: int, ch: int,
-                   nt: int, total: int, slope: float):
+                   nt: int, total: int, slope: float, precision: str):
     i = pl.program_id(0)
     t = pl.program_id(1)
     s = i * nt + t
@@ -61,14 +71,15 @@ def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     halo_total = sum((k - 1) // 2 * d + h2 for d in dils)
 
     # Global sample index of lane l: t*tile + l - halo_total (x was
-    # left-padded by the halo). Valid iff 0 <= g < bounds[i]. The mask is
-    # ALWAYS applied: without it, bias propagation into the left halo lanes
-    # (global g < 0) diverges from the real array edge; it also provides
+    # left-padded by the halo). Valid iff lo <= g < hi. The mask is ALWAYS
+    # applied: without it, bias propagation into the left halo lanes
+    # (global g < lo) diverges from the real array edge; it also provides
     # exact-length (dynamic-shape) semantics past each row's bound.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
     g = t * tile + lane - halo_total
-    bound = bounds_ref[i]
-    mask = jnp.logical_and(g >= 0, g < bound).astype(jnp.float32)
+    lo = bounds_ref[i, 0]
+    hi = bounds_ref[i, 1]
+    mask = jnp.logical_and(g >= lo, g < hi).astype(jnp.float32)
 
     def act(v):
         v = jnp.where(v >= 0, v, v * slope)
@@ -84,8 +95,7 @@ def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         for j in range(k):
             off = a1 - h1 + j * d
             cols[j * ch : (j + 1) * ch, 0:width1] = src[:, off : off + width1]
-        y1 = jnp.dot(w1_ref[m], cols[:, 0:width1],
-                     preferred_element_type=jnp.float32) + b1_ref[m]
+        y1 = mxu_dot(w1_ref[m], cols[:, 0:width1], precision) + b1_ref[m]
         tbuf[:, a1 : a1 + width1] = y1
         # conv2 (dense): output valid on [a1+h2, wb-a1-h2)
         a2 = a1 + h2
@@ -94,8 +104,7 @@ def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         for j in range(k):
             off = a2 - h2 + j
             cols[j * ch : (j + 1) * ch, 0:width2] = src2[:, off : off + width2]
-        y2 = jnp.dot(w2_ref[m], cols[:, 0:width2],
-                     preferred_element_type=jnp.float32) + b2_ref[m]
+        y2 = mxu_dot(w2_ref[m], cols[:, 0:width2], precision) + b2_ref[m]
         # residual: y += y2 on the valid region
         ybuf[:, a2 : a2 + width2] = ybuf[:, a2 : a2 + width2] + y2
         margin = a2
@@ -112,12 +121,16 @@ def pallas_resblock1_branch(
     *,
     kernel: int,
     dilations: Sequence[int],
-    bounds: Optional[jnp.ndarray] = None,  # (B,) valid samples per row
+    bounds: Optional[jnp.ndarray] = None,  # (B,) [0, hi) or (B, 2) [lo, hi)
     slope: float = 0.1,
     tile: int = 2048,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """One ResBlock1 branch: returns y after all (conv1, conv2, +) stages."""
+    from piper_tpu.ops.pallas.conv import force_interpret
+
+    interpret = interpret or force_interpret()
     b, ch, n = x.shape
     m = len(dilations)
     k = kernel
@@ -138,14 +151,23 @@ def pallas_resblock1_branch(
     w2p = w2s.transpose(0, 1, 3, 2).reshape(m, ch, k * ch)
     b1p = b1s.reshape(m, ch, 1)
     b2p = b2s.reshape(m, ch, 1)
-    bounds_arr = (bounds if bounds is not None else jnp.full((b,), n)).astype(jnp.int32)
+    if bounds is None:
+        bounds_arr = jnp.stack(
+            [jnp.zeros((b,), jnp.int32), jnp.full((b,), n, jnp.int32)], axis=1
+        )
+    else:
+        bounds = bounds.astype(jnp.int32)
+        if bounds.ndim == 1:
+            bounds_arr = jnp.stack([jnp.zeros_like(bounds), bounds], axis=1)
+        else:
+            bounds_arr = bounds
 
     nt = n_pad // tile
     grid = (b, nt)
     out = pl.pallas_call(
         functools.partial(
             _branch_kernel, k=k, dils=tuple(dilations), tile=tile, wb=wb, ch=ch,
-            nt=nt, total=b * nt, slope=slope,
+            nt=nt, total=b * nt, slope=slope, precision=precision,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -120,9 +120,12 @@ class ShardedVits:
 
     # -- sequence-parallel decode (long outputs) ----------------------------
 
-    def sp_decode_fn(self, span: int, halo: Optional[int] = None):
+    def sp_decode_fn(self, span: int, halo: Optional[int] = None,
+                     use_pallas: Optional[bool] = None):
         """Return the jitted sequence-parallel decode over the `sp` mesh axis
-        for this (span, halo) — cached like infer_fn.
+        for this (span, halo) — cached like infer_fn. `use_pallas` routes the
+        vocoder's narrow convs through the fused Pallas kernels (None = auto:
+        on for the TPU backend only).
 
         Each sp shard decodes a contiguous block of `span` frames using the
         same haloed-window formulation as streaming (model.decode_window), so
@@ -139,7 +142,9 @@ class ShardedVits:
 
         hp = self.hp
         h = receptive_field_frames(hp) if halo is None else int(halo)
-        key = (int(span), h)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        key = (int(span), h, bool(use_pallas))
         cached = self._sp_decode_fns.get(key)
         if cached is not None:
             return cached
@@ -156,7 +161,7 @@ class ShardedVits:
             audio = vits.decode_window(
                 params, hp, enc, noise, t_offset,
                 window=window, total_frames=total_frames,
-                noise_scale=noise_scale,
+                noise_scale=noise_scale, use_pallas=use_pallas,
             )
             return audio[:, h * hop : (h + span) * hop]
 

@@ -74,3 +74,111 @@ def test_fused_resblock_branch_matches_torch(ch, k, dils, n, bnd):
                           padding=(k - 1) // 2)
             y = y + t2
     np.testing.assert_allclose(np.asarray(got), y.numpy(), atol=1e-5)
+
+
+def test_fused_resblock_branch_two_sided_bounds():
+    """(B, 2) [lo, hi) bounds — the streaming-window left edge."""
+    rng = np.random.default_rng(1)
+    ch, k, dils, n = 32, 7, (1, 3), 512
+    x = rng.standard_normal((2, ch, n)).astype(np.float32) * 0.3
+    m = len(dils)
+    w1 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+    b1 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+    w2 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+    b2 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+    bounds = np.array([[37, 401], [0, 512]], np.int32)
+    got = pallas_resblock1_branch(
+        jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
+        jnp.asarray(w2), jnp.asarray(b2),
+        kernel=k, dilations=dils, bounds=jnp.asarray(bounds),
+        tile=256, interpret=True,
+    )
+    with torch.no_grad():
+        y = torch.from_numpy(x)
+        mask = torch.ones((2, 1, n))
+        for bi, (lo, hi) in enumerate(bounds):
+            mask[bi, 0, :lo] = 0
+            mask[bi, 0, hi:] = 0
+        for mi, d in enumerate(dils):
+            t1 = F.leaky_relu(y, 0.1) * mask
+            t1 = F.conv1d(t1, torch.from_numpy(w1[mi]), torch.from_numpy(b1[mi]),
+                          padding=(k - 1) // 2 * d, dilation=d)
+            t2 = F.leaky_relu(t1, 0.1) * mask
+            t2 = F.conv1d(t2, torch.from_numpy(w2[mi]), torch.from_numpy(b2[mi]),
+                          padding=(k - 1) // 2)
+            y = y + t2
+    np.testing.assert_allclose(np.asarray(got), y.numpy(), atol=1e-5)
+
+
+@pytest.mark.parametrize("precision,atol", [("high", 2e-3), ("default", 0.3)])
+def test_mxu_dot_precision_tiers(precision, atol):
+    """Lower tiers approximate the fp32 kernel within their class tolerance
+    ("high" = 3-pass bf16 split, tf32-class; "default" = single bf16 pass)."""
+    rng = np.random.default_rng(2)
+    ch, k, d, n = 32, 7, 3, 512
+    x = rng.standard_normal((1, ch, n)).astype(np.float32)
+    w = (rng.standard_normal((ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+    bias = rng.standard_normal((ch,)).astype(np.float32)
+    exact = pallas_conv1d_same(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+        dilation=d, act_slope=0.1, tile=256, interpret=True,
+    )
+    approx = pallas_conv1d_same(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias),
+        dilation=d, act_slope=0.1, tile=256, interpret=True, precision=precision,
+    )
+    err = float(np.abs(np.asarray(exact) - np.asarray(approx)).max())
+    assert err < atol
+    if precision == "high":
+        assert err > 0  # it did take the reduced-precision path
+
+
+def test_decode_window_pallas_matches_unfused(monkeypatch):
+    """Streaming decode with the fused Pallas path (interpret mode) must
+    match the plain XLA lowering — exercises the two-sided bounds plumbing
+    through hifigan_generator end to end."""
+    monkeypatch.setenv("PIPER_TPU_PALLAS_INTERPRET", "1")
+    from piper_tpu.models.vits.hparams import VitsHParams
+    from piper_tpu.models.vits import model as vits
+    from piper_tpu.models.vits.params import params_from_arrays
+    from piper_tpu.models.vits.synthetic import synthetic_params
+
+    hp = VitsHParams(
+        n_vocab=40, inter_channels=16, hidden_channels=16, filter_channels=32,
+        n_heads=2, n_layers=1, dp_filter_channels=16, dp_n_flows=2,
+        flow_n_flows=1, flow_hidden_channels=16, flow_n_layers=1,
+        resblock_kernel_sizes=[3, 5], resblock_dilation_sizes=[[1, 3], [1, 3]],
+        upsample_rates=[4, 2], upsample_initial_channel=64,
+        upsample_kernel_sizes=[8, 4],
+    )
+    params = params_from_arrays(synthetic_params(hp, seed=5))
+    rng = np.random.default_rng(0)
+    b, p = 2, 12
+    ids = jnp.asarray(rng.integers(0, hp.n_vocab, size=(b, p)), jnp.int32)
+    lengths = jnp.asarray([p, p - 3], jnp.int32)
+    dp_noise = jnp.asarray(rng.standard_normal((b, 2, p)).astype(np.float32))
+    enc = vits.encode(params, hp, ids, lengths, dp_noise)
+
+    window, t_offset, total = 24, 8, 40
+    noise = jnp.asarray(
+        rng.standard_normal((b, hp.inter_channels, window)).astype(np.float32)
+    )
+    plain = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(t_offset),
+        window=window, total_frames=jnp.int32(total), use_pallas=False,
+    )
+    fused = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(t_offset),
+        window=window, total_frames=jnp.int32(total), use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-5)
+    # Left edge too (t_offset < 0: the first streaming window).
+    plain0 = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(-4),
+        window=window, total_frames=jnp.int32(total), use_pallas=False,
+    )
+    fused0 = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(-4),
+        window=window, total_frames=jnp.int32(total), use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused0), np.asarray(plain0), atol=1e-5)
