@@ -40,21 +40,35 @@ def _percentile(xs, p):
     return s[f] if f == c else s[f] + (s[c] - s[f]) * (k - f)
 
 
-def get_runtime(args, n_speakers: int = 1, gin: int = 0):
+def _parse_vocoder_precision(spec):
+    """None | single tier | comma-separated per-upsample-level tiers."""
+    if not spec:
+        return None
+    parts = [p.strip() for p in spec.split(",")]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple((None if p in ("", "none") else p) for p in parts)
+
+
+def get_runtime(args, n_speakers: int = 1, gin: int = 0, quality: str = None):
     from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 
-    options = RuntimeOptions(precision=args.precision, mode=args.mode)
-    if args.model:
+    quality = quality or args.quality
+    options = RuntimeOptions(
+        precision=args.precision, mode=args.mode,
+        vocoder_precision=_parse_vocoder_precision(args.vocoder_precision),
+    )
+    if args.model and quality == args.quality:
         return PiperRuntime(args.model, args.config, options)
     cache = Path(os.environ.get("PIPER_TPU_CACHE", Path.home() / ".cache" / "piper-tpu"))
-    tag = args.quality if n_speakers <= 1 else f"{args.quality}-ms{n_speakers}"
+    tag = quality if n_speakers <= 1 else f"{quality}-ms{n_speakers}"
     voice_dir = cache / "synthetic" / tag
-    name = f"synthetic-{args.quality}" if n_speakers <= 1 else f"synthetic-{tag}"
+    name = f"synthetic-{quality}" if n_speakers <= 1 else f"synthetic-{tag}"
     model = voice_dir / f"{name}.onnx"
     if not model.exists():
         from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
-        make_synthetic_voice(voice_dir, quality=args.quality, seed=0,
+        make_synthetic_voice(voice_dir, quality=quality, seed=0,
                              n_speakers=n_speakers, gin_channels=gin,
                              voice_name=name if n_speakers > 1 else None)
     return PiperRuntime(model, None, options)
@@ -73,11 +87,21 @@ def main(argv=None):
     parser.add_argument("--mode", default="fused", choices=["split", "fused"])
     parser.add_argument("--batch", type=int, default=16,
                         help="batch size for the throughput measurement (0 = skip)")
+    parser.add_argument("--batch-sweep", default="",
+                        help="comma-separated batch sizes to sweep for throughput "
+                             "(e.g. 16,32,64,128); headline uses the best point")
+    parser.add_argument("--vocoder-precision", default="",
+                        help="vocoder matmul tier: one of highest/high/default, or "
+                             "comma-separated per-upsample-level tiers")
     parser.add_argument("--pipeline", action="store_true", default=True,
                         help="measure pipelined serving throughput")
     parser.add_argument("--no-pipeline", dest="pipeline", action="store_false")
-    parser.add_argument("--multi-speaker", type=int, default=0, metavar="N",
-                        help="also bench an N-speaker voice with batched mixed-sid serving")
+    parser.add_argument("--multi-speaker", type=int, default=904, metavar="N",
+                        help="bench an N-speaker voice with batched mixed-sid serving "
+                             "(the en_US-libritts-high-class config; 0 = skip)")
+    parser.add_argument("--high", action="store_true", default=True,
+                        help="bench the high-quality (deeper upsample stack) config")
+    parser.add_argument("--no-high", dest="high", action="store_false")
     parser.add_argument("--quick", action="store_true", help="fast smoke (small sweep)")
     parser.add_argument("--platform", help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -93,6 +117,8 @@ def main(argv=None):
     if args.quick:
         args.factors = "1,2"
         args.warmup, args.iters = 1, 2
+        args.multi_speaker = min(args.multi_speaker, 8)
+        args.high = False
     args.iters = max(1, args.iters)
 
     import jax
@@ -128,20 +154,19 @@ def main(argv=None):
 
     # Batched throughput: the "per-chip" serving metric. One program run over
     # a batch of factor-8 utterances, aggregate audio-seconds per wall-second.
-    throughput = None
-    if args.batch:
-        bsz = args.batch
+    def measure_throughput(runtime, bsz, sids=None):
         ids8 = (FIXTURE_IDS * 8)[:4096]
         batch = [ids8] * bsz
-        rt.synthesize_batch(batch)  # warmup/compile
+        kw = {"speaker_ids": sids} if sids is not None else {}
+        runtime.synthesize_batch(batch, **kw)  # warmup/compile
         iters = max(2, args.iters // 2)
         t0 = time.perf_counter()
         total_audio_s = 0.0
         for _ in range(iters):
-            audios = rt.synthesize_batch(batch)
-            total_audio_s += sum(len(a) for a in audios) / rt.sample_rate
+            audios = runtime.synthesize_batch(batch, **kw)
+            total_audio_s += sum(len(a) for a in audios) / runtime.sample_rate
         wall = time.perf_counter() - t0
-        throughput = {
+        return {
             "batch": bsz,
             "phonemes_per_utt": len(ids8),
             "iters": iters,
@@ -149,6 +174,16 @@ def main(argv=None):
             "wall_s": round(wall, 3),
             "rtf_throughput": round(total_audio_s / wall, 1),
         }
+
+    throughput = None
+    batch_sweep_rows = None
+    if args.batch_sweep:
+        batch_sweep_rows = [
+            measure_throughput(rt, int(b)) for b in args.batch_sweep.split(",")
+        ]
+        throughput = max(batch_sweep_rows, key=lambda r: r["rtf_throughput"])
+    elif args.batch:
+        throughput = measure_throughput(rt, args.batch)
 
     # Pipelined single-utterance serving (hides device round trips).
     pipeline_row = None
@@ -171,6 +206,7 @@ def main(argv=None):
 
     # Multi-speaker batched serving (the en_US-libritts-high-style config:
     # 900+ speaker embeddings, batched utterances with mixed speaker ids).
+    # Part of the default sweep — it is one of the five BASELINE configs.
     multispeaker_row = None
     if args.multi_speaker:
         # Always bench a synthetic N-speaker voice — a user-supplied --model
@@ -180,22 +216,38 @@ def main(argv=None):
         ms_args = _ap.Namespace(**{**vars(args), "model": None, "config": None})
         rt_ms = get_runtime(ms_args, n_speakers=args.multi_speaker, gin=512)
         bsz = max(2, args.batch or 8)
-        ids8 = (FIXTURE_IDS * 8)[:4096]
-        batch = [ids8] * bsz
         sids = list(np.arange(bsz) % args.multi_speaker)
-        rt_ms.synthesize_batch(batch, speaker_ids=sids)
-        iters = max(2, args.iters // 2)
-        t0 = time.perf_counter()
-        audio_s = 0.0
-        for _ in range(iters):
-            audios = rt_ms.synthesize_batch(batch, speaker_ids=sids)
-            audio_s += sum(len(a) for a in audios) / rt_ms.sample_rate
-        wall = time.perf_counter() - t0
+        row = measure_throughput(rt_ms, bsz, sids=sids)
         multispeaker_row = {
             "n_speakers": args.multi_speaker,
             "batch": bsz,
-            "rtf_throughput": round(audio_s / wall, 1),
+            "rtf_throughput": row["rtf_throughput"],
         }
+        del rt_ms
+
+    # High-quality config (en_US-ryan-high class: deeper 5-level upsample
+    # stack, same 22.05 kHz output) — BASELINE config #4, default sweep.
+    high_row = None
+    if args.high:
+        rt_high = get_runtime(args, quality="high")
+        t0 = time.perf_counter()
+        rt_high.synthesize(FIXTURE_IDS)  # warmup/compile
+        warm_s = time.perf_counter() - t0
+        wall = []
+        for _ in range(max(2, args.iters // 2)):
+            t0 = time.perf_counter()
+            audio = rt_high.synthesize(FIXTURE_IDS)
+            wall.append((time.perf_counter() - t0) * 1e3)
+        hi_tp = measure_throughput(rt_high, max(2, (args.batch or 8) // 2))
+        high_row = {
+            "quality": "high",
+            "num_upsamples": rt_high.hparams.num_upsamples,
+            "ms_mean_factor1": round(float(np.mean(wall)), 3),
+            "warmup_s": round(warm_s, 2),
+            "batch": hi_tp["batch"],
+            "rtf_throughput": hi_tp["rtf_throughput"],
+        }
+        del rt_high
 
     # Baseline comparison row: the factor-1 row when present (the *_factor1
     # keys would otherwise silently describe whatever factor was listed first).
@@ -215,9 +267,12 @@ def main(argv=None):
         "mode": args.mode,
         "quality": args.quality,
         "compile_count": rt.last_run_timings.compile_count,
+        "vocoder_precision": args.vocoder_precision or None,
         "throughput": throughput,
+        "batch_sweep": batch_sweep_rows,
         "pipeline": pipeline_row,
         "multispeaker": multispeaker_row,
+        "high": high_row,
         "rows": rows,
     }
     print(json.dumps(result))

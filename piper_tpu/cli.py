@@ -100,6 +100,10 @@ def run_oneshot(args) -> None:
     from piper_tpu.utils.wav import WavWriter
 
     rt = _load_runtime(args)
+    if args.prewarm:
+        stats = rt.prewarm()
+        print(f"prewarmed {stats['programs']} programs in {stats['seconds']:.1f}s",
+              file=sys.stderr)
     ids = _phoneme_ids_for(args, rt)
     out = args.output or "out.wav"
     if args.stream:
@@ -449,6 +453,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-trace", metavar="DIR",
                    help="capture a jax.profiler/XLA trace of the run into DIR "
                         "(view with TensorBoard)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="compile the standard phoneme-bucket ladder before "
+                        "serving (also primes the persistent on-disk jit "
+                        "cache for later processes)")
     return p
 
 
@@ -495,6 +503,15 @@ def _dispatch(args) -> None:
         run_bench(args)
     elif args.text or args.ipa or args.phoneme_ids:
         run_oneshot(args)
+    elif args.prewarm:
+        # Standalone prewarm: compile the bucket ladder and prime the
+        # persistent jit cache so later processes start warm.
+        rt = _load_runtime(args)
+        stats = rt.prewarm()
+        print(
+            f"prewarmed {stats['programs']} programs in {stats['seconds']:.1f}s "
+            f"(persistent cache primed)"
+        )
     else:
         run_repl(args)
 

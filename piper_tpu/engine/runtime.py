@@ -384,6 +384,39 @@ class PiperRuntime:
         self.last_run_timings = timings
         return audios
 
+    def prewarm(
+        self,
+        phoneme_lengths: Sequence[int] = (14, 28, 56, 112),
+        batch_sizes: Sequence[int] = (1,),
+    ) -> dict:
+        """Compile the program ladder a serving sweep needs, ahead of traffic.
+
+        Runs one dummy synthesis per (batch, phoneme-bucket) through the
+        runtime's configured mode, so every jit program (and the persistent
+        on-disk XLA cache entry) the equivalent real calls would hit is built
+        up front — the analog of the reference's runtime-compiled pipeline
+        cache (MetalContext.swift:20-50), but survives process restarts on
+        TPU. In split mode the decode bucket tracks predicted durations, so
+        unusual real inputs can still compile a neighboring frame bucket;
+        fused mode's budget-derived buckets are covered exactly.
+        Returns {"programs": newly_compiled, "seconds": wall}.
+        """
+        t0 = time.perf_counter()
+        before = len(self._compiled_keys)
+        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = [i % self.hparams.n_vocab for i in base]
+        for b in batch_sizes:
+            for length in phoneme_lengths:
+                ids = (base * (-(-length // len(base))))[:length]
+                if b == 1:
+                    self.synthesize(ids)
+                else:
+                    self.synthesize_batch([ids] * int(b))
+        return {
+            "programs": len(self._compiled_keys) - before,
+            "seconds": time.perf_counter() - t0,
+        }
+
     def synthesize_stream(
         self,
         phoneme_ids: Sequence[int],

@@ -88,7 +88,18 @@ PRESETS: Dict[str, VitsHParams] = {
     ),
     "low": VitsHParams(sample_rate=16000),
     "medium": VitsHParams(),
-    "high": VitsHParams(),
+    # High-quality tier (the en_US-ryan-high class, BASELINE.json config #4):
+    # same 22.05 kHz output and hop 256 as medium, but a DEEPER HiFi-GAN
+    # upsample stack — five levels instead of four (8*4*2*2*2 = 256), with an
+    # extra resblock set at the final 16-channel rate. Real checkpoints
+    # override every field via derive_hparams (rates/kernels from the
+    # ConvTranspose node attrs), so this preset only shapes synthetic
+    # checkpoints and benchmarks; the derivation path is what loads an
+    # actual ryan-high export.
+    "high": VitsHParams(
+        upsample_rates=[8, 4, 2, 2, 2],
+        upsample_kernel_sizes=[16, 8, 4, 4, 4],
+    ),
 }
 
 

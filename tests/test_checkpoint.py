@@ -45,6 +45,29 @@ def test_hparams_derivation_medium(medium_voice):
     assert hp.gin_channels == 0
 
 
+def test_hparams_derivation_high_roundtrip(tmp_path):
+    """The high preset (deeper 5-level upsample stack, BASELINE.json config
+    #4) must survive ONNX write -> parse -> derive_hparams unchanged —
+    the derivation path is what loads a real en_US-ryan-high export."""
+    model_path, config_path = make_synthetic_voice(tmp_path, quality="high", seed=6)
+    cfg = VoiceConfig.load(config_path)
+    m = load_model(model_path)
+    hp = derive_hparams(m.graph, sample_rate=cfg.audio.sample_rate)
+    expected = PRESETS["high"]
+    assert expected.upsample_rates != PRESETS["medium"].upsample_rates
+    assert hp.upsample_rates == expected.upsample_rates == [8, 4, 2, 2, 2]
+    assert hp.upsample_kernel_sizes == expected.upsample_kernel_sizes == [16, 8, 4, 4, 4]
+    assert hp.num_upsamples == 5
+    assert hp.hop_length == 256  # same 22.05 kHz hop as medium
+    assert hp.upsample_initial_channel == 512
+    assert hp.resblock_kernel_sizes == [3, 7, 11]
+    assert hp.resblock_dilation_sizes == [[1, 3, 5]] * 3
+    assert hp.sample_rate == 22050
+    # The deeper stack carries an extra resblock set (15 vs medium's 12).
+    assert sum(1 for k in m.graph.initializers
+               if k.startswith("dec.resblocks.") and k.endswith("convs1.0.weight")) == 15
+
+
 def test_hparams_derivation_multispeaker(tmp_path):
     model_path, config_path = make_synthetic_voice(
         tmp_path, quality="x_low", seed=4, n_speakers=8, gin_channels=64

@@ -43,6 +43,21 @@ def test_synthesize_basic(runtime):
     assert t.rtf > 0
 
 
+def test_prewarm_compiles_ladder(tmp_path):
+    model_path, config_path = make_synthetic_voice(tmp_path, quality="x_low", seed=5)
+    rt = PiperRuntime(model_path, config_path)
+    stats = rt.prewarm(phoneme_lengths=(14, 28), batch_sizes=(1, 2))
+    assert stats["programs"] >= 2
+    assert stats["seconds"] > 0
+    # Subsequent calls at covered shapes hit compiled programs.
+    rt.synthesize(FIXTURE_IDS)
+    assert rt.last_run_timings.compiled is False
+    rt.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS])
+    assert rt.last_run_timings.compiled is False
+    # Prewarming again is a no-op.
+    assert rt.prewarm(phoneme_lengths=(14, 28), batch_sizes=(1, 2))["programs"] == 0
+
+
 def test_synthesize_deterministic(runtime):
     a1 = runtime.synthesize(FIXTURE_IDS)
     a2 = runtime.synthesize(FIXTURE_IDS)

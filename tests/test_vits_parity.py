@@ -53,6 +53,20 @@ SMALL_MS = VitsHParams(
     }
 )
 
+# The high-preset ARCHITECTURE (5-level upsample stack, 3 resblock kernel
+# sets — hparams.py PRESETS["high"]) at test-sized channels: exercises the
+# deeper-stack branch end to end against the oracle.
+SMALL_HIGH = VitsHParams(
+    **{
+        **SMALL.__dict__,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5]] * 3,
+        "upsample_rates": [8, 4, 2, 2, 2],
+        "upsample_kernel_sizes": [16, 8, 4, 4, 4],
+        "upsample_initial_channel": 128,
+    }
+)
+
 
 @pytest.fixture(scope="module")
 def weights():
@@ -184,6 +198,35 @@ def test_full_infer_parity(weights, jparams):
     assert np.isfinite(np.asarray(audio_j)).all()
     np.testing.assert_allclose(np.asarray(audio_j), audio_t, atol=1e-4)
     # Max-abs criterion from BASELINE.json (<= 1e-3 vs reference).
+    assert np.max(np.abs(np.asarray(audio_j) - audio_t)) <= 1e-3
+
+
+def test_full_infer_high_architecture_parity():
+    """Full graph parity on the high-preset architecture (deeper 5-level
+    upsample stack, BASELINE.json config #4)."""
+    weights_h = synthetic_params(SMALL_HIGH, seed=12)
+    jparams_h = params_from_arrays(weights_h)
+    rng = np.random.default_rng(13)
+    b, p, max_frames = 2, 10, 32
+    ids = _ids(rng, b, p, SMALL_HIGH.n_vocab)
+    lengths = np.array([10, 8])
+    dp_noise = rng.standard_normal((b, 2, p)).astype(np.float32)
+    main_noise = rng.standard_normal(
+        (b, SMALL_HIGH.inter_channels, max_frames)
+    ).astype(np.float32)
+    audio_j, ylen_j = infer(
+        jparams_h, SMALL_HIGH, jnp.asarray(ids), jnp.asarray(lengths),
+        jnp.asarray(dp_noise), jnp.asarray(main_noise), max_frames=max_frames,
+    )
+    with torch.no_grad():
+        audio_t, ylen_t = oracle.infer(
+            weights_h, SMALL_HIGH, ids, lengths, dp_noise, main_noise,
+            max_frames=max_frames,
+        )
+    assert SMALL_HIGH.hop_length == 256
+    assert audio_j.shape == (b, max_frames * 256)
+    np.testing.assert_array_equal(np.asarray(ylen_j), ylen_t)
+    np.testing.assert_allclose(np.asarray(audio_j), audio_t, atol=1e-4)
     assert np.max(np.abs(np.asarray(audio_j) - audio_t)) <= 1e-3
 
 
