@@ -42,7 +42,7 @@ def _percentile(xs, p):
 
 def _parse_vocoder_precision(spec):
     """None | single tier | comma-separated per-upsample-level tiers."""
-    if not spec:
+    if not spec or spec == "none":
         return None
     parts = [p.strip() for p in spec.split(",")]
     if len(parts) == 1:
@@ -57,6 +57,7 @@ def get_runtime(args, n_speakers: int = 1, gin: int = 0, quality: str = None):
     options = RuntimeOptions(
         precision=args.precision, mode=args.mode,
         vocoder_precision=_parse_vocoder_precision(args.vocoder_precision),
+        output_dtype=args.output_dtype,
     )
     if args.model and quality == args.quality:
         return PiperRuntime(args.model, args.config, options)
@@ -90,9 +91,18 @@ def main(argv=None):
     parser.add_argument("--batch-sweep", default="",
                         help="comma-separated batch sizes to sweep for throughput "
                              "(e.g. 16,32,64,128); headline uses the best point")
-    parser.add_argument("--vocoder-precision", default="",
-                        help="vocoder matmul tier: one of highest/high/default, or "
-                             "comma-separated per-upsample-level tiers")
+    parser.add_argument("--vocoder-precision", default="high",
+                        help="vocoder matmul tier: highest/high/default, 'none' "
+                             "(= fp32 everywhere), or comma-separated per-level "
+                             "tiers. Default 'high' is the calibrated schedule: "
+                             "4.6e-5 max-abs error vs the torch oracle (gate "
+                             "1e-3) and the fastest gate-clearing tier measured "
+                             "by tools/calibrate_precision.py on this chip")
+    parser.add_argument("--output-dtype", default="int16",
+                        choices=["int16", "float32"],
+                        help="PCM format the programs emit; int16 (the WAV "
+                             "wire format, converted on device) halves the "
+                             "device->host fetch")
     parser.add_argument("--pipeline", action="store_true", default=True,
                         help="measure pipelined serving throughput")
     parser.add_argument("--no-pipeline", dest="pipeline", action="store_false")
@@ -264,6 +274,7 @@ def main(argv=None):
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "precision": args.precision,
+        "output_dtype": args.output_dtype,
         "mode": args.mode,
         "quality": args.quality,
         "compile_count": rt.last_run_timings.compile_count,

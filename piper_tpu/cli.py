@@ -40,6 +40,19 @@ def _cli_options(args) -> RuntimeOptions:
     options = replace(RuntimeOptions.from_env(), seed=args.seed)
     if args.precision is not None:
         options = replace(options, precision=args.precision)
+    if getattr(args, "output_dtype", None) is not None:
+        options = replace(options, output_dtype=args.output_dtype)
+    if getattr(args, "vocoder_precision", None) is not None:
+        vp = args.vocoder_precision
+        if vp == "none":
+            options = replace(options, vocoder_precision=None)
+        else:
+            options = replace(
+                options,
+                vocoder_precision=(
+                    tuple(t or None for t in vp.split(",")) if "," in vp else vp
+                ),
+            )
     return options
 
 
@@ -430,6 +443,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default=None,
                    choices=["highest", "high", "default", "bfloat16"],
                    help="matmul precision tier (default: PIPER_TPU_PRECISION or 'highest')")
+    p.add_argument("--output-dtype", default=None, choices=["float32", "int16"],
+                   help="PCM format the programs emit (int16 = WAV wire "
+                        "format, converted on device; halves the fetch)")
+    p.add_argument("--vocoder-precision", default=None,
+                   help="vocoder-only matmul tier ('high' clears the 1e-3 "
+                        "oracle gate with 22x margin and is ~1.2x faster — "
+                        "tools/calibrate_precision.py), 'none', or "
+                        "comma-separated per-upsample-level tiers")
     p.add_argument("--bench-summary", "--summary", dest="bench_summary",
                    help="path to test_summary.json (enables bench mode)")
     p.add_argument("--scale-bench", action="store_true")

@@ -32,6 +32,10 @@ class AudioChunk:
 
 
 def float_to_int16(samples: np.ndarray) -> np.ndarray:
-    """Convert float32 PCM in [-1, 1] to int16 with clipping."""
-    scaled = np.clip(np.asarray(samples, dtype=np.float32), -1.0, 1.0) * 32767.0
+    """Convert float32 PCM in [-1, 1] to int16 with clipping (int16 input —
+    audio from an output_dtype='int16' runtime — passes through)."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.int16:
+        return arr
+    scaled = np.clip(arr.astype(np.float32), -1.0, 1.0) * 32767.0
     return scaled.astype(np.int16)

@@ -11,12 +11,15 @@ from __future__ import annotations
 from typing import List, Sequence
 
 DEFAULT_PHONEME_BUCKETS: List[int] = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
-# Frame buckets: ~1.5x ladder. A frame is hop_length samples (256 for 22.05kHz
-# voices => the largest bucket is ~380s of audio, enough for a 4096-phoneme
-# input at typical durations).
+# Frame buckets: ~1.25-1.33x ladder below 1024 (typical utterances live
+# there and decode FLOPs scale with the bucket, so padding waste is paid in
+# vocoder compute — a 170-frame decode at bucket 256 wastes 33%, at 192 only
+# 11%), ~1.5x above. A frame is hop_length samples (256 for 22.05kHz voices
+# => the largest bucket is ~380s of audio, enough for a 4096-phoneme input
+# at typical durations).
 DEFAULT_FRAME_BUCKETS: List[int] = [
-    32, 64, 128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
-    12288, 16384, 24576, 32768,
+    32, 64, 96, 128, 192, 256, 320, 384, 512, 640, 768, 1024, 1536, 2048,
+    3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768,
 ]
 
 

@@ -73,6 +73,12 @@ class RuntimeOptions:
     use_pallas: Optional[bool] = None
     phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
     frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
+    # PCM sample format the synthesis programs EMIT. "int16" converts on
+    # device (clip*32767, the exact float_to_int16 semantics) so the
+    # device->host fetch moves half the bytes — the wire/WAV format is 16-bit
+    # PCM anyway (reference: WavFileWriter writes Int16). "float32" keeps the
+    # raw float waveform (the fidelity-gate/test format).
+    output_dtype: str = "float32"
 
     @staticmethod
     def from_env() -> "RuntimeOptions":
@@ -84,6 +90,11 @@ class RuntimeOptions:
             kwargs["precision"] = flag("PIPER_TPU_PRECISION")
         if flag("PIPER_TPU_MODE"):
             kwargs["mode"] = flag("PIPER_TPU_MODE")
+        vp = flag("PIPER_TPU_VOCODER_PRECISION")
+        if vp:
+            kwargs["vocoder_precision"] = (
+                tuple(t or None for t in vp.split(",")) if "," in vp else vp
+            )
         return RuntimeOptions(**kwargs)
 
 
@@ -229,6 +240,17 @@ class PiperRuntime:
         prec = self._matmul_precision()
         voc_prec = self.options.vocoder_precision
         use_pallas = self._resolve_pallas()
+        if self.options.output_dtype not in ("float32", "int16"):
+            raise ValueError(
+                f"output_dtype must be 'float32' or 'int16', "
+                f"got {self.options.output_dtype!r}"
+            )
+        if self.options.output_dtype == "int16":
+            def to_pcm(a):
+                return (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        else:
+            def to_pcm(a):
+                return a
 
         def encode_keyed(params, ids, lengths, seed, length_scale, noise_w, sid):
             with jax.default_matmul_precision(prec):
@@ -251,16 +273,19 @@ class PiperRuntime:
                 main_noise = jax.random.normal(
                     key, (enc.m_p.shape[0], enc.m_p.shape[1], max_frames), dtype=jnp.float32
                 )
-                return vits.decode(params, hp, enc, main_noise,
-                                   max_frames=max_frames, noise_scale=noise_scale,
-                                   vocoder_precision=voc_prec, use_pallas=use_pallas)
+                audio, y_len = vits.decode(
+                    params, hp, enc, main_noise, max_frames=max_frames,
+                    noise_scale=noise_scale, vocoder_precision=voc_prec,
+                    use_pallas=use_pallas)
+                return to_pcm(audio), y_len
 
         def decode_injected(params, enc, main_noise, noise_scale):
             with jax.default_matmul_precision(prec):
-                return vits.decode(params, hp, enc, main_noise,
-                                   max_frames=main_noise.shape[-1],
-                                   noise_scale=noise_scale,
-                                   vocoder_precision=voc_prec, use_pallas=use_pallas)
+                audio, y_len = vits.decode(
+                    params, hp, enc, main_noise,
+                    max_frames=main_noise.shape[-1], noise_scale=noise_scale,
+                    vocoder_precision=voc_prec, use_pallas=use_pallas)
+                return to_pcm(audio), y_len
 
         def fused_keyed(params, ids, lengths, seed, scales, sid, *, max_frames):
             with jax.default_matmul_precision(prec):
@@ -284,7 +309,7 @@ class PiperRuntime:
                                            use_pallas=use_pallas)
                 # y_total (un-clipped) lets the host detect budget overflow
                 # from the same fetch as the audio.
-                return audio, y_len, enc.y_total
+                return to_pcm(audio), y_len, enc.y_total
 
         def decode_window_keyed(params, enc, seed, t_offset, total_frames,
                                 noise_scale, *, window):
@@ -296,22 +321,22 @@ class PiperRuntime:
                 main_noise = vits.per_frame_noise(
                     base, t_idx, enc.m_p.shape[0], enc.m_p.shape[1]
                 )
-                return vits.decode_window(
+                return to_pcm(vits.decode_window(
                     params, hp, enc, main_noise, t_offset,
                     window=window, total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
                     use_pallas=use_pallas,
-                )
+                ))
 
         def decode_window_injected(params, enc, main_noise_win, t_offset,
                                    total_frames, noise_scale):
             with jax.default_matmul_precision(prec):
-                return vits.decode_window(
+                return to_pcm(vits.decode_window(
                     params, hp, enc, main_noise_win, t_offset,
                     window=main_noise_win.shape[-1], total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
                     use_pallas=use_pallas,
-                )
+                ))
 
         self._encode_keyed = jax.jit(encode_keyed)
         self._encode_injected = jax.jit(encode_injected)
@@ -327,6 +352,19 @@ class PiperRuntime:
     @property
     def sample_rate(self) -> int:
         return self.config.audio.sample_rate
+
+    @property
+    def np_output_dtype(self):
+        return np.int16 if self.options.output_dtype == "int16" else np.float32
+
+    def _as_output(self, a) -> np.ndarray:
+        """Fetched audio -> the runtime's output dtype: int16 passes
+        through (device-converted PCM), anything else (fp32, or bf16 in the
+        end-to-end bfloat16 mode) becomes float32 PCM."""
+        a = np.asarray(a)
+        if a.dtype == np.int16:
+            return a
+        return a.astype(np.float32, copy=False) if a.dtype != np.float32 else a
 
     @property
     def audio_format(self) -> AudioFormat:
@@ -447,7 +485,8 @@ class PiperRuntime:
         n = len(audio)
         if n == 0:
             yield AudioChunk(format=fmt, start_sample_index=0,
-                             samples=np.zeros(0, np.float32), is_final=True)
+                             samples=np.zeros(0, self.np_output_dtype),
+                             is_final=True)
             return
         for start in range(0, n, chunk_size):
             end = min(start + chunk_size, n)
@@ -537,7 +576,7 @@ class PiperRuntime:
                     self.params, enc, seed_j, jnp.int32(t_offset),
                     jnp.int32(total), ns, window=window,
                 )
-            audio_win = np.asarray(audio_win, np.float32)[0]
+            audio_win = self._as_output(audio_win)[0]
             start = halo * hop
             end = start + c * hop
             samples = audio_win[start:end]
@@ -609,7 +648,7 @@ class PiperRuntime:
                 speaker_id=meta["speaker_id"], seed=meta["seed"],
             )
         hop = self.hparams.hop_length
-        return np.asarray(audio, np.float32)[0, : int(np.asarray(y_len)[0]) * hop]
+        return self._as_output(audio)[0, : int(np.asarray(y_len)[0]) * hop]
 
     def synthesize_debug(
         self,
@@ -769,7 +808,7 @@ class PiperRuntime:
                 # Budget exceeded (long durations): redo exactly via split.
                 use_fused = False
             else:
-                audio = np.asarray(audio, np.float32)
+                audio = self._as_output(audio)
                 y_len = np.asarray(y_len).astype(np.int64)
                 t_end = time.perf_counter()
 
@@ -828,7 +867,7 @@ class PiperRuntime:
                                               max_frames=f_bucket)
             # y_len is derivable on the host — fetch only the audio (second
             # and final round trip).
-            audio = np.asarray(audio, dtype=np.float32)
+            audio = self._as_output(audio)
             y_len = np.clip(y_lengths, 1, f_bucket)
             t_end = time.perf_counter()
 

@@ -100,6 +100,27 @@ PRESETS: Dict[str, VitsHParams] = {
         upsample_rates=[8, 4, 2, 2, 2],
         upsample_kernel_sizes=[16, 8, 4, 4, 4],
     ),
+    # Synthetic-only tiny tier for fast tests and smoke runs (NOT a real
+    # Piper quality). Structurally complete — attention text encoder, SDP,
+    # residual-coupling flows, multi-level HiFi-GAN — but compiles in
+    # seconds on one CPU core where x_low takes tens of seconds.
+    "test": VitsHParams(
+        inter_channels=32,
+        hidden_channels=32,
+        filter_channels=64,
+        n_heads=2,
+        n_layers=2,
+        dp_filter_channels=32,
+        flow_n_flows=2,
+        flow_hidden_channels=32,
+        flow_n_layers=2,
+        resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]],
+        upsample_rates=[8, 4],
+        upsample_initial_channel=64,
+        upsample_kernel_sizes=[16, 8],
+        sample_rate=16000,
+    ),
 }
 
 

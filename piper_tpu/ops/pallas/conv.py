@@ -43,24 +43,27 @@ def mxu_dot(w, x, precision: str = "highest"):
       "high"                — 3-pass bf16 split (w = w_hi + w_lo, x = x_hi +
                               x_lo; drop the lo*lo term) — tf32-class error
       "default"/"bfloat16"  — single bf16 pass
-    All tiers accumulate in fp32.
+    All tiers accumulate in fp32. Every dot pins its lax.Precision
+    explicitly: the kernel may be traced under a default_matmul_precision
+    context from the surrounding model level, and Mosaic only lowers
+    DEFAULT/HIGHEST (an inherited HIGH is a lowering error).
     """
     if precision in (None, "highest"):
-        return jnp.dot(w, x, preferred_element_type=jnp.float32)
+        return jnp.dot(w, x, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    bf16_dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
     if precision == "high":
         w_hi = w.astype(jnp.bfloat16)
         x_hi = x.astype(jnp.bfloat16)
         w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        out = jnp.dot(w_hi, x_hi, preferred_element_type=jnp.float32)
-        out += jnp.dot(w_hi, x_lo, preferred_element_type=jnp.float32)
-        out += jnp.dot(w_lo, x_hi, preferred_element_type=jnp.float32)
+        out = bf16_dot(w_hi, x_hi)
+        out += bf16_dot(w_hi, x_lo)
+        out += bf16_dot(w_lo, x_hi)
         return out
     # "default" / "bfloat16": one bf16 pass, fp32 accumulate.
-    return jnp.dot(
-        w.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    return bf16_dot(w.astype(jnp.bfloat16), x.astype(jnp.bfloat16))
 
 
 def _kernel(x_hbm, w_ref, b_ref, o_ref, xwin, cols, sems, *, k: int, dilation: int,

@@ -74,7 +74,10 @@ class WavWriter:
 
 def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int) -> None:
     with WavWriter(path, sample_rate) as w:
-        w.append_float32(samples)
+        if np.asarray(samples).dtype == np.int16:
+            w.append_int16(samples)  # already device-converted PCM16
+        else:
+            w.append_float32(samples)
 
 
 def read_wav(path: Union[str, Path]) -> tuple[np.ndarray, int]:

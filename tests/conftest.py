@@ -24,5 +24,45 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache for the suite: ~80% of suite wall time is
+# compiles, and on one core they cost 5-40s each. The runtime itself only
+# enables the on-disk cache on TPU (a cache dir shared ACROSS machines can
+# carry unsupported CPU features), but the test cache lives and dies on this
+# box, so reruns are safe — and collapse from ~14 min to minutes.
+_cache_dir = Path.home() / ".cache" / "piper-tpu" / "test-jit-cache"
+try:
+    _cache_dir.mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
+
 # Make the repo importable without installation.
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_voice(tmp_path_factory):
+    """(model, config) paths of the tiny synthetic 'test'-quality voice.
+
+    Session-scoped: orchestration tests (server, batcher, pipeline,
+    streaming, CLI, ...) share one voice so each file doesn't pay its own
+    checkpoint build; the 'test' tier keeps per-program XLA compiles to
+    seconds on one CPU core (this box: 1 vCPU)."""
+    from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+    return make_synthetic_voice(
+        tmp_path_factory.mktemp("tiny_voice"), quality="test", seed=5
+    )
+
+
+@pytest.fixture(scope="session")
+def tiny_runtime(tiny_voice):
+    """Shared default-options PiperRuntime on the tiny test voice. Tests
+    that assert per-runtime state (compile counts, timings) must build
+    their own runtime from `tiny_voice` instead."""
+    from piper_tpu.engine.runtime import PiperRuntime
+
+    return PiperRuntime(*tiny_voice)

@@ -7,16 +7,13 @@ import pytest
 
 from piper_tpu.engine.batcher import BatchingServer
 from piper_tpu.engine.runtime import PiperRuntime
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_batch")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_batched_group_serves_all(runtime):

@@ -4,16 +4,13 @@ import numpy as np
 import pytest
 
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def bf16_runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_bf16")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config, RuntimeOptions(precision="bfloat16"))
+def bf16_runtime(tiny_voice):
+    return PiperRuntime(*tiny_voice, RuntimeOptions(precision="bfloat16"))
 
 
 def test_bf16_synthesize(bf16_runtime):

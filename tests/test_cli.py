@@ -15,7 +15,7 @@ FIXTURE_IDS = "1,20,0,120,0,61,0,24,0,59,0,100,0,2"
 @pytest.fixture(scope="module")
 def voice(tmp_path_factory):
     d = tmp_path_factory.mktemp("cli_voice")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=0)
+    model, config = make_synthetic_voice(d, quality="test", seed=0)
     summary = {
         "model_path": str(model),
         "config_path": str(config),
@@ -69,6 +69,7 @@ def test_bench_summary_schema(voice, capsys):
     assert out["ms_mean"] > 0
 
 
+@pytest.mark.slow
 def test_scale_bench_schema(voice, capsys):
     _, _, summary_path = voice
     cli.main(["--scale-bench", "--bench-summary", str(summary_path),

@@ -4,21 +4,17 @@ import numpy as np
 import pytest
 
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_edge")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
-def test_frame_overflow_truncates_with_warning(tmp_path_factory, capsys):
-    d = tmp_path_factory.mktemp("voice_tiny_buckets")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
+def test_frame_overflow_truncates_with_warning(tiny_voice, capsys):
+    model, config = tiny_voice
     rt = PiperRuntime(
         model, config,
         RuntimeOptions(frame_buckets=(32, 64)),  # artificially tiny ladder

@@ -4,15 +4,13 @@ import numpy as np
 import pytest
 
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def voice(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_fused")
-    return make_synthetic_voice(d, quality="x_low", seed=5)
+def voice(tiny_voice):
+    return tiny_voice
 
 
 def test_fused_basic(voice):
@@ -46,6 +44,7 @@ def test_fused_matches_split_when_bucket_aligns(voice):
         assert len(a_fused) == len(a_split)
 
 
+@pytest.mark.slow
 def test_fused_overflow_falls_back_to_split(voice):
     model, config = voice
     rt = PiperRuntime(

@@ -15,7 +15,7 @@ FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 @pytest.fixture(scope="module")
 def ms_voice(tmp_path_factory):
     d = tmp_path_factory.mktemp("ms_paths")
-    return make_synthetic_voice(d, quality="x_low", seed=6, n_speakers=4,
+    return make_synthetic_voice(d, quality="test", seed=6, n_speakers=4,
                                 gin_channels=32)
 
 

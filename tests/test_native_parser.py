@@ -17,7 +17,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def voice(tmp_path_factory):
     d = tmp_path_factory.mktemp("native_voice")
-    model, _ = make_synthetic_voice(d, quality="x_low", seed=9)
+    model, _ = make_synthetic_voice(d, quality="test", seed=9)
     return model
 
 

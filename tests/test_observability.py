@@ -7,7 +7,6 @@ import pytest
 
 from piper_tpu import cli
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 from piper_tpu.testing import record_test_vector, replay_test_vector, write_test_summary
 from piper_tpu.utils.profiling import Profiler
 
@@ -15,10 +14,8 @@ FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_obs")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_profiler_accumulates(runtime):

@@ -133,6 +133,7 @@ def test_mxu_dot_precision_tiers(precision, atol):
         assert err > 0  # it did take the reduced-precision path
 
 
+@pytest.mark.slow
 def test_decode_window_pallas_matches_unfused(monkeypatch):
     """Streaming decode with the fused Pallas path (interpret mode) must
     match the plain XLA lowering — exercises the two-sided bounds plumbing

@@ -40,6 +40,7 @@ def test_mesh_shapes():
         make_mesh(6, seq_parallel=4)
 
 
+@pytest.mark.slow
 def test_dp_sharded_batch_matches_single_device():
     mesh = make_mesh(8)
     weights = synthetic_params(TINY, seed=13)

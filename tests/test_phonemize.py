@@ -37,7 +37,7 @@ def test_phonemizer_failure(tmp_path):
 
 
 def test_repl_smoke(tmp_path, monkeypatch, capsys, fake_espeak):
-    model, config = make_synthetic_voice(tmp_path / "v", quality="x_low", seed=0)
+    model, config = make_synthetic_voice(tmp_path / "v", quality="test", seed=0)
     lines = iter(["hello there", ":q"])
     monkeypatch.setattr("builtins.input", lambda prompt="": next(lines))
     monkeypatch.setattr("piper_tpu.phonemize.find_espeak", lambda: fake_espeak)

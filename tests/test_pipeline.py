@@ -5,16 +5,13 @@ import pytest
 
 from piper_tpu.engine.pipeline import ServingPipeline
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_pipe")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_pipeline_matches_fused_synthesize(runtime):
@@ -42,6 +39,7 @@ def test_pipeline_many_requests_in_flight(runtime):
     np.testing.assert_array_equal(again, audios[0])
 
 
+@pytest.mark.slow
 def test_pipeline_overflow_falls_back(runtime):
     rt = PiperRuntime(
         runtime.model_path, runtime.config_path,

@@ -50,6 +50,7 @@ def test_resblock2_hifigan_parity():
     np.testing.assert_allclose(np.asarray(a_j), a_t.numpy(), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_resblock2_full_infer_parity():
     weights = synthetic_params(SMALL_RB2, seed=24)
     jparams = params_from_arrays(weights)

@@ -11,7 +11,7 @@ from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 from piper_tpu.models.vits.hparams import VitsHParams
 from piper_tpu.models.vits.model import encode, decode
 from piper_tpu.models.vits.params import params_from_arrays
-from piper_tpu.models.vits.synthetic import make_synthetic_voice, synthetic_params
+from piper_tpu.models.vits.synthetic import synthetic_params
 from piper_tpu.testing import record_test_vector
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
@@ -27,10 +27,8 @@ SMALL = VitsHParams(
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_fixes")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_padded_decode_equals_exact_length_decode():
@@ -77,11 +75,9 @@ def test_streaming_matches_full_without_total_frames(runtime):
     np.testing.assert_allclose(streamed, full, atol=1e-5)
 
 
-def test_injected_noise_overflow_clamps(tmp_path_factory):
+def test_injected_noise_overflow_clamps(tiny_voice):
     """Finding 2: the injected-noise path clamps instead of raising."""
-    d = tmp_path_factory.mktemp("voice_clamp")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    rt = PiperRuntime(model, config, RuntimeOptions(frame_buckets=(32, 64)))
+    rt = PiperRuntime(*tiny_voice, RuntimeOptions(frame_buckets=(32, 64)))
     rng = np.random.default_rng(0)
     mn = rng.standard_normal((1, rt.hparams.inter_channels, 64)).astype(np.float32)
     audio = rt.synthesize(FIXTURE_IDS, length_scale=10.0, main_noise=mn)
@@ -127,10 +123,9 @@ def test_batcher_preserves_arrival_order_on_scale_mismatch(runtime):
     assert done_order == ["a", "b"]
 
 
-def test_cli_env_precision_flag(tmp_path_factory, monkeypatch):
+def test_cli_env_precision_flag(tiny_voice, tmp_path, monkeypatch):
     """Finding 9: PIPER_TPU_PRECISION reaches the runtime from the CLI."""
-    d = tmp_path_factory.mktemp("voice_env")
-    model, _ = make_synthetic_voice(d, quality="x_low", seed=5)
+    model, _ = tiny_voice
     monkeypatch.setenv("PIPER_TPU_PRECISION", "high")
     captured = {}
     orig_init = PiperRuntime.__init__
@@ -140,6 +135,6 @@ def test_cli_env_precision_flag(tmp_path_factory, monkeypatch):
         captured["precision"] = self.options.precision
 
     monkeypatch.setattr(PiperRuntime, "__init__", spy)
-    out = d / "o.wav"
+    out = tmp_path / "o.wav"
     cli.main(["--model", str(model), "--phoneme-ids", "1,20,0,2", "-o", str(out)])
     assert captured["precision"] == "high"

@@ -16,10 +16,8 @@ FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_rt")
-    model_path, config_path = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model_path, config_path)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_bucket_for():
@@ -43,10 +41,10 @@ def test_synthesize_basic(runtime):
     assert t.rtf > 0
 
 
-def test_prewarm_compiles_ladder(tmp_path):
-    model_path, config_path = make_synthetic_voice(tmp_path, quality="x_low", seed=5)
-    rt = PiperRuntime(model_path, config_path)
-    stats = rt.prewarm(phoneme_lengths=(14, 28), batch_sizes=(1, 2))
+@pytest.mark.slow
+def test_prewarm_compiles_ladder(tiny_voice):
+    rt = PiperRuntime(*tiny_voice)
+    stats = rt.prewarm(phoneme_lengths=(14,), batch_sizes=(1, 2))
     assert stats["programs"] >= 2
     assert stats["seconds"] > 0
     # Subsequent calls at covered shapes hit compiled programs.
@@ -55,7 +53,7 @@ def test_prewarm_compiles_ladder(tmp_path):
     rt.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS])
     assert rt.last_run_timings.compiled is False
     # Prewarming again is a no-op.
-    assert rt.prewarm(phoneme_lengths=(14, 28), batch_sizes=(1, 2))["programs"] == 0
+    assert rt.prewarm(phoneme_lengths=(14,), batch_sizes=(1, 2))["programs"] == 0
 
 
 def test_synthesize_deterministic(runtime):
@@ -111,7 +109,7 @@ def test_injected_noise_matches_oracle(runtime, tmp_path_factory):
     audio = runtime.synthesize(FIXTURE_IDS, dp_noise=dp_noise, main_noise=main_noise)
     assert len(audio) == len(audio_probe)
 
-    weights = synthetic_params(PRESETS["x_low"], seed=5)
+    weights = synthetic_params(PRESETS["test"], seed=5)
     ids = np.asarray([FIXTURE_IDS])
     dp_padded = np.zeros((1, 2, runtime.last_run_timings.phoneme_bucket), np.float32)
     dp_padded[:, :, :p] = dp_noise
@@ -134,7 +132,7 @@ def test_injected_noise_matches_oracle(runtime, tmp_path_factory):
 def test_multispeaker_runtime(tmp_path_factory):
     d = tmp_path_factory.mktemp("voice_ms")
     model_path, config_path = make_synthetic_voice(
-        d, quality="x_low", seed=6, n_speakers=4, gin_channels=32
+        d, quality="test", seed=6, n_speakers=4, gin_channels=32
     )
     rt = PiperRuntime(model_path, config_path)
     a0 = rt.synthesize(FIXTURE_IDS, speaker_id=0)
@@ -156,3 +154,49 @@ def test_wav_roundtrip(runtime, tmp_path):
     assert rate == runtime.sample_rate
     assert len(loaded) == len(audio)
     np.testing.assert_allclose(loaded, audio, atol=1.0 / 32000)
+
+
+def test_vocoder_precision_env_parsing(monkeypatch):
+    """PIPER_TPU_VOCODER_PRECISION: single tier or per-level comma list."""
+    monkeypatch.setenv("PIPER_TPU_VOCODER_PRECISION", "high")
+    assert RuntimeOptions.from_env().vocoder_precision == "high"
+    monkeypatch.setenv("PIPER_TPU_VOCODER_PRECISION", "highest,high,,default")
+    assert RuntimeOptions.from_env().vocoder_precision == (
+        "highest", "high", None, "default"
+    )
+    monkeypatch.delenv("PIPER_TPU_VOCODER_PRECISION")
+    assert RuntimeOptions.from_env().vocoder_precision is None
+
+
+def test_vocoder_precision_schedule_synthesizes(tiny_voice, tiny_runtime):
+    """A per-level schedule (a mixed tuple, covering the calibrated-'high'
+    plumbing) runs end to end; XLA-CPU computes every precision tier in
+    fp32, so the waveform must match the default runtime bit-for-bit."""
+    rt_mix = PiperRuntime(
+        *tiny_voice, RuntimeOptions(vocoder_precision=("highest", "high"))
+    )
+    a_ref = tiny_runtime.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(rt_mix.synthesize(FIXTURE_IDS), a_ref)
+
+
+def test_int16_output_mode(tiny_voice, tiny_runtime, tmp_path):
+    """output_dtype='int16': device-converted PCM16, within one quantization
+    step of the float32 waveform, and WAV-writable without re-conversion."""
+    rt = PiperRuntime(*tiny_voice, RuntimeOptions(output_dtype="int16"))
+    a16 = rt.synthesize(FIXTURE_IDS)
+    ref = tiny_runtime.synthesize(FIXTURE_IDS)  # same seed/options otherwise
+    assert a16.dtype == np.int16
+    assert len(a16) == len(ref)
+    np.testing.assert_allclose(
+        a16.astype(np.float32) / 32767.0, ref, atol=1.5 / 32767.0
+    )
+    with pytest.raises(ValueError):
+        PiperRuntime(*tiny_voice, RuntimeOptions(output_dtype="int8"))
+    # WAV round trip: int16 PCM is written without re-conversion.
+    audio = a16
+    path = tmp_path / "pcm16.wav"
+    write_wav(path, audio, rt.sample_rate)
+    loaded, rate = read_wav(path)
+    assert rate == rt.sample_rate
+    np.testing.assert_allclose(loaded * 32767.0, audio.astype(np.float32),
+                               atol=0.5)

@@ -32,6 +32,7 @@ TINY = VitsHParams(
 )
 
 
+@pytest.mark.slow
 def test_sp_decode_matches_single_device_windows():
     """sp-sharded decode must equal the same windowed decode run serially."""
     mesh = make_mesh(4, seq_parallel=4)  # dp=1, sp=4

@@ -12,10 +12,10 @@ FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 @pytest.fixture(scope="module")
 def voices(tmp_path_factory):
     d = tmp_path_factory.mktemp("server_voices")
-    v1, _ = make_synthetic_voice(d / "a", quality="x_low", seed=1, voice_name="voice-a")
-    v2, _ = make_synthetic_voice(d / "b", quality="x_low", seed=2, voice_name="voice-b")
+    v1, _ = make_synthetic_voice(d / "a", quality="test", seed=1, voice_name="voice-a")
+    v2, _ = make_synthetic_voice(d / "b", quality="test", seed=2, voice_name="voice-b")
     v3, _ = make_synthetic_voice(
-        d / "c", quality="x_low", seed=3, n_speakers=4, gin_channels=16,
+        d / "c", quality="test", seed=3, n_speakers=4, gin_channels=16,
         voice_name="voice-multispeaker",
     )
     return v1, v2, v3

@@ -3,18 +3,14 @@
 import numpy as np
 import pytest
 
-from piper_tpu.engine.runtime import PiperRuntime
 from piper_tpu.models.vits.hparams import PRESETS, receptive_field_frames
-from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
 FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 
 
 @pytest.fixture(scope="module")
-def runtime(tmp_path_factory):
-    d = tmp_path_factory.mktemp("voice_stream")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5)
-    return PiperRuntime(model, config)
+def runtime(tiny_runtime):
+    return tiny_runtime
 
 
 def test_receptive_field_reasonable():

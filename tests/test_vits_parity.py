@@ -201,6 +201,7 @@ def test_full_infer_parity(weights, jparams):
     assert np.max(np.abs(np.asarray(audio_j) - audio_t)) <= 1e-3
 
 
+@pytest.mark.slow
 def test_full_infer_high_architecture_parity():
     """Full graph parity on the high-preset architecture (deeper 5-level
     upsample stack, BASELINE.json config #4)."""
@@ -230,6 +231,7 @@ def test_full_infer_high_architecture_parity():
     assert np.max(np.abs(np.asarray(audio_j) - audio_t)) <= 1e-3
 
 
+@pytest.mark.slow
 def test_full_infer_multispeaker_parity():
     weights_ms = synthetic_params(SMALL_MS, seed=11)
     jparams_ms = params_from_arrays(weights_ms)

@@ -16,7 +16,7 @@ FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
 def hosted_voice(tmp_path_factory):
     """A synthetic voice 'hosted' at file:// URLs with real sha256 sums."""
     d = tmp_path_factory.mktemp("hosted")
-    model, config = make_synthetic_voice(d, quality="x_low", seed=5,
+    model, config = make_synthetic_voice(d, quality="test", seed=5,
                                          voice_name="xx_XX-test-x_low")
     def sha(p):
         return hashlib.sha256(p.read_bytes()).hexdigest()
@@ -24,7 +24,7 @@ def hosted_voice(tmp_path_factory):
     entry = VoiceEntry(
         id="xx_XX-test-x_low",
         language="xx_XX",
-        quality="x_low",
+        quality="test",
         model_url=model.as_uri(),
         config_url=config.as_uri(),
         model_sha256=sha(model),
