@@ -86,8 +86,10 @@ def main(argv=None):
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--mode", default="fused", choices=["split", "fused"])
-    parser.add_argument("--batch", type=int, default=16,
-                        help="batch size for the throughput measurement (0 = skip)")
+    parser.add_argument("--batch", type=int, default=32,
+                        help="batch size for the throughput measurement (0 = skip). "
+                             "32 is the best point of the measured 16/32/64/128 "
+                             "sweep on the dev chip (docs/BENCH.md)")
     parser.add_argument("--batch-sweep", default="",
                         help="comma-separated batch sizes to sweep for throughput "
                              "(e.g. 16,32,64,128); headline uses the best point")
