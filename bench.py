@@ -187,6 +187,33 @@ def main(argv=None):
             "rtf_throughput": round(total_audio_s / wall, 1),
         }
 
+    # Pipelined batches: batch i's bulk audio fetch (~37% of blocking wall
+    # on the tunneled dev chip) overlaps batch i+1's compute.
+    def measure_throughput_pipelined(runtime, bsz, n_batches=8):
+        from piper_tpu.engine.pipeline import ServingPipeline
+
+        ids8 = (FIXTURE_IDS * 8)[:4096]
+        batch = [ids8] * bsz
+        with ServingPipeline(runtime, max_inflight=4, num_fetchers=4) as pipe:
+            # Warmup: overlapped pair, not just one batch — the first time two
+            # program executions are in flight the device loads a second
+            # executable instance (one-time ~25 s stall on the tunneled chip).
+            for f in [pipe.submit_batch(batch, seed=100 + i) for i in range(3)]:
+                f.result()
+            t0 = time.perf_counter()
+            futs = [pipe.submit_batch(batch, seed=i) for i in range(n_batches)]
+            total_audio_s = sum(
+                sum(len(a) for a in f.result()) for f in futs
+            ) / runtime.sample_rate
+            wall = time.perf_counter() - t0
+        return {
+            "batch": bsz,
+            "n_batches": n_batches,
+            "audio_s_total": round(total_audio_s, 2),
+            "wall_s": round(wall, 3),
+            "rtf_throughput": round(total_audio_s / wall, 1),
+        }
+
     throughput = None
     batch_sweep_rows = None
     if args.batch_sweep:
@@ -196,6 +223,11 @@ def main(argv=None):
         throughput = max(batch_sweep_rows, key=lambda r: r["rtf_throughput"])
     elif args.batch:
         throughput = measure_throughput(rt, args.batch)
+    throughput_pipelined = None
+    if args.batch:
+        throughput_pipelined = measure_throughput_pipelined(
+            rt, throughput["batch"] if throughput else args.batch,
+            n_batches=4 if args.quick else 8)
 
     # Pipelined single-utterance serving (hides device round trips).
     pipeline_row = None
@@ -264,7 +296,11 @@ def main(argv=None):
     # Baseline comparison row: the factor-1 row when present (the *_factor1
     # keys would otherwise silently describe whatever factor was listed first).
     f1 = next((r for r in rows if r["factor"] == 1), rows[0])
-    headline_rtf = throughput["rtf_throughput"] if throughput else f1["rtf_mean"]
+    serving_rows = [r for r in (throughput, throughput_pipelined) if r]
+    headline_rtf = (
+        max(r["rtf_throughput"] for r in serving_rows)
+        if serving_rows else f1["rtf_mean"]
+    )
     result = {
         "metric": "rtf_per_chip",
         "value": round(headline_rtf, 2),
@@ -282,6 +318,7 @@ def main(argv=None):
         "compile_count": rt.last_run_timings.compile_count,
         "vocoder_precision": args.vocoder_precision or None,
         "throughput": throughput,
+        "throughput_pipelined": throughput_pipelined,
         "batch_sweep": batch_sweep_rows,
         "pipeline": pipeline_row,
         "multispeaker": multispeaker_row,

@@ -23,6 +23,8 @@ from piper_tpu.engine.runtime import PiperRuntime
 
 
 class ServingPipeline:
+    _SHUTDOWN = object()
+
     def __init__(self, runtime: PiperRuntime, max_inflight: int = 8,
                  num_fetchers: int = 4):
         self.rt = runtime
@@ -30,6 +32,11 @@ class ServingPipeline:
         self._queue: "queue.Queue" = queue.Queue()
         self._dispatch_lock = threading.Lock()
         self._closed = False
+        # Batched submissions run on one dedicated worker (started lazily)
+        # that serializes all device interaction; see submit_batch.
+        self._batch_queue: "queue.Queue" = queue.Queue()
+        self._batch_thread: Optional[threading.Thread] = None
+        self._batch_lock = threading.Lock()
         # Multiple fetchers so device->host round trips overlap (a single
         # fetcher would serialize one RTT per request).
         self._fetchers = [
@@ -67,17 +74,89 @@ class ServingPipeline:
             self._inflight.release()
             fut.set_exception(e)
             return fut
-        self._queue.put((fut, outs, meta))
+        self._queue.put((fut, "fused", outs, meta))
         return fut
+
+    def submit_batch(
+        self,
+        phoneme_ids_batch: Sequence[Sequence[int]],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> "Future[list]":
+        """Queue a whole batch; the Future resolves to a list of PCM arrays
+        (one per utterance, exact lengths, same audio as synthesize_batch).
+
+        Batches run on a dedicated worker that owns every device
+        interaction serially — dispatch batch i+1, then fetch batch i — so
+        batch i's bulk audio transfer (~37% of the blocking wall time at
+        B=32 on the tunneled dev chip) overlaps batch i+1's compute.
+        Measured 254x vs 179x blocking. A single worker is deliberate:
+        concurrent device transfers from several threads stall the
+        tunneled client unpredictably (4-6 s/batch observed), while the
+        depth-2 serial interleave is stable."""
+        if self._closed:
+            raise RuntimeError("pipeline is closed")
+        fut: "Future[list]" = Future()
+        kwargs = dict(
+            noise_scale=noise_scale, length_scale=length_scale,
+            noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
+        )
+        with self._batch_lock:
+            if self._batch_thread is None:
+                self._batch_thread = threading.Thread(
+                    target=self._batch_loop, daemon=True
+                )
+                self._batch_thread.start()
+        self._batch_queue.put((fut, [list(x) for x in phoneme_ids_batch], kwargs))
+        return fut
+
+    def _batch_loop(self) -> None:
+        pending = None  # (future, device_outs, meta) awaiting its fetch
+        while True:
+            try:
+                item = self._batch_queue.get(block=pending is None)
+            except queue.Empty:
+                item = None  # nothing new: just complete the pending fetch
+            if item is None and pending is None:
+                continue
+            nxt = None
+            if item is self._SHUTDOWN:
+                if pending is not None:
+                    self._finish_batch(pending)
+                return
+            if item is not None:
+                fut, ids_batch, kwargs = item
+                try:
+                    with self._dispatch_lock:
+                        outs, meta = self.rt.dispatch_batch(ids_batch, **kwargs)
+                    nxt = (fut, outs, meta)
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
+            if pending is not None:
+                self._finish_batch(pending)
+            pending = nxt
+
+    def _finish_batch(self, pending) -> None:
+        fut, outs, meta = pending
+        try:
+            fut.set_result(self.rt.fetch_batch(outs, meta))
+        except Exception as e:  # noqa: BLE001
+            fut.set_exception(e)
 
     def _fetch_loop(self) -> None:
         while True:
             item = self._queue.get()
             if item is None:
                 return
-            fut, outs, meta = item
+            fut, kind, outs, meta = item
             try:
-                fut.set_result(self.rt.fetch_fused(outs, meta))
+                if kind == "batch":
+                    fut.set_result(self.rt.fetch_batch(outs, meta))
+                else:
+                    fut.set_result(self.rt.fetch_fused(outs, meta))
             except Exception as e:  # noqa: BLE001
                 fut.set_exception(e)
             finally:
@@ -90,6 +169,9 @@ class ServingPipeline:
                 self._queue.put(None)
             for t in self._fetchers:
                 t.join(timeout=60)
+            if self._batch_thread is not None:
+                self._batch_queue.put(self._SHUTDOWN)
+                self._batch_thread.join(timeout=120)
 
     def __enter__(self) -> "ServingPipeline":
         return self

@@ -637,6 +637,74 @@ class PiperRuntime:
         }
         return outs, meta
 
+    def dispatch_batch(
+        self,
+        phoneme_ids_batch: Sequence[Sequence[int]],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ):
+        """Dispatch a batched synthesis without waiting for the audio.
+
+        Runs encode, fetches only the frame counts (one small round trip —
+        they pick the decode bucket), dispatches the decode, and returns
+        (device_audio, meta) for a later `fetch_batch`. The audio fetch is
+        the expensive transfer (~110 ms for a B=32 batch on the tunneled
+        dev chip, ~37% of the blocking wall time), so overlapping it with
+        the next batch's compute is the core of batched pipelined serving."""
+        ids_batch = [list(x) for x in phoneme_ids_batch]
+        hp = self.hparams
+        b = len(ids_batch)
+        for seq in ids_batch:
+            if not seq:
+                raise ValueError("empty phoneme sequence")
+            bad = [i for i in seq if not (0 <= i < hp.n_vocab)]
+            if bad:
+                raise ValueError(
+                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
+                    f"check the voice's phoneme_id_map"
+                )
+        lengths = np.asarray([len(x) for x in ids_batch], np.int32)
+        p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
+        ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sid = self._sid_array(list(speaker_ids) if speaker_ids is not None else None, b)
+        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        ids_j = jnp.asarray(ids)
+        lengths_j = jnp.asarray(lengths)
+        self._mark("enc_key", (b, p_bucket, sid is not None))
+        enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
+        # Host sync: frame counts decide the decode bucket (same one
+        # unavoidable flush as the blocking path).
+        y_lengths = np.asarray(enc.y_total).astype(np.int64)
+        try:
+            f_bucket = bucket_for(max(1, int(y_lengths.max())),
+                                  self.options.frame_buckets, "frame")
+        except BucketOverflowError:
+            import sys
+
+            f_bucket = self.options.frame_buckets[-1]
+            print(
+                f"[piper-tpu] warning: predicted {int(y_lengths.max())} frames "
+                f"exceeds the largest bucket {f_bucket}; audio will be truncated",
+                file=sys.stderr,
+            )
+        self._mark("dec_key", (b, f_bucket, sid is not None))
+        audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
+                                      max_frames=f_bucket)
+        return audio, {"y_len": np.clip(y_lengths, 1, f_bucket),
+                       "hop": hp.hop_length}
+
+    def fetch_batch(self, outs, meta) -> List[np.ndarray]:
+        """Complete a dispatch_batch: one bulk device round trip, then slice
+        each row to its exact length."""
+        audio = self._as_output(jax.device_get(outs))
+        y_len = meta["y_len"]
+        hop = meta["hop"]
+        return [audio[i, : int(y_len[i]) * hop] for i in range(audio.shape[0])]
+
     def fetch_fused(self, outs, meta) -> np.ndarray:
         """Complete a dispatch_fused: one device round trip; falls back to a
         blocking split-mode synthesis if the frame budget overflowed."""

@@ -51,6 +51,37 @@ def test_pipeline_overflow_falls_back(runtime):
     np.testing.assert_array_equal(audio, ref)
 
 
+def test_submit_batch_matches_synthesize_batch(runtime):
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:8], FIXTURE_IDS * 2]
+    ref = runtime.synthesize_batch(batch, seed=7)
+    with ServingPipeline(runtime) as pipe:
+        audios = pipe.submit_batch(batch, seed=7).result(timeout=300)
+    assert len(audios) == len(ref)
+    for a, r in zip(audios, ref):
+        np.testing.assert_array_equal(a, r)
+
+
+def test_submit_batch_pipelines_multiple_batches(runtime):
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:6]]
+    with ServingPipeline(runtime, max_inflight=3) as pipe:
+        futs = [pipe.submit_batch(batch, seed=i) for i in range(5)]
+        results = [f.result(timeout=300) for f in futs]
+    # seeds differ -> batches differ; same seed reproduces
+    assert not np.array_equal(results[0][0], results[1][0])
+    with ServingPipeline(runtime) as pipe:
+        again = pipe.submit_batch(batch, seed=0).result(timeout=300)
+    np.testing.assert_array_equal(again[0], results[0][0])
+
+
+def test_submit_batch_error_propagates(runtime):
+    with ServingPipeline(runtime) as pipe:
+        fut = pipe.submit_batch([[999999], FIXTURE_IDS])
+        with pytest.raises(ValueError):
+            fut.result(timeout=60)
+        audios = pipe.submit_batch([FIXTURE_IDS]).result(timeout=300)
+    assert len(audios) == 1 and len(audios[0]) > 0
+
+
 def test_pipeline_error_propagates(runtime):
     with ServingPipeline(runtime) as pipe:
         fut = pipe.submit([999999])  # out-of-range phoneme id
