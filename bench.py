@@ -54,9 +54,11 @@ def get_runtime(args, n_speakers: int = 1, gin: int = 0, quality: str = None):
     from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 
     quality = quality or args.quality
+    flow_prec = getattr(args, "flow_precision", None)
     options = RuntimeOptions(
         precision=args.precision, mode=args.mode,
         vocoder_precision=_parse_vocoder_precision(args.vocoder_precision),
+        flow_precision=None if flow_prec in (None, "none") else flow_prec,
         output_dtype=args.output_dtype,
     )
     if args.model and quality == args.quality:
@@ -100,6 +102,14 @@ def main(argv=None):
                              "4.6e-5 max-abs error vs the torch oracle (gate "
                              "1e-3) and the fastest gate-clearing tier measured "
                              "by tools/calibrate_precision.py on this chip")
+    parser.add_argument("--flow-precision", default="high",
+                        help="decode-flow matmul tier ('none' = inherit "
+                             "--precision). Default 'high': measured 4.9e-5 "
+                             "error vs the oracle (gate 1e-3, 20x margin) "
+                             "and ~1.2x faster decode (docs/BENCH.md); the "
+                             "encoder/duration path always stays at "
+                             "--precision (a duration flip is an O(1) "
+                             "waveform shift)")
     parser.add_argument("--output-dtype", default="int16",
                         choices=["int16", "float32"],
                         help="PCM format the programs emit; int16 (the WAV "
@@ -317,6 +327,7 @@ def main(argv=None):
         "quality": args.quality,
         "compile_count": rt.last_run_timings.compile_count,
         "vocoder_precision": args.vocoder_precision or None,
+        "flow_precision": args.flow_precision or None,
         "throughput": throughput,
         "throughput_pipelined": throughput_pipelined,
         "batch_sweep": batch_sweep_rows,

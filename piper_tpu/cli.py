@@ -42,6 +42,9 @@ def _cli_options(args) -> RuntimeOptions:
         options = replace(options, precision=args.precision)
     if getattr(args, "output_dtype", None) is not None:
         options = replace(options, output_dtype=args.output_dtype)
+    if getattr(args, "flow_precision", None) is not None:
+        fp = args.flow_precision
+        options = replace(options, flow_precision=None if fp == "none" else fp)
     if getattr(args, "vocoder_precision", None) is not None:
         vp = args.vocoder_precision
         if vp == "none":
@@ -451,6 +454,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "oracle gate with 22x margin and is ~1.2x faster — "
                         "tools/calibrate_precision.py), 'none', or "
                         "comma-separated per-upsample-level tiers")
+    p.add_argument("--flow-precision", default=None,
+                   help="decode-flow-only matmul tier ('none' = inherit "
+                        "--precision); the encoder/duration path always "
+                        "stays at --precision")
     p.add_argument("--bench-summary", "--summary", dest="bench_summary",
                    help="path to test_summary.json (enables bench mode)")
     p.add_argument("--scale-bench", action="store_true")

@@ -59,6 +59,11 @@ class RuntimeOptions:
     # (especially the late small-channel levels) it tolerates lower tiers
     # than the flows.
     vocoder_precision: Union[str, Tuple[Optional[str], ...], None] = None
+    # Separate precision for the reverse residual-coupling flows (decode
+    # side only — the encoder/duration path stays at `precision`: a duration
+    # error can flip a ceil() and shift the whole waveform, while flow error
+    # feeds the bounded vocoder). None = same as `precision`.
+    flow_precision: Optional[str] = None
     # Execution mode:
     #   "split" — encode / decode as two programs with an exact host-chosen
     #             frame bucket (2 host round trips per call)
@@ -95,6 +100,8 @@ class RuntimeOptions:
             kwargs["vocoder_precision"] = (
                 tuple(t or None for t in vp.split(",")) if "," in vp else vp
             )
+        if flag("PIPER_TPU_FLOW_PRECISION"):
+            kwargs["flow_precision"] = flag("PIPER_TPU_FLOW_PRECISION")
         return RuntimeOptions(**kwargs)
 
 
@@ -239,6 +246,7 @@ class PiperRuntime:
         hp = self.hparams
         prec = self._matmul_precision()
         voc_prec = self.options.vocoder_precision
+        flow_prec = self.options.flow_precision
         use_pallas = self._resolve_pallas()
         if self.options.output_dtype not in ("float32", "int16"):
             raise ValueError(
@@ -276,7 +284,7 @@ class PiperRuntime:
                 audio, y_len = vits.decode(
                     params, hp, enc, main_noise, max_frames=max_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
-                    use_pallas=use_pallas)
+                    flow_precision=flow_prec, use_pallas=use_pallas)
                 return to_pcm(audio), y_len
 
         def decode_injected(params, enc, main_noise, noise_scale):
@@ -284,7 +292,8 @@ class PiperRuntime:
                 audio, y_len = vits.decode(
                     params, hp, enc, main_noise,
                     max_frames=main_noise.shape[-1], noise_scale=noise_scale,
-                    vocoder_precision=voc_prec, use_pallas=use_pallas)
+                    vocoder_precision=voc_prec, flow_precision=flow_prec,
+                    use_pallas=use_pallas)
                 return to_pcm(audio), y_len
 
         def fused_keyed(params, ids, lengths, seed, scales, sid, *, max_frames):
@@ -306,6 +315,7 @@ class PiperRuntime:
                                            max_frames=max_frames,
                                            noise_scale=noise_scale,
                                            vocoder_precision=voc_prec,
+                                           flow_precision=flow_prec,
                                            use_pallas=use_pallas)
                 # y_total (un-clipped) lets the host detect budget overflow
                 # from the same fetch as the audio.
@@ -325,7 +335,7 @@ class PiperRuntime:
                     params, hp, enc, main_noise, t_offset,
                     window=window, total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
-                    use_pallas=use_pallas,
+                    flow_precision=flow_prec, use_pallas=use_pallas,
                 ))
 
         def decode_window_injected(params, enc, main_noise_win, t_offset,
@@ -335,7 +345,7 @@ class PiperRuntime:
                     params, hp, enc, main_noise_win, t_offset,
                     window=main_noise_win.shape[-1], total_frames=total_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
-                    use_pallas=use_pallas,
+                    flow_precision=flow_prec, use_pallas=use_pallas,
                 ))
 
         self._encode_keyed = jax.jit(encode_keyed)

@@ -26,6 +26,16 @@ from piper_tpu.models.vits.text_encoder import text_encoder
 from piper_tpu.ops.masking import generate_path, sequence_mask
 
 
+def _matmul_precision(tier: Optional[str]):
+    """Context scoping a matmul-precision tier to one model stage (no-op
+    context when tier is None, inheriting the caller's precision)."""
+    import contextlib
+
+    if tier is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(tier)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class EncodeResult:
@@ -91,6 +101,7 @@ def decode(
     max_frames: int,
     noise_scale: jnp.ndarray | float = 0.667,
     vocoder_precision: Optional[str] = None,
+    flow_precision: Optional[str] = None,
     use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Durations + prior -> waveform.
@@ -99,6 +110,10 @@ def decode(
     `vocoder_precision` optionally lowers the matmul precision of just the
     HiFi-GAN stage (it carries ~90% of the FLOPs; its error feeds a bounded
     tanh output, unlike the flow/duration stages whose errors compound).
+    `flow_precision` does the same for the reverse residual-coupling flows —
+    safe to lower independently of the encoder because z feeds the bounded
+    vocoder, whereas duration-predictor error can flip a ceil() and shift
+    the whole waveform (keep the encoder at fp32).
     Returns (audio (B, max_frames * hop), y_lengths (B,) in frames).
     """
     y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, max_frames)
@@ -107,7 +122,8 @@ def decode(
     m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
     logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
     z_p = m_p + main_noise.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
-    z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
+    with _matmul_precision(flow_precision):
+        z = flow_reverse(z_p, y_mask, params, hp, g=enc.g)
     # t_mask=y_mask makes every vocoder conv see zeros beyond y_len, exactly
     # like a dynamic-shape decode whose array ends at y_len — without it,
     # bias activations from the bucket-padding region bleed back into the
@@ -141,6 +157,7 @@ def decode_window(
     total_frames: jnp.ndarray,
     noise_scale: jnp.ndarray | float = 0.667,
     vocoder_precision=None,
+    flow_precision: Optional[str] = None,
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Decode only frames [t_offset, t_offset + window) — streaming.
@@ -176,7 +193,8 @@ def decode_window(
     m_p = jnp.einsum("btp,bcp->bct", path, enc.m_p)
     logs_p = jnp.einsum("btp,bcp->bct", path, enc.logs_p)
     z_p = m_p + main_noise_win.astype(m_p.dtype) * jnp.exp(logs_p) * noise_scale
-    z = flow_reverse(z_p * arr_mask, y_mask * arr_mask, params, hp, g=enc.g)
+    with _matmul_precision(flow_precision):
+        z = flow_reverse(z_p * arr_mask, y_mask * arr_mask, params, hp, g=enc.g)
     # Mask the vocoder at BOTH the window/array edges and beyond y_len,
     # matching decode()'s exact-length semantics. In window coordinates the
     # combined valid region is the contiguous interval [lo, hi): lo is the
@@ -286,6 +304,7 @@ def infer(
     noise_w: jnp.ndarray | float = 0.8,
     sid: Optional[jnp.ndarray] = None,
     vocoder_precision: Optional[str] = None,
+    flow_precision: Optional[str] = None,
     use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused single-program synthesis: ids -> (audio, y_lengths)."""
@@ -301,4 +320,4 @@ def infer(
     )
     return decode(params, hp, enc, main_noise, max_frames=max_frames,
                   noise_scale=noise_scale, vocoder_precision=vocoder_precision,
-                  use_pallas=use_pallas)
+                  flow_precision=flow_precision, use_pallas=use_pallas)

@@ -10,6 +10,7 @@ SURVEY.md §5.6) — read in one place so the full list is discoverable.
 | PIPER_TPU_PLATFORM      | force a jax platform (e.g. cpu) in CLI/bench        |
 | PIPER_TPU_PRECISION     | override the default matmul precision tier          |
 | PIPER_TPU_VOCODER_PRECISION | vocoder-only tier or comma-list per upsample level |
+| PIPER_TPU_FLOW_PRECISION | decode-flow-only matmul tier (encoder stays fp32)    |
 | PIPER_TPU_MODE          | override execution mode: split | fused              |
 | PIPER_TPU_NO_PALLAS     | =1 disables the fused Pallas kernels (XLA lowering) |
 | PIPER_TPU_NO_JIT_CACHE  | =1 disables the persistent on-disk XLA jit cache    |

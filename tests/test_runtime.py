@@ -179,6 +179,22 @@ def test_vocoder_precision_schedule_synthesizes(tiny_voice, tiny_runtime):
     np.testing.assert_array_equal(rt_mix.synthesize(FIXTURE_IDS), a_ref)
 
 
+def test_flow_precision_plumbing(tiny_voice, tiny_runtime, monkeypatch):
+    """flow_precision scopes a matmul tier to the decode flows (streaming
+    included); XLA-CPU computes every tier in fp32, so output must match the
+    default runtime bit-for-bit. Env flag parses like the other tiers."""
+    rt = PiperRuntime(*tiny_voice, RuntimeOptions(flow_precision="high"))
+    a_ref = tiny_runtime.synthesize(FIXTURE_IDS)
+    np.testing.assert_array_equal(rt.synthesize(FIXTURE_IDS), a_ref)
+    # streaming path compiles with the tier too
+    chunks = list(rt.synthesize_stream(FIXTURE_IDS, incremental=True))
+    assert sum(len(c.samples) for c in chunks) == len(a_ref)
+    monkeypatch.setenv("PIPER_TPU_FLOW_PRECISION", "high")
+    assert RuntimeOptions.from_env().flow_precision == "high"
+    monkeypatch.delenv("PIPER_TPU_FLOW_PRECISION")
+    assert RuntimeOptions.from_env().flow_precision is None
+
+
 def test_int16_output_mode(tiny_voice, tiny_runtime, tmp_path):
     """output_dtype='int16': device-converted PCM16, within one quantization
     step of the float32 waveform, and WAV-writable without re-conversion."""

@@ -69,6 +69,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--threshold", type=float, default=2e-4,
                     help="max-abs error bound (gate 1e-3 with 5x margin)")
+    ap.add_argument("--flow-tiers", default="",
+                    help="comma list of decode-flow tiers to fidelity-check "
+                         "(e.g. 'highest,high,default'); runs the flow "
+                         "calibration instead of the vocoder schedule sweep")
     ap.add_argument("--schedules", default="",
                     help="comma-of-colon list, e.g. 'high:high:default:default,default'")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
@@ -139,6 +143,43 @@ def main(argv=None):
     ymask_np = np.asarray(y_mask, dtype=np.float32).reshape(b, 1, max_frames)
     ylen_np = np.asarray(y_lengths, dtype=np.int32)
     print(f"# oracle frames used: {ylen_np.tolist()}", file=sys.stderr)
+
+    # --flow-tiers: calibrate the decode-flow precision instead. Feeds the
+    # oracle's z_p through OUR reverse flows at each tier, then the vocoder
+    # at the calibrated 'high' schedule, and compares against the oracle's
+    # audio — isolating the flow-tier error the same way the vocoder sweep
+    # isolates vocoder error (both sides see identical z_p; no duration
+    # discretization in the path).
+    if args.flow_tiers:
+        from piper_tpu.models.vits.flows import flow_reverse
+        from piper_tpu.models.vits.model import _matmul_precision
+
+        zp_np = np.asarray(z_p * y_mask, dtype=np.float32)
+        jzp = jnp.asarray(zp_np)
+        jym = jnp.asarray(np.asarray(y_mask, np.float32))
+        frows = []
+        for tier in args.flow_tiers.split(","):
+            t = None if tier in ("", "none") else tier
+
+            def fwd(params, zz, ym, mm, bb, _t=t):
+                with _matmul_precision(_t):
+                    z_f = flow_reverse(zz, ym, params, hp)
+                return hifigan_generator(
+                    z_f * mm, params, hp, level_precisions="high",
+                    use_pallas=on_tpu, t_mask=mm, t_bounds=bb,
+                )
+
+            audio_f = np.asarray(jax.device_get(jax.jit(fwd)(
+                jparams, jzp, jym, jnp.asarray(ymask_np), jnp.asarray(ylen_np)
+            )))[:, 0, :]
+            err = float(np.max(np.abs(audio_f - audio_t)))
+            frows.append({"flow_tier": tier, "vocoder": "high",
+                          "max_abs_err": err})
+            print(json.dumps(frows[-1]), file=sys.stderr)
+        print(json.dumps({"quality": args.quality,
+                          "platform": jax.default_backend(),
+                          "threshold": args.threshold, "flow_rows": frows}))
+        return
 
     if args.schedules:
         cands = [tuple(s.split(":")) if ":" in s else (s,) * n_levels
