@@ -34,10 +34,11 @@ class BatchingServer:
     them as one batched call on a single worker thread."""
 
     def __init__(self, runtime: PiperRuntime, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, split_length_ratio: float = 4.0):
         self.rt = runtime
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
+        self.split_length_ratio = split_length_ratio
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._carry: Optional[_Request] = None  # scale-mismatch spillover
         self._closed = False
@@ -96,30 +97,79 @@ class BatchingServer:
             group.append(item)
         return group
 
-    def _serve_group(self, group: List[_Request]) -> None:
+    def _split_group(self, group: List[_Request]) -> List[List[_Request]]:
+        """Split a group whose length spread is pathological (max/min phoneme
+        count >= split_length_ratio) into per-phoneme-bucket sub-batches.
+
+        Mixed lengths in one batch pad every row to the longest row's frame
+        bucket — exact-length masking keeps the audio correct but the padded
+        decode compute is still spent. Splitting trades that padding against
+        batch efficiency (B=16 -> 2xB=8 runs below the device's batched
+        sweet spot), so only extreme spreads split; modest spreads stay
+        batched."""
+        lens = [len(r.ids) for r in group]
+        if len(group) < 2 or max(lens) < self.split_length_ratio * min(lens):
+            return [group]
+        from piper_tpu.engine.bucketing import bucket_for
+
+        buckets = {}
+        for r in group:
+            b = bucket_for(len(r.ids), self.rt.options.phoneme_buckets, "phoneme")
+            buckets.setdefault(b, []).append(r)
+        return [buckets[k] for k in sorted(buckets)]
+
+    def _dispatch_group(self, group: List[_Request]):
+        """Dispatch one batched synthesis; returns (group, outs, meta) for a
+        later fetch, or None if the dispatch itself failed."""
         try:
             ns, ls, nw = group[0].scales
             speaker_ids = None
             if any(r.speaker_id is not None for r in group):
                 speaker_ids = [r.speaker_id or 0 for r in group]
-            audios = self.rt.synthesize_batch(
+            outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],
                 noise_scale=ns, length_scale=ls, noise_w=nw,
                 speaker_ids=speaker_ids,
             )
+            return group, outs, meta
+        except Exception as e:  # noqa: BLE001 — per-request surfacing
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+            return None
+
+    def _finish_group(self, group: List[_Request], outs, meta) -> None:
+        try:
+            audios = self.rt.fetch_batch(outs, meta)
             for r, a in zip(group, audios):
                 r.future.set_result(a)
-        except Exception as e:  # noqa: BLE001 — per-request surfacing
+        except Exception as e:  # noqa: BLE001
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)
 
     def _serve_loop(self) -> None:
+        # Depth-2 pipeline on ONE thread (all device interaction serial —
+        # see ServingPipeline.submit_batch for why that matters on a
+        # tunneled device): group i's bulk audio fetch overlaps group
+        # i+1's collect + dispatch. A pending fetch is completed
+        # immediately when no more work is queued, so idle-traffic latency
+        # is unchanged.
+        pending = None
         while True:
             group = self._collect()
             if group is None:
+                if pending is not None:
+                    self._finish_group(*pending)
                 return
-            self._serve_group(group)
+            for sub in self._split_group(group):
+                dispatched = self._dispatch_group(sub)
+                if pending is not None:
+                    self._finish_group(*pending)
+                pending = dispatched
+            if pending is not None and self._queue.empty() and self._carry is None:
+                self._finish_group(*pending)
+                pending = None
 
     def close(self) -> None:
         if not self._closed:

@@ -43,6 +43,44 @@ def test_mixed_lengths_batch(runtime):
     assert lengths[2] > lengths[1]
 
 
+def test_extreme_length_spread_splits(runtime):
+    """A group whose max/min phoneme count crosses split_length_ratio is
+    served as per-bucket sub-batches; results are identical audio to a
+    direct synthesize of each request (split is a scheduling decision, not
+    a semantic one)."""
+    short, long = FIXTURE_IDS[:4], FIXTURE_IDS * 4  # 4 vs 56 phonemes
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=100,
+                        split_length_ratio=4.0) as server:
+        futs = [server.submit(short), server.submit(long),
+                server.submit(short), server.submit(long)]
+        audios = [f.result(timeout=300) for f in futs]
+    assert len(audios) == 4
+    assert len(audios[1]) > len(audios[0])
+    # sub-batching math: one group of identical lengths never splits
+    groups = BatchingServer.__new__(BatchingServer)
+    groups.split_length_ratio = 4.0
+    groups.rt = runtime
+    from piper_tpu.engine.batcher import _Request
+    reqs = [_Request(ids, (None, None, None), None, None)
+            for ids in (short, long, short)]
+    parts = groups._split_group(reqs)
+    assert [sorted(len(r.ids) for r in p) for p in parts] == [[4, 4], [56]]
+    same = [_Request(FIXTURE_IDS, (None, None, None), None, None)] * 3
+    assert len(groups._split_group(same)) == 1
+
+
+def test_depth2_pipeline_drains_on_idle(runtime):
+    """With sparse traffic every future resolves promptly (the pending
+    fetch is completed as soon as the queue is empty, not held for a
+    successor group)."""
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=5) as server:
+        for i in range(3):
+            a = server.submit(FIXTURE_IDS).result(timeout=300)
+            assert len(a) > 0
+        time.sleep(0.05)  # idle gap; server must not be wedged
+        assert len(server.submit(FIXTURE_IDS[:6]).result(timeout=300)) > 0
+
+
 def test_scale_mismatch_served_separately(runtime):
     with BatchingServer(runtime, max_batch=8, max_wait_ms=100) as server:
         f1 = server.submit(FIXTURE_IDS)
