@@ -28,11 +28,21 @@ from piper_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS, batch_sharded, replicat
 
 @dataclass
 class ShardedVits:
-    """A VITS model placed on a mesh for data-parallel batched serving."""
+    """A VITS model placed on a mesh for data-parallel batched serving.
+
+    Precision mirrors PiperRuntime: `precision` pins the global matmul tier
+    (WITHOUT this, TPU matmuls on fp32 inputs run at jax's implicit DEFAULT
+    = single-pass bf16 — the tier that breaks the 1e-3 fidelity gate);
+    `vocoder_precision` / `flow_precision` scope the calibrated cheaper
+    tiers to their stages (docs/BENCH.md calibration tables)."""
 
     mesh: Mesh
     params: Params
     hp: VitsHParams
+    precision: str = "highest"
+    vocoder_precision: Optional[str] = None
+    flow_precision: Optional[str] = None
+    use_pallas: Optional[bool] = None
 
     def __post_init__(self) -> None:
         # Compiled-fn caches: jax.jit objects are cheap to *call* but a fresh
@@ -40,11 +50,14 @@ class ShardedVits:
         # PiperRuntime._build_jits keys its programs.
         self._infer_fns: dict = {}
         self._sp_decode_fns: dict = {}
+        if self.use_pallas is None:
+            self.use_pallas = jax.default_backend() == "tpu"
 
     @classmethod
-    def create(cls, mesh: Mesh, params: Params, hp: VitsHParams) -> "ShardedVits":
+    def create(cls, mesh: Mesh, params: Params, hp: VitsHParams,
+               **options) -> "ShardedVits":
         placed = jax.device_put(params, replicated(mesh))
-        return cls(mesh=mesh, params=placed, hp=hp)
+        return cls(mesh=mesh, params=placed, hp=hp, **options)
 
     def infer_fn(self, max_frames: int, with_sid: bool = False):
         """Return the jitted, batch-sharded fused synthesis step for this
@@ -64,14 +77,18 @@ class ShardedVits:
 
         def step(params, ids, lengths, dp_noise, main_noise, scales, sid=None):
             noise_scale, length_scale, noise_w = scales[0], scales[1], scales[2]
-            return vits.infer(
-                params, hp, ids, lengths, dp_noise, main_noise,
-                max_frames=max_frames,
-                noise_scale=noise_scale,
-                length_scale=length_scale,
-                noise_w=noise_w,
-                sid=sid,
-            )
+            with jax.default_matmul_precision(self.precision):
+                return vits.infer(
+                    params, hp, ids, lengths, dp_noise, main_noise,
+                    max_frames=max_frames,
+                    noise_scale=noise_scale,
+                    length_scale=length_scale,
+                    noise_w=noise_w,
+                    sid=sid,
+                    vocoder_precision=self.vocoder_precision,
+                    flow_precision=self.flow_precision,
+                    use_pallas=self.use_pallas,
+                )
 
         in_shardings = (r_sh, b_sh, b_sh, b_sh, b_sh, r_sh) + ((b_sh,) if with_sid else ())
         fn = jax.jit(
@@ -143,7 +160,7 @@ class ShardedVits:
         hp = self.hp
         h = receptive_field_frames(hp) if halo is None else int(halo)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = self.use_pallas
         key = (int(span), h, bool(use_pallas))
         cached = self._sp_decode_fns.get(key)
         if cached is not None:
@@ -158,11 +175,14 @@ class ShardedVits:
             base = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
             t_idx = t_offset + jnp.arange(window)
             noise = vits.per_frame_noise(base, t_idx, enc.m_p.shape[0], enc.m_p.shape[1])
-            audio = vits.decode_window(
-                params, hp, enc, noise, t_offset,
-                window=window, total_frames=total_frames,
-                noise_scale=noise_scale, use_pallas=use_pallas,
-            )
+            with jax.default_matmul_precision(self.precision):
+                audio = vits.decode_window(
+                    params, hp, enc, noise, t_offset,
+                    window=window, total_frames=total_frames,
+                    noise_scale=noise_scale, use_pallas=use_pallas,
+                    vocoder_precision=self.vocoder_precision,
+                    flow_precision=self.flow_precision,
+                )
             return audio[:, h * hop : (h + span) * hop]
 
         mapped = shard_map(
@@ -194,8 +214,11 @@ class ShardedVits:
         def enc_fn(params, ids_j, lengths_j, sid_j):
             base = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(seed)), 0)
             dp_noise = jax.random.normal(base, (ids_j.shape[0], 2, ids_j.shape[1]))
-            return vits.encode(params, self.hp, ids_j, lengths_j, dp_noise,
-                               length_scale=ls, noise_w=nw, sid=sid_j)
+            # Encoder stays at the global tier (duration-ceil safety — the
+            # same reason PiperRuntime never lowers the encode path).
+            with jax.default_matmul_precision(self.precision):
+                return vits.encode(params, self.hp, ids_j, lengths_j, dp_noise,
+                                   length_scale=ls, noise_w=nw, sid=sid_j)
 
         ids_j = jax.device_put(jnp.asarray(ids, jnp.int32), r_sh)
         lengths_j = jax.device_put(jnp.asarray(lengths, jnp.int32), r_sh)

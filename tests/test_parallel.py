@@ -74,6 +74,31 @@ def test_dp_sharded_batch_matches_single_device():
     np.testing.assert_allclose(audio, np.asarray(audio_ref), atol=1e-5)
 
 
+def test_sharded_precision_options_plumb():
+    """ShardedVits carries the calibrated tiers into its programs (CPU
+    computes every tier in fp32, so output must be bit-identical to the
+    default instance — this asserts the plumbing compiles and is a no-op
+    where it must be). Without the explicit `precision` pin, TPU matmuls
+    on fp32 inputs would run at jax's implicit single-pass-bf16 DEFAULT,
+    the tier measured to break the 1e-3 fidelity gate."""
+    mesh = make_mesh(8)
+    weights = synthetic_params(TINY, seed=13)
+    base = ShardedVits.create(mesh, params_from_arrays(weights), TINY)
+    tiered = ShardedVits.create(
+        mesh, params_from_arrays(weights), TINY,
+        vocoder_precision="high", flow_precision="high",
+    )
+    assert base.precision == "highest" and tiered.flow_precision == "high"
+    rng = np.random.default_rng(0)
+    b, p, max_frames = 8, 12, 32
+    ids = rng.integers(0, TINY.n_vocab, size=(b, p))
+    lengths = np.full((b,), p)
+    a0, y0 = base.synthesize_batch(ids, lengths, max_frames=max_frames, seed=3)
+    a1, y1 = tiered.synthesize_batch(ids, lengths, max_frames=max_frames, seed=3)
+    np.testing.assert_array_equal(y0, y1)
+    np.testing.assert_array_equal(a0, a1)
+
+
 def test_repeated_serving_calls_do_not_retrace():
     """Second synthesize_batch / sp_decode_fn call must reuse the compiled fn
     (VERDICT round 1: a fresh jax.jit per call retraced every batch)."""
