@@ -54,62 +54,87 @@ def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
             x_hbm.at[i2, :, pl.ds(t2 * tile, wb)], xwin.at[slot], sems.at[slot]
         )
 
-    @pl.when(s == 0)
+    def dead(step):
+        # A step is dead when its whole OUTPUT tile [t2*tile, t2*tile+tile)
+        # lies outside its row's [lo, hi): the kernel's output there is
+        # defined as zero, so the window DMA and the 6 dots can be skipped
+        # entirely. On bucket-padded decodes the tail tiles of every row
+        # are dead (e.g. 167 valid frames in a 192-frame bucket kills ~13%
+        # of tiles at every upsample level).
+        i2 = step // nt
+        t2 = step % nt
+        start = t2 * tile
+        return jnp.logical_or(start >= bounds_ref[i2, 1],
+                              start + tile <= bounds_ref[i2, 0])
+
+    @pl.when(jnp.logical_and(s == 0, jnp.logical_not(dead(0))))
     def _():
         dma_for(0, 0).start()
 
     slot = jax.lax.rem(s, 2)
 
-    @pl.when(s + 1 < total)
+    @pl.when(jnp.logical_and(s + 1 < total, jnp.logical_not(dead(s + 1))))
     def _():
         dma_for(s + 1, jax.lax.rem(s + 1, 2)).start()
-
-    dma_for(s, slot).wait()
-    ybuf[:] = xwin[slot]
 
     h2 = (k - 1) // 2
     halo_total = sum((k - 1) // 2 * d + h2 for d in dils)
 
-    # Global sample index of lane l: t*tile + l - halo_total (x was
-    # left-padded by the halo). Valid iff lo <= g < hi. The mask is ALWAYS
-    # applied: without it, bias propagation into the left halo lanes
-    # (global g < lo) diverges from the real array edge; it also provides
-    # exact-length (dynamic-shape) semantics past each row's bound.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
-    g = t * tile + lane - halo_total
-    lo = bounds_ref[i, 0]
-    hi = bounds_ref[i, 1]
-    mask = jnp.logical_and(g >= lo, g < hi).astype(jnp.float32)
+    @pl.when(dead(s))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
 
-    def act(v):
-        v = jnp.where(v >= 0, v, v * slope)
-        return v * mask
+    @pl.when(jnp.logical_not(dead(s)))
+    def _():
+        dma_for(s, slot).wait()
+        ybuf[:] = xwin[slot]
 
-    margin = 0
-    for m, d in enumerate(dils):
-        h1 = (k - 1) // 2 * d
-        # conv1 (dilated): output valid on [margin+h1, wb-margin-h1)
-        a1 = margin + h1
-        width1 = wb - 2 * a1
-        src = act(ybuf[:])
-        for j in range(k):
-            off = a1 - h1 + j * d
-            cols[j * ch : (j + 1) * ch, 0:width1] = src[:, off : off + width1]
-        y1 = mxu_dot(w1_ref[m], cols[:, 0:width1], precision) + b1_ref[m]
-        tbuf[:, a1 : a1 + width1] = y1
-        # conv2 (dense): output valid on [a1+h2, wb-a1-h2)
-        a2 = a1 + h2
-        width2 = wb - 2 * a2
-        src2 = act(tbuf[:])
-        for j in range(k):
-            off = a2 - h2 + j
-            cols[j * ch : (j + 1) * ch, 0:width2] = src2[:, off : off + width2]
-        y2 = mxu_dot(w2_ref[m], cols[:, 0:width2], precision) + b2_ref[m]
-        # residual: y += y2 on the valid region
-        ybuf[:, a2 : a2 + width2] = ybuf[:, a2 : a2 + width2] + y2
-        margin = a2
+        # Global sample index of lane l: t*tile + l - halo_total (x was
+        # left-padded by the halo). Valid iff lo <= g < hi. The mask is
+        # ALWAYS applied: without it, bias propagation into the left halo
+        # lanes (global g < lo) diverges from the real array edge; it also
+        # provides exact-length (dynamic-shape) semantics past each row's
+        # bound.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, wb), 1)
+        g = t * tile + lane - halo_total
+        lo = bounds_ref[i, 0]
+        hi = bounds_ref[i, 1]
+        mask = jnp.logical_and(g >= lo, g < hi).astype(jnp.float32)
 
-    o_ref[:] = ybuf[:, halo_total : halo_total + tile]
+        def act(v):
+            v = jnp.where(v >= 0, v, v * slope)
+            return v * mask
+
+        margin = 0
+        for m, d in enumerate(dils):
+            h1 = (k - 1) // 2 * d
+            # conv1 (dilated): output valid on [margin+h1, wb-margin-h1)
+            a1 = margin + h1
+            width1 = wb - 2 * a1
+            src = act(ybuf[:])
+            for j in range(k):
+                off = a1 - h1 + j * d
+                cols[j * ch : (j + 1) * ch, 0:width1] = src[:, off : off + width1]
+            y1 = mxu_dot(w1_ref[m], cols[:, 0:width1], precision) + b1_ref[m]
+            tbuf[:, a1 : a1 + width1] = y1
+            # conv2 (dense): output valid on [a1+h2, wb-a1-h2)
+            a2 = a1 + h2
+            width2 = wb - 2 * a2
+            src2 = act(tbuf[:])
+            for j in range(k):
+                off = a2 - h2 + j
+                cols[j * ch : (j + 1) * ch, 0:width2] = src2[:, off : off + width2]
+            y2 = mxu_dot(w2_ref[m], cols[:, 0:width2], precision) + b2_ref[m]
+            # residual: y += y2 on the valid region
+            ybuf[:, a2 : a2 + width2] = ybuf[:, a2 : a2 + width2] + y2
+            margin = a2
+
+        # The output is masked to the valid interval: beyond [lo, hi) the
+        # kernel's result is EXACTLY zero (not bias-propagated garbage), so
+        # the value is independent of tile size and dead-tile skipping, and
+        # downstream levels see the same zeros the array-level t_mask gives.
+        o_ref[:] = (ybuf[:, halo_total : halo_total + tile]
+                    * mask[:, halo_total : halo_total + tile])
 
 
 def pallas_resblock1_branch(

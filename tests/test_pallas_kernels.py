@@ -73,6 +73,7 @@ def test_fused_resblock_branch_matches_torch(ch, k, dils, n, bnd):
             t2 = F.conv1d(t2, torch.from_numpy(w2[mi]), torch.from_numpy(b2[mi]),
                           padding=(k - 1) // 2)
             y = y + t2
+        y = y * mask  # kernel contract: exactly zero outside [lo, hi)
     np.testing.assert_allclose(np.asarray(got), y.numpy(), atol=1e-5)
 
 
@@ -107,6 +108,45 @@ def test_fused_resblock_branch_two_sided_bounds():
             t2 = F.conv1d(t2, torch.from_numpy(w2[mi]), torch.from_numpy(b2[mi]),
                           padding=(k - 1) // 2)
             y = y + t2
+        y = y * mask  # kernel contract: exactly zero outside [lo, hi)
+    np.testing.assert_allclose(np.asarray(got), y.numpy(), atol=1e-5)
+
+
+def test_fused_resblock_dead_tiles_are_zero():
+    """Tiles entirely outside [lo, hi) skip their DMA + dots and write
+    exact zeros; the valid region is bit-identical to a run without any
+    dead tile (bounds tight to the array)."""
+    rng = np.random.default_rng(4)
+    ch, k, dils, n = 32, 7, (1, 3), 1024
+    x = rng.standard_normal((2, ch, n)).astype(np.float32) * 0.3
+    m = len(dils)
+    w1 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+    b1 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+    w2 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+    b2 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(w1), jnp.asarray(b1),
+            jnp.asarray(w2), jnp.asarray(b2))
+    # row 0: valid [0, 150) -> tiles 1..3 dead at tile=256; row 1: all valid
+    bounds = np.array([[0, 150], [0, 1024]], np.int32)
+    got = pallas_resblock1_branch(
+        *args, kernel=k, dilations=dils, bounds=jnp.asarray(bounds),
+        tile=256, interpret=True,
+    )
+    assert np.all(np.asarray(got)[0, :, 256:] == 0.0)
+    # torch reference with the kernel's masking contract
+    with torch.no_grad():
+        y = torch.from_numpy(x)
+        mask = torch.ones((2, 1, n))
+        mask[0, 0, 150:] = 0
+        for mi, d in enumerate(dils):
+            t1 = F.leaky_relu(y, 0.1) * mask
+            t1 = F.conv1d(t1, torch.from_numpy(w1[mi]), torch.from_numpy(b1[mi]),
+                          padding=(k - 1) // 2 * d, dilation=d)
+            t2 = F.leaky_relu(t1, 0.1) * mask
+            t2 = F.conv1d(t2, torch.from_numpy(w2[mi]), torch.from_numpy(b2[mi]),
+                          padding=(k - 1) // 2)
+            y = y + t2
+        y = y * mask
     np.testing.assert_allclose(np.asarray(got), y.numpy(), atol=1e-5)
 
 
