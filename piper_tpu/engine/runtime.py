@@ -684,11 +684,14 @@ class PiperRuntime:
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
         ids_j = jnp.asarray(ids)
         lengths_j = jnp.asarray(lengths)
-        self._mark("enc_key", (b, p_bucket, sid is not None))
+        t_start = time.perf_counter()
+        compiled_enc = self._mark("enc_key", (b, p_bucket, sid is not None))
         enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
         # Host sync: frame counts decide the decode bucket (same one
         # unavoidable flush as the blocking path).
         y_lengths = np.asarray(enc.y_total).astype(np.int64)
+        self.profiler.record("encode", p_bucket,
+                             (time.perf_counter() - t_start) * 1e3, compiled_enc)
         try:
             f_bucket = bucket_for(max(1, int(y_lengths.max())),
                                   self.options.frame_buckets, "frame")
@@ -701,16 +704,24 @@ class PiperRuntime:
                 f"exceeds the largest bucket {f_bucket}; audio will be truncated",
                 file=sys.stderr,
             )
-        self._mark("dec_key", (b, f_bucket, sid is not None))
+        compiled_dec = self._mark("dec_key", (b, f_bucket, sid is not None))
         audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                       max_frames=f_bucket)
         return audio, {"y_len": np.clip(y_lengths, 1, f_bucket),
-                       "hop": hp.hop_length}
+                       "hop": hp.hop_length, "f_bucket": f_bucket,
+                       "compiled": compiled_dec,
+                       "t_dispatch": time.perf_counter()}
 
     def fetch_batch(self, outs, meta) -> List[np.ndarray]:
         """Complete a dispatch_batch: one bulk device round trip, then slice
-        each row to its exact length."""
+        each row to its exact length. The profiler's "decode" row for this
+        call spans decode dispatch -> audio-fetch complete (compute and
+        transfer overlap the NEXT batch's dispatch in pipelined serving)."""
         audio = self._as_output(jax.device_get(outs))
+        self.profiler.record(
+            "decode", meta["f_bucket"],
+            (time.perf_counter() - meta["t_dispatch"]) * 1e3, meta["compiled"],
+        )
         y_len = meta["y_len"]
         hop = meta["hop"]
         return [audio[i, : int(y_len[i]) * hop] for i in range(audio.shape[0])]

@@ -9,6 +9,7 @@ and compile events — not per-op dispatch.
 from __future__ import annotations
 
 import sys
+import threading
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -40,15 +41,19 @@ class Profiler:
     def __init__(self):
         self.stats: Dict[Tuple[str, int], StageStats] = defaultdict(StageStats)
         self._t0: Optional[float] = None
+        # Pipelined serving records from fetcher/worker threads.
+        self._lock = threading.Lock()
 
     def record(self, stage: str, bucket: int, ms: float, compiled: bool = False) -> None:
-        self.stats[(stage, bucket)].add(ms, compiled)
+        with self._lock:
+            self.stats[(stage, bucket)].add(ms, compiled)
 
     def rows(self) -> List[Tuple[str, int, StageStats]]:
-        return sorted(
-            ((s, b, st) for (s, b), st in self.stats.items()),
-            key=lambda r: -r[2].total_ms,
-        )
+        with self._lock:
+            return sorted(
+                ((s, b, st) for (s, b), st in self.stats.items()),
+                key=lambda r: -r[2].total_ms,
+            )
 
     def summary(self, top: int = 20) -> str:
         lines = [

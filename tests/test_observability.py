@@ -24,9 +24,13 @@ def test_profiler_accumulates(runtime):
     rows = runtime.profiler.rows()
     stages = {s for s, _, _ in rows}
     assert {"encode", "decode"} <= stages
-    enc = next(st for s, b, st in rows if s == "encode")
+    # The tiny_runtime fixture is session-shared: pick THIS call's bucket
+    # (other test files may have touched other buckets once).
+    bucket = runtime.last_run_timings.phoneme_bucket
+    enc = next(st for s, b, st in rows if s == "encode" and b == bucket)
     assert enc.count >= 2
-    assert enc.compiles >= 1
+    # (compile counting is asserted in test_profiler_standalone — on the
+    # session-shared runtime another test file may have owned the compile)
     summary = runtime.profiler.summary()
     assert "encode" in summary and "mean_ms" in summary
 
