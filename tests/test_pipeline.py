@@ -73,6 +73,23 @@ def test_submit_batch_pipelines_multiple_batches(runtime):
     np.testing.assert_array_equal(again[0], results[0][0])
 
 
+def test_submit_batch_multispeaker(tmp_path_factory):
+    from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+    model, config = make_synthetic_voice(
+        tmp_path_factory.mktemp("ms_voice"), quality="test", seed=2,
+        n_speakers=4, gin_channels=16,
+    )
+    rt = PiperRuntime(model, config)
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:8]]
+    sids = [1, 3]
+    ref = rt.synthesize_batch(batch, speaker_ids=sids, seed=11)
+    with ServingPipeline(rt) as pipe:
+        audios = pipe.submit_batch(batch, speaker_ids=sids, seed=11).result(timeout=300)
+    for a, r in zip(audios, ref):
+        np.testing.assert_array_equal(a, r)
+
+
 def test_submit_batch_error_propagates(runtime):
     with ServingPipeline(runtime) as pipe:
         fut = pipe.submit_batch([[999999], FIXTURE_IDS])
