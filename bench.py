@@ -199,19 +199,22 @@ def main(argv=None):
 
     # Pipelined batches: batch i's bulk audio fetch (~37% of blocking wall
     # on the tunneled dev chip) overlaps batch i+1's compute.
-    def measure_throughput_pipelined(runtime, bsz, n_batches=8):
+    def measure_throughput_pipelined(runtime, bsz, n_batches=8, sids=None):
         from piper_tpu.engine.pipeline import ServingPipeline
 
         ids8 = (FIXTURE_IDS * 8)[:4096]
         batch = [ids8] * bsz
+        kw = {"speaker_ids": sids} if sids is not None else {}
         with ServingPipeline(runtime, max_inflight=4, num_fetchers=4) as pipe:
             # Warmup: overlapped pair, not just one batch — the first time two
             # program executions are in flight the device loads a second
             # executable instance (one-time ~25 s stall on the tunneled chip).
-            for f in [pipe.submit_batch(batch, seed=100 + i) for i in range(3)]:
+            for f in [pipe.submit_batch(batch, seed=100 + i, **kw)
+                      for i in range(3)]:
                 f.result()
             t0 = time.perf_counter()
-            futs = [pipe.submit_batch(batch, seed=i) for i in range(n_batches)]
+            futs = [pipe.submit_batch(batch, seed=i, **kw)
+                    for i in range(n_batches)]
             total_audio_s = sum(
                 sum(len(a) for a in f.result()) for f in futs
             ) / runtime.sample_rate
@@ -271,7 +274,9 @@ def main(argv=None):
         rt_ms = get_runtime(ms_args, n_speakers=args.multi_speaker, gin=512)
         bsz = max(2, args.batch or 8)
         sids = list(np.arange(bsz) % args.multi_speaker)
-        row = measure_throughput(rt_ms, bsz, sids=sids)
+        # Same pipelined methodology as the headline.
+        row = measure_throughput_pipelined(
+            rt_ms, bsz, n_batches=4 if args.quick else 8, sids=sids)
         multispeaker_row = {
             "n_speakers": args.multi_speaker,
             "batch": bsz,
