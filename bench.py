@@ -237,7 +237,7 @@ def main(argv=None):
     elif args.batch:
         throughput = measure_throughput(rt, args.batch)
     throughput_pipelined = None
-    if args.batch:
+    if throughput or args.batch:
         throughput_pipelined = measure_throughput_pipelined(
             rt, throughput["batch"] if throughput else args.batch,
             n_batches=4 if args.quick else 8)
@@ -336,8 +336,10 @@ def main(argv=None):
         "mode": args.mode,
         "quality": args.quality,
         "compile_count": rt.last_run_timings.compile_count,
-        "vocoder_precision": args.vocoder_precision or None,
-        "flow_precision": args.flow_precision or None,
+        "vocoder_precision": (None if args.vocoder_precision in ("", "none")
+                              else args.vocoder_precision),
+        "flow_precision": (None if args.flow_precision in ("", "none")
+                           else args.flow_precision),
         "throughput": throughput,
         "throughput_pipelined": throughput_pipelined,
         "batch_sweep": batch_sweep_rows,

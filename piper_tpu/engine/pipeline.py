@@ -74,7 +74,7 @@ class ServingPipeline:
             self._inflight.release()
             fut.set_exception(e)
             return fut
-        self._queue.put((fut, "fused", outs, meta))
+        self._queue.put((fut, outs, meta))
         return fut
 
     def submit_batch(
@@ -97,20 +97,26 @@ class ServingPipeline:
         concurrent device transfers from several threads stall the
         tunneled client unpredictably (4-6 s/batch observed), while the
         depth-2 serial interleave is stable."""
-        if self._closed:
-            raise RuntimeError("pipeline is closed")
         fut: "Future[list]" = Future()
         kwargs = dict(
             noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
         )
+        # Closed-check, worker start, and enqueue share one lock with
+        # close()'s sentinel put, so a submit can neither land after the
+        # SHUTDOWN sentinel nor start a worker close() already joined
+        # (either would strand the Future unresolved).
         with self._batch_lock:
+            if self._closed:
+                raise RuntimeError("pipeline is closed")
             if self._batch_thread is None:
                 self._batch_thread = threading.Thread(
                     target=self._batch_loop, daemon=True
                 )
                 self._batch_thread.start()
-        self._batch_queue.put((fut, [list(x) for x in phoneme_ids_batch], kwargs))
+            self._batch_queue.put(
+                (fut, [list(x) for x in phoneme_ids_batch], kwargs)
+            )
         return fut
 
     def _batch_loop(self) -> None:
@@ -151,12 +157,9 @@ class ServingPipeline:
             item = self._queue.get()
             if item is None:
                 return
-            fut, kind, outs, meta = item
+            fut, outs, meta = item
             try:
-                if kind == "batch":
-                    fut.set_result(self.rt.fetch_batch(outs, meta))
-                else:
-                    fut.set_result(self.rt.fetch_fused(outs, meta))
+                fut.set_result(self.rt.fetch_fused(outs, meta))
             except Exception as e:  # noqa: BLE001
                 fut.set_exception(e)
             finally:
@@ -169,8 +172,11 @@ class ServingPipeline:
                 self._queue.put(None)
             for t in self._fetchers:
                 t.join(timeout=60)
+            with self._batch_lock:
+                worker = self._batch_thread
+                if worker is not None:
+                    self._batch_queue.put(self._SHUTDOWN)
             if self._batch_thread is not None:
-                self._batch_queue.put(self._SHUTDOWN)
                 self._batch_thread.join(timeout=120)
 
     def __enter__(self) -> "ServingPipeline":

@@ -98,10 +98,12 @@ class RuntimeOptions:
         vp = flag("PIPER_TPU_VOCODER_PRECISION")
         if vp:
             kwargs["vocoder_precision"] = (
-                tuple(t or None for t in vp.split(",")) if "," in vp else vp
+                tuple(None if t in ("", "none") else t for t in vp.split(","))
+                if "," in vp else (None if vp == "none" else vp)
             )
-        if flag("PIPER_TPU_FLOW_PRECISION"):
-            kwargs["flow_precision"] = flag("PIPER_TPU_FLOW_PRECISION")
+        fp = flag("PIPER_TPU_FLOW_PRECISION")
+        if fp:
+            kwargs["flow_precision"] = None if fp == "none" else fp
         return RuntimeOptions(**kwargs)
 
 
@@ -647,6 +649,39 @@ class PiperRuntime:
         }
         return outs, meta
 
+    def _validate_and_pad(self, ids_batch: List[List[int]]):
+        """Request validation + phoneme bucketing shared by the blocking and
+        dispatch/fetch batch paths (one copy, so the two cannot drift)."""
+        hp = self.hparams
+        for seq in ids_batch:
+            if not seq:
+                raise ValueError("empty phoneme sequence")
+            bad = [i for i in seq if not (0 <= i < hp.n_vocab)]
+            if bad:
+                raise ValueError(
+                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
+                    f"check the voice's phoneme_id_map"
+                )
+        lengths = np.asarray([len(x) for x in ids_batch], np.int32)
+        p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
+        ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
+        return lengths, p_bucket, ids
+
+    def _frame_bucket_or_clamp(self, max_needed: int) -> int:
+        """Frame-bucket selection with the overflow clamp+warn (shared)."""
+        try:
+            return bucket_for(max(1, max_needed), self.options.frame_buckets, "frame")
+        except BucketOverflowError:
+            import sys
+
+            f_bucket = self.options.frame_buckets[-1]
+            print(
+                f"[piper-tpu] warning: predicted {max_needed} frames "
+                f"exceeds the largest bucket {f_bucket}; audio will be truncated",
+                file=sys.stderr,
+            )
+            return f_bucket
+
     def dispatch_batch(
         self,
         phoneme_ids_batch: Sequence[Sequence[int]],
@@ -663,22 +698,26 @@ class PiperRuntime:
         (device_audio, meta) for a later `fetch_batch`. The audio fetch is
         the expensive transfer (~110 ms for a B=32 batch on the tunneled
         dev chip, ~37% of the blocking wall time), so overlapping it with
-        the next batch's compute is the core of batched pipelined serving."""
+        the next batch's compute is the core of batched pipelined serving.
+
+        A 1-row batch on a fused-mode runtime delegates to dispatch_fused so
+        the audio is bit-identical to synthesize_batch (which takes the
+        fused path for b==1; the keyed noise depends on the frame bucket, so
+        the paths produce different realizations) and keeps the fused
+        path's single round trip."""
         ids_batch = [list(x) for x in phoneme_ids_batch]
         hp = self.hparams
         b = len(ids_batch)
-        for seq in ids_batch:
-            if not seq:
-                raise ValueError("empty phoneme sequence")
-            bad = [i for i in seq if not (0 <= i < hp.n_vocab)]
-            if bad:
-                raise ValueError(
-                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
-                    f"check the voice's phoneme_id_map"
-                )
-        lengths = np.asarray([len(x) for x in ids_batch], np.int32)
-        p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
-        ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
+        if b == 1 and self.options.mode == "fused":
+            sid1 = speaker_ids[0] if speaker_ids is not None else None
+            outs, meta = self.dispatch_fused(
+                ids_batch[0], noise_scale=noise_scale,
+                length_scale=length_scale, noise_w=noise_w,
+                speaker_id=sid1, seed=seed,
+            )
+            meta["fused1"] = True
+            return outs, meta
+        lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array(list(speaker_ids) if speaker_ids is not None else None, b)
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
@@ -692,18 +731,7 @@ class PiperRuntime:
         y_lengths = np.asarray(enc.y_total).astype(np.int64)
         self.profiler.record("encode", p_bucket,
                              (time.perf_counter() - t_start) * 1e3, compiled_enc)
-        try:
-            f_bucket = bucket_for(max(1, int(y_lengths.max())),
-                                  self.options.frame_buckets, "frame")
-        except BucketOverflowError:
-            import sys
-
-            f_bucket = self.options.frame_buckets[-1]
-            print(
-                f"[piper-tpu] warning: predicted {int(y_lengths.max())} frames "
-                f"exceeds the largest bucket {f_bucket}; audio will be truncated",
-                file=sys.stderr,
-            )
+        f_bucket = self._frame_bucket_or_clamp(int(y_lengths.max()))
         compiled_dec = self._mark("dec_key", (b, f_bucket, sid is not None))
         audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                       max_frames=f_bucket)
@@ -717,6 +745,8 @@ class PiperRuntime:
         each row to its exact length. The profiler's "decode" row for this
         call spans decode dispatch -> audio-fetch complete (compute and
         transfer overlap the NEXT batch's dispatch in pipelined serving)."""
+        if meta.get("fused1"):
+            return [self.fetch_fused(outs, meta)]
         audio = self._as_output(jax.device_get(outs))
         self.profiler.record(
             "decode", meta["f_bucket"],
@@ -847,18 +877,7 @@ class PiperRuntime:
         t_start = time.perf_counter()
         hp = self.hparams
         b = len(ids_batch)
-        for seq in ids_batch:
-            if not seq:
-                raise ValueError("empty phoneme sequence")
-            bad = [i for i in seq if not (0 <= i < hp.n_vocab)]
-            if bad:
-                raise ValueError(
-                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
-                    f"check the voice's phoneme_id_map"
-                )
-        lengths = np.asarray([len(x) for x in ids_batch], dtype=np.int32)
-        p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
-        ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
+        lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
 
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array(speaker_ids, b)
@@ -921,28 +940,18 @@ class PiperRuntime:
             # ready-array fetch — one round trip.
             y_lengths = np.asarray(enc.y_total).astype(np.int64)
             t_encode = time.perf_counter()
-            max_needed = max(1, int(y_lengths.max()))
-            try:
-                f_bucket = bucket_for(max_needed, self.options.frame_buckets, "frame")
-            except BucketOverflowError:
-                # Degenerate durations (extreme length_scale / pathological
-                # inputs): clamp to the largest bucket and truncate the tail
-                # rather than failing the request.
-                import sys
-
-                f_bucket = self.options.frame_buckets[-1]
-                print(
-                    f"[piper-tpu] warning: predicted {max_needed} frames exceeds "
-                    f"the largest bucket {f_bucket}; audio will be truncated",
-                    file=sys.stderr,
-                )
+            # Degenerate durations (extreme length_scale / pathological
+            # inputs) clamp to the largest bucket and truncate the tail
+            # rather than failing the request.
+            f_bucket = self._frame_bucket_or_clamp(int(y_lengths.max()))
 
             # --- decode ---
             if main_noise is not None:
                 src = np.asarray(main_noise, np.float32).reshape(b, hp.inter_channels, -1)
                 try:
-                    f_bucket = bucket_for(max(max_needed, src.shape[-1]),
-                                          self.options.frame_buckets, "frame")
+                    f_bucket = bucket_for(
+                        max(1, int(y_lengths.max()), src.shape[-1]),
+                        self.options.frame_buckets, "frame")
                 except BucketOverflowError:
                     f_bucket = self.options.frame_buckets[-1]
                     src = src[:, :, :f_bucket]

@@ -73,6 +73,29 @@ def test_submit_batch_pipelines_multiple_batches(runtime):
     np.testing.assert_array_equal(again[0], results[0][0])
 
 
+def test_submit_batch_singleton_matches_fused(tiny_voice):
+    """A 1-row batch on a fused-mode runtime must produce the SAME audio as
+    synthesize_batch (which takes the fused path for b==1 — the keyed noise
+    depends on the frame bucket, so fused vs split are different
+    realizations). dispatch_batch delegates to dispatch_fused for this."""
+    rt = PiperRuntime(*tiny_voice, RuntimeOptions(mode="fused"))
+    ref = rt.synthesize_batch([FIXTURE_IDS], seed=21)
+    with ServingPipeline(rt) as pipe:
+        out = pipe.submit_batch([FIXTURE_IDS], seed=21).result(timeout=300)
+    np.testing.assert_array_equal(out[0], ref[0])
+
+
+def test_flow_precision_env_none(monkeypatch):
+    """'none' is the documented 'inherit' spelling everywhere, including the
+    env flags (a literal 'none' string would crash jax at first decode)."""
+    monkeypatch.setenv("PIPER_TPU_FLOW_PRECISION", "none")
+    assert RuntimeOptions.from_env().flow_precision is None
+    monkeypatch.setenv("PIPER_TPU_VOCODER_PRECISION", "none")
+    assert RuntimeOptions.from_env().vocoder_precision is None
+    monkeypatch.setenv("PIPER_TPU_VOCODER_PRECISION", "high,none")
+    assert RuntimeOptions.from_env().vocoder_precision == ("high", None)
+
+
 def test_submit_batch_multispeaker(tmp_path_factory):
     from piper_tpu.models.vits.synthetic import make_synthetic_voice
 
