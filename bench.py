@@ -40,25 +40,16 @@ def _percentile(xs, p):
     return s[f] if f == c else s[f] + (s[c] - s[f]) * (k - f)
 
 
-def _parse_vocoder_precision(spec):
-    """None | single tier | comma-separated per-upsample-level tiers."""
-    if not spec or spec == "none":
-        return None
-    parts = [p.strip() for p in spec.split(",")]
-    if len(parts) == 1:
-        return parts[0]
-    return tuple((None if p in ("", "none") else p) for p in parts)
-
-
 def get_runtime(args, n_speakers: int = 1, gin: int = 0, quality: str = None):
-    from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+    from piper_tpu.engine.runtime import (PiperRuntime, RuntimeOptions,
+                                          parse_precision_spec)
 
     quality = quality or args.quality
-    flow_prec = getattr(args, "flow_precision", None)
     options = RuntimeOptions(
         precision=args.precision, mode=args.mode,
-        vocoder_precision=_parse_vocoder_precision(args.vocoder_precision),
-        flow_precision=None if flow_prec in (None, "none") else flow_prec,
+        vocoder_precision=parse_precision_spec(args.vocoder_precision),
+        flow_precision=parse_precision_spec(
+            getattr(args, "flow_precision", None)),
         output_dtype=args.output_dtype,
     )
     if args.model and quality == args.quality:
@@ -206,11 +197,15 @@ def main(argv=None):
         batch = [ids8] * bsz
         kw = {"speaker_ids": sids} if sids is not None else {}
         with ServingPipeline(runtime, max_inflight=4, num_fetchers=4) as pipe:
-            # Warmup: overlapped pair, not just one batch — the first time two
-            # program executions are in flight the device loads a second
-            # executable instance (one-time ~25 s stall on the tunneled chip).
-            for f in [pipe.submit_batch(batch, seed=100 + i, **kw)
-                      for i in range(3)]:
+            # Warmup with the EXACT seeds the timed loop uses: the seed
+            # changes the predicted durations, hence the frame bucket, and a
+            # first-touch bucket inside the timed window would put a 20-40 s
+            # XLA compile in the headline. Submitting them overlapped also
+            # absorbs the one-time second-executable-instance load (~25 s on
+            # the tunneled chip: the first time two program executions are
+            # ever in flight).
+            for f in [pipe.submit_batch(batch, seed=i, **kw)
+                      for i in range(n_batches)]:
                 f.result()
             t0 = time.perf_counter()
             futs = [pipe.submit_batch(batch, seed=i, **kw)

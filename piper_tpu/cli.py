@@ -42,20 +42,15 @@ def _cli_options(args) -> RuntimeOptions:
         options = replace(options, precision=args.precision)
     if getattr(args, "output_dtype", None) is not None:
         options = replace(options, output_dtype=args.output_dtype)
+    from piper_tpu.engine.runtime import parse_precision_spec
+
     if getattr(args, "flow_precision", None) is not None:
-        fp = args.flow_precision
-        options = replace(options, flow_precision=None if fp == "none" else fp)
+        options = replace(
+            options, flow_precision=parse_precision_spec(args.flow_precision))
     if getattr(args, "vocoder_precision", None) is not None:
-        vp = args.vocoder_precision
-        if vp == "none":
-            options = replace(options, vocoder_precision=None)
-        else:
-            options = replace(
-                options,
-                vocoder_precision=(
-                    tuple(t or None for t in vp.split(",")) if "," in vp else vp
-                ),
-            )
+        options = replace(
+            options,
+            vocoder_precision=parse_precision_spec(args.vocoder_precision))
     return options
 
 

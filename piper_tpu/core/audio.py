@@ -15,7 +15,8 @@ class AudioFormat:
 
 @dataclass(frozen=True)
 class AudioChunk:
-    """A chunk of synthesized PCM audio in float32 [-1, 1].
+    """A chunk of synthesized PCM audio — float32 in [-1, 1] by default,
+    int16 when the producing runtime's output_dtype is "int16".
 
     `start_sample_index` is the absolute offset of this chunk's first sample
     within the full utterance; `is_final` marks the last chunk of a stream.
@@ -23,7 +24,7 @@ class AudioChunk:
 
     format: AudioFormat
     start_sample_index: int
-    samples: np.ndarray  # float32, shape (n,)
+    samples: np.ndarray  # shape (n,); dtype follows the runtime's output_dtype
     is_final: bool = False
 
     @property

@@ -110,11 +110,18 @@ class BatchingServer:
         lens = [len(r.ids) for r in group]
         if len(group) < 2 or max(lens) < self.split_length_ratio * min(lens):
             return [group]
-        from piper_tpu.engine.bucketing import bucket_for
+        from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
         buckets = {}
         for r in group:
-            b = bucket_for(len(r.ids), self.rt.options.phoneme_buckets, "phoneme")
+            try:
+                b = bucket_for(len(r.ids), self.rt.options.phoneme_buckets,
+                               "phoneme")
+            except BucketOverflowError:
+                # Oversized request: isolate it so the error surfaces on ITS
+                # future via _dispatch_group's per-group handling instead of
+                # unwinding the serve thread (which would wedge the server).
+                b = float("inf")
             buckets.setdefault(b, []).append(r)
         return [buckets[k] for k in sorted(buckets)]
 

@@ -55,7 +55,8 @@ class ServingPipeline:
         speaker_id: Optional[int] = None,
         seed: Optional[int] = None,
     ) -> "Future[np.ndarray]":
-        """Queue one utterance; returns a Future resolving to float32 PCM."""
+        """Queue one utterance; the Future resolves to PCM in the runtime's
+        output_dtype (float32 by default, int16 for an int16 runtime)."""
         if self._closed:
             raise RuntimeError("pipeline is closed")
         fut: "Future[np.ndarray]" = Future()

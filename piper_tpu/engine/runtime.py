@@ -38,6 +38,22 @@ from piper_tpu.models.vits.params import Params
 from piper_tpu.onnx import load_model
 
 
+def parse_precision_spec(spec):
+    """Parse a precision-tier spec string — THE one grammar for the CLI,
+    env flags, and bench: 'none'/'' -> None (inherit), a single tier name,
+    or a comma list of per-level tiers with 'none'/'' items meaning
+    'inherit' for that level. Whitespace around items is ignored."""
+    if spec is None:
+        return None
+    spec = spec.strip()
+    if spec in ("", "none"):
+        return None
+    parts = [t.strip() for t in spec.split(",")]
+    if len(parts) == 1:
+        return parts[0]
+    return tuple(None if t in ("", "none") else t for t in parts)
+
+
 @dataclass(frozen=True)
 class RuntimeOptions:
     """Knobs mirroring PiperMetalRuntime.Options (PiperMetalRuntime.swift:11-28)
@@ -97,13 +113,10 @@ class RuntimeOptions:
             kwargs["mode"] = flag("PIPER_TPU_MODE")
         vp = flag("PIPER_TPU_VOCODER_PRECISION")
         if vp:
-            kwargs["vocoder_precision"] = (
-                tuple(None if t in ("", "none") else t for t in vp.split(","))
-                if "," in vp else (None if vp == "none" else vp)
-            )
+            kwargs["vocoder_precision"] = parse_precision_spec(vp)
         fp = flag("PIPER_TPU_FLOW_PRECISION")
         if fp:
-            kwargs["flow_precision"] = None if fp == "none" else fp
+            kwargs["flow_precision"] = parse_precision_spec(fp)
         return RuntimeOptions(**kwargs)
 
 
@@ -393,7 +406,9 @@ class PiperRuntime:
         dp_noise: Optional[np.ndarray] = None,
         main_noise: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """Synthesize one utterance; returns float32 PCM in [-1, 1].
+        """Synthesize one utterance. Returns PCM in the runtime's
+        output_dtype: float32 in [-1, 1] (the default), or int16 when
+        RuntimeOptions.output_dtype == "int16" (device-converted).
 
         `dp_noise`/`main_noise` inject recorded RNG tensors for bit-exact
         comparison (the analog of GraphExecutor's `overrides`,
@@ -801,16 +816,28 @@ class PiperRuntime:
         )
         # Jitted: trace_put captures tracers during tracing, so every
         # per-layer entry becomes a program output — one compiled run instead
-        # of a (much slower) eager sweep.
-        def run(params, ids_j, lengths_j, dpn, mn):
-            with jax.default_matmul_precision(self._matmul_precision()):
-                return debug_infer(
-                    params, self.hparams, ids_j, lengths_j, dpn, mn,
-                    max_frames=max_frames, noise_scale=ns, length_scale=ls,
-                    noise_w=nw, sid=sid, per_layer=per_layer,
-                )
+        # of a (much slower) eager sweep. The jit object is cached per
+        # (bucket, frames, mode, baked-in scalars): a bisection session calls
+        # this repeatedly with identical settings, and a fresh jit per call
+        # would recompile the full debug graph every time (20-40 s on TPU).
+        # speaker_id's VALUE is part of the key: `sid` is closed over, so it
+        # bakes into the traced program as a constant.
+        key = (p_bucket, max_frames, per_layer, ns, ls, nw,
+               scales.get("speaker_id"))
+        if not hasattr(self, "_debug_jits"):
+            self._debug_jits = {}
+        fn = self._debug_jits.get(key)
+        if fn is None:
+            def run(params, ids_j, lengths_j, dpn, mn):
+                with jax.default_matmul_precision(self._matmul_precision()):
+                    return debug_infer(
+                        params, self.hparams, ids_j, lengths_j, dpn, mn,
+                        max_frames=max_frames, noise_scale=ns, length_scale=ls,
+                        noise_w=nw, sid=sid, per_layer=per_layer,
+                    )
 
-        out = jax.jit(run)(
+            fn = self._debug_jits[key] = jax.jit(run)
+        out = fn(
             self.params, jnp.asarray(ids),
             jnp.asarray([len(phoneme_ids)], jnp.int32),
             jnp.asarray(dp_noise), jnp.asarray(main_noise),

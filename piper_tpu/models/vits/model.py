@@ -244,33 +244,35 @@ def debug_infer(
         stochastic_duration_predictor_reverse as _sdp,
     )
 
-    if per_layer:
-        from contextlib import ExitStack
+    import contextlib
 
+    if per_layer:
         from piper_tpu.utils.debug_trace import collecting
 
         layer_trace: dict = {}
-        stack = ExitStack()
-        stack.enter_context(collecting(layer_trace))
+        ctx = collecting(layer_trace)
     else:
         layer_trace = {}
-        stack = None
+        ctx = contextlib.nullcontext()
 
-    x, m_p, logs_p, x_mask = _te(phoneme_ids, lengths, params, hp)
-    g = speaker_embedding(params, hp, sid)
-    logw = _sdp(x, x_mask, dp_noise, params, hp, g=g, noise_scale=noise_w)
-    w = jnp.exp(logw) * x_mask * length_scale
-    w_ceil = jnp.ceil(w)[:, 0]
-    y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, max_frames)
-    y_mask = sequence_mask(y_lengths.astype(jnp.int32), max_frames).astype(m_p.dtype)
-    path = generate_path(w_ceil, x_mask, y_mask)
-    m_p_exp = jnp.einsum("btp,bcp->bct", path, m_p)
-    logs_p_exp = jnp.einsum("btp,bcp->bct", path, logs_p)
-    z_p = m_p_exp + main_noise * jnp.exp(logs_p_exp) * noise_scale
-    z = flow_reverse(z_p, y_mask, params, hp, g=g)
-    audio = hifigan_generator(z * y_mask, params, hp, g=g, t_mask=y_mask)
-    if stack is not None:
-        stack.close()
+    # The `with` guarantees the global trace collector is detached even when
+    # the traced body raises (e.g. a missing parameter key on a real
+    # checkpoint — exactly the case per-layer bisection exists for);
+    # leaking it would capture tracers from every later production trace.
+    with ctx:
+        x, m_p, logs_p, x_mask = _te(phoneme_ids, lengths, params, hp)
+        g = speaker_embedding(params, hp, sid)
+        logw = _sdp(x, x_mask, dp_noise, params, hp, g=g, noise_scale=noise_w)
+        w = jnp.exp(logw) * x_mask * length_scale
+        w_ceil = jnp.ceil(w)[:, 0]
+        y_lengths = jnp.clip(jnp.sum(w_ceil, axis=-1), 1, max_frames)
+        y_mask = sequence_mask(y_lengths.astype(jnp.int32), max_frames).astype(m_p.dtype)
+        path = generate_path(w_ceil, x_mask, y_mask)
+        m_p_exp = jnp.einsum("btp,bcp->bct", path, m_p)
+        logs_p_exp = jnp.einsum("btp,bcp->bct", path, logs_p)
+        z_p = m_p_exp + main_noise * jnp.exp(logs_p_exp) * noise_scale
+        z = flow_reverse(z_p, y_mask, params, hp, g=g)
+        audio = hifigan_generator(z * y_mask, params, hp, g=g, t_mask=y_mask)
     return {
         **layer_trace,
         "enc_hidden": x,

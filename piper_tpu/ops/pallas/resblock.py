@@ -61,7 +61,11 @@ def _branch_kernel(bounds_ref, x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         # entirely. On bucket-padded decodes the tail tiles of every row
         # are dead (e.g. 167 valid frames in a 192-frame bucket kills ~13%
         # of tiles at every upsample level).
-        i2 = step // nt
+        # Clamp the row index: dead(s+1) is evaluated as a pl.when operand
+        # even on the last step, where step//nt would read one row past the
+        # (B, 2) prefetch buffer (the result is discarded by the AND with
+        # `s+1 < total`, but the read itself must stay in bounds).
+        i2 = jnp.minimum(step // nt, bounds_ref.shape[0] - 1)
         t2 = step % nt
         start = t2 * tile
         return jnp.logical_or(start >= bounds_ref[i2, 1],

@@ -69,6 +69,22 @@ def test_extreme_length_spread_splits(runtime):
     assert len(groups._split_group(same)) == 1
 
 
+def test_oversized_request_fails_its_future_only(runtime):
+    """A request beyond the largest phoneme bucket must fail ITS future
+    (BucketOverflowError surfaced per group) without killing the serve
+    thread — the server keeps serving afterwards."""
+    too_long = FIXTURE_IDS * 400  # 5600 > 4096-bucket ladder max
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=50,
+                        split_length_ratio=4.0) as server:
+        f_bad = server.submit(too_long)
+        f_ok = server.submit(FIXTURE_IDS)
+        with pytest.raises(Exception):
+            f_bad.result(timeout=300)
+        assert len(f_ok.result(timeout=300)) > 0
+        # server still alive for new work
+        assert len(server.submit(FIXTURE_IDS[:6]).result(timeout=300)) > 0
+
+
 def test_depth2_pipeline_drains_on_idle(runtime):
     """With sparse traffic every future resolves promptly (the pending
     fetch is completed as soon as the queue is empty, not held for a
