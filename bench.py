@@ -256,6 +256,28 @@ def main(argv=None):
             "rtf": round(audio_s / wall, 1),
         }
 
+    # Streaming time-to-first-audio: incremental windowed decode on a ~4 s
+    # utterance (a capability the reference lacks — its streaming wrapper
+    # synthesizes fully, then chunks).
+    streaming_row = None
+    if not args.quick:
+        ids_long = (FIXTURE_IDS * 16)[:4096]
+        next(iter(rt.synthesize_stream(ids_long, incremental=True)))  # warm
+        ttfbs, totals = [], []
+        for i in range(max(3, args.iters // 2)):
+            t0 = time.perf_counter()
+            it = rt.synthesize_stream(ids_long, incremental=True, seed=i)
+            first = next(it)
+            ttfbs.append((time.perf_counter() - t0) * 1e3)
+            n = len(first.samples) + sum(len(c.samples) for c in it)
+            totals.append((time.perf_counter() - t0) * 1e3)
+        streaming_row = {
+            "phonemes": len(ids_long),
+            "utterance_s": round(n / rt.sample_rate, 2),
+            "ttfb_ms_p50": round(_percentile(ttfbs, 50), 1),
+            "total_ms_p50": round(_percentile(totals, 50), 1),
+        }
+
     # Multi-speaker batched serving (the en_US-libritts-high-style config:
     # 900+ speaker embeddings, batched utterances with mixed speaker ids).
     # Part of the default sweep — it is one of the five BASELINE configs.
@@ -339,6 +361,7 @@ def main(argv=None):
         "throughput_pipelined": throughput_pipelined,
         "batch_sweep": batch_sweep_rows,
         "pipeline": pipeline_row,
+        "streaming": streaming_row,
         "multispeaker": multispeaker_row,
         "high": high_row,
         "rows": rows,
