@@ -1,20 +1,30 @@
 """Continuous batching: group concurrent requests into batched device calls.
 
-The classic TTS serving shape: requests arriving within a small window (or
-while the device is busy) are padded to a common phoneme bucket and run as
-ONE batched split-mode synthesis, amortizing both the per-call overhead and
-the device round trips. Complements ServingPipeline (which overlaps single-
-utterance fused calls): batching wins on throughput, the pipeline on tail
-latency for sparse traffic.
+The classic TTS serving shape: requests queue per (scales, phoneme-bucket)
+key, and the single worker serves the queue holding the OLDEST waiting
+request as ONE batched split-mode synthesis — so mixed-length traffic forms
+large same-bucket batches instead of padding every short prompt to the
+longest paragraph in its arrival window. (Measured on the TPU serving sim:
+arrival-order grouping of a chat-style length mix collapsed aggregate
+throughput ~20x under backlog; length-bucketed queues are the fix, and
+oldest-first across queues keeps it fair/starvation-free.)
+
+Serving is depth-2 pipelined on the one worker: group i's bulk audio fetch
+overlaps group i+1's collect + dispatch, and a pending fetch completes
+immediately when no further work is queued, so idle-traffic latency is
+unchanged. Complements ServingPipeline (which overlaps single-utterance
+fused calls): batching wins on throughput, the pipeline on tail latency for
+sparse traffic.
 """
 
 from __future__ import annotations
 
-import queue
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
-from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -27,20 +37,34 @@ class _Request:
     scales: Tuple[Optional[float], Optional[float], Optional[float]]
     speaker_id: Optional[int]
     future: "Future[np.ndarray]"
+    t_submit: float = field(default_factory=time.perf_counter)
 
 
 class BatchingServer:
-    """Collects requests for up to `max_wait_ms` (or `max_batch`) and serves
-    them as one batched call on a single worker thread."""
+    """Length-bucketed continuous batcher on a single worker thread.
+
+    Requests wait at most `max_wait_ms` for same-bucket company (the window
+    only delays a request while its batch is not yet full AND the device is
+    idle; under load the previous group's service time is the window)."""
 
     def __init__(self, runtime: PiperRuntime, max_batch: int = 16,
-                 max_wait_ms: float = 5.0, split_length_ratio: float = 4.0):
+                 max_wait_ms: float = 5.0):
         self.rt = runtime
         self.max_batch = max_batch
+        # Group size scales INVERSELY with utterance length via a phoneme
+        # budget: `max_batch` rows of a 128-phoneme request and up to
+        # 128 rows of short prompts cost similar compute, while per-group
+        # overhead (2 host round trips + dispatch) is fixed — short-prompt
+        # traffic at a flat row cap is overhead-bound (measured on the TPU
+        # serving sim: a 32-row group of 14-phoneme prompts is ~6 audio-s
+        # against ~200 ms of fixed overhead).
+        self.phoneme_budget = max_batch * 128
         self.max_wait_s = max_wait_ms / 1e3
-        self.split_length_ratio = split_length_ratio
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._carry: Optional[_Request] = None  # scale-mismatch spillover
+        # (scales, p_bucket) -> FIFO of requests. p_bucket is the phoneme
+        # bucket (requests beyond the ladder get key "overflow" and fail on
+        # their own future at dispatch).
+        self._queues: Dict[tuple, deque] = {}
+        self._cond = threading.Condition()
         self._closed = False
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
@@ -64,66 +88,72 @@ class BatchingServer:
             raise ValueError(
                 f"phoneme id(s) {bad[:5]} out of range [0, {self.rt.hparams.n_vocab})"
             )
-        fut: "Future[np.ndarray]" = Future()
-        self._queue.put(_Request(ids, (noise_scale, length_scale, noise_w),
-                                 speaker_id, fut))
-        return fut
-
-    def _collect(self) -> Optional[List[_Request]]:
-        first = self._carry or self._queue.get()
-        self._carry = None
-        if first is None:
-            return None
-        group = [first]
-        deadline = self.max_wait_s
-        import time
-
-        t0 = time.perf_counter()
-        while len(group) < self.max_batch:
-            remaining = deadline - (time.perf_counter() - t0)
-            try:
-                item = self._queue.get(timeout=max(0.0, remaining))
-            except queue.Empty:
-                break
-            if item is None:
-                self._queue.put(None)  # re-signal shutdown for the outer loop
-                break
-            # Only identical-scale requests batch together. A mismatch closes
-            # the current group; the mismatched request carries over to start
-            # the NEXT group, preserving arrival order.
-            if item.scales != first.scales:
-                self._carry = item
-                break
-            group.append(item)
-        return group
-
-    def _split_group(self, group: List[_Request]) -> List[List[_Request]]:
-        """Split a group whose length spread is pathological (max/min phoneme
-        count >= split_length_ratio) into per-phoneme-bucket sub-batches.
-
-        Mixed lengths in one batch pad every row to the longest row's frame
-        bucket — exact-length masking keeps the audio correct but the padded
-        decode compute is still spent. Splitting trades that padding against
-        batch efficiency (B=16 -> 2xB=8 runs below the device's batched
-        sweet spot), so only extreme spreads split; modest spreads stay
-        batched."""
-        lens = [len(r.ids) for r in group]
-        if len(group) < 2 or max(lens) < self.split_length_ratio * min(lens):
-            return [group]
         from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
-        buckets = {}
-        for r in group:
-            try:
-                b = bucket_for(len(r.ids), self.rt.options.phoneme_buckets,
-                               "phoneme")
-            except BucketOverflowError:
-                # Oversized request: isolate it so the error surfaces on ITS
-                # future via _dispatch_group's per-group handling instead of
-                # unwinding the serve thread (which would wedge the server).
-                b = float("inf")
-            buckets.setdefault(b, []).append(r)
-        return [buckets[k] for k in sorted(buckets)]
+        try:
+            p_bucket = bucket_for(len(ids), self.rt.options.phoneme_buckets,
+                                  "phoneme")
+        except BucketOverflowError:
+            p_bucket = "overflow"  # isolated; fails on its own future
+        fut: "Future[np.ndarray]" = Future()
+        req = _Request(ids, (noise_scale, length_scale, noise_w),
+                       speaker_id, fut)
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            key = (req.scales, p_bucket)
+            self._queues.setdefault(key, deque()).append(req)
+            self._cond.notify()
+        return fut
+
+    # -- scheduling ----------------------------------------------------------
+
+    def _oldest_key(self):
+        """Key of the queue whose head request has waited longest."""
+        best, best_t = None, None
+        for k, q in self._queues.items():
+            if q and (best_t is None or q[0].t_submit < best_t):
+                best, best_t = k, q[0].t_submit
+        return best
+
+    def _group_limit(self, key) -> int:
+        bucket = key[1]
+        if not isinstance(bucket, int):
+            return 1  # overflow requests fail individually
+        return max(1, min(128, self.phoneme_budget // bucket))
+
+    def _take_group(self, block: bool) -> Optional[List[_Request]]:
+        """Pop up to the key's group limit of same-key requests, oldest key
+        first.
+
+        Returns None on shutdown-with-empty-queues; [] when not blocking and
+        nothing is ready. When the device is idle (block=True) a not-yet-full
+        batch waits up to max_wait_s from its oldest arrival for company."""
+        with self._cond:
+            while True:
+                key = self._oldest_key()
+                if key is None:
+                    if self._closed:
+                        return None
+                    if not block:
+                        return []
+                    self._cond.wait()
+                    continue
+                q = self._queues[key]
+                limit = self._group_limit(key)
+                if (len(q) < limit and not self._closed and block):
+                    # batching window: only while the device would sit idle
+                    age = time.perf_counter() - q[0].t_submit
+                    remaining = self.max_wait_s - age
+                    if remaining > 0:
+                        self._cond.wait(timeout=remaining)
+                        continue
+                group = [q.popleft() for _ in range(min(len(q), limit))]
+                if not q:
+                    del self._queues[key]
+                return group
+
+    # -- serving -------------------------------------------------------------
 
     def _dispatch_group(self, group: List[_Request]):
         """Dispatch one batched synthesis; returns (group, outs, meta) for a
@@ -159,30 +189,30 @@ class BatchingServer:
         # Depth-2 pipeline on ONE thread (all device interaction serial —
         # see ServingPipeline.submit_batch for why that matters on a
         # tunneled device): group i's bulk audio fetch overlaps group
-        # i+1's collect + dispatch. A pending fetch is completed
-        # immediately when no more work is queued, so idle-traffic latency
-        # is unchanged.
+        # i+1's collect + dispatch.
         pending = None
         while True:
-            group = self._collect()
-            if group is None:
+            group = self._take_group(block=pending is None)
+            if group is None:  # shutdown, queues drained
                 if pending is not None:
                     self._finish_group(*pending)
                 return
-            for sub in self._split_group(group):
-                dispatched = self._dispatch_group(sub)
+            if group:
+                dispatched = self._dispatch_group(group)
                 if pending is not None:
                     self._finish_group(*pending)
                 pending = dispatched
-            if pending is not None and self._queue.empty() and self._carry is None:
+            elif pending is not None:
                 self._finish_group(*pending)
                 pending = None
 
     def close(self) -> None:
-        if not self._closed:
+        with self._cond:
+            if self._closed:
+                return
             self._closed = True
-            self._queue.put(None)
-            self._worker.join(timeout=120)
+            self._cond.notify_all()
+        self._worker.join(timeout=600)
 
     def __enter__(self) -> "BatchingServer":
         return self

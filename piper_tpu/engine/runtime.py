@@ -94,6 +94,14 @@ class RuntimeOptions:
     use_pallas: Optional[bool] = None
     phoneme_buckets: Tuple[int, ...] = tuple(DEFAULT_PHONEME_BUCKETS)
     frame_buckets: Tuple[int, ...] = tuple(DEFAULT_FRAME_BUCKETS)
+    # Batch-axis bucket ladder: batched calls pad the ROW axis up to the
+    # next bucket (dummy rows copy row 0; their outputs are dropped), so a
+    # continuous batcher whose group sizes vary request-to-request reuses a
+    # bounded set of compiled programs instead of compiling one per distinct
+    # group size (20-40 s each on TPU — a compile storm under real traffic).
+    # Powers of two: each extra rung multiplies the (batch x phoneme-bucket
+    # x frame-bucket) program grid a serving deployment must warm.
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128)
     # PCM sample format the synthesis programs EMIT. "int16" converts on
     # device (clip*32767, the exact float_to_int16 semantics) so the
     # device->host fetch moves half the bytes — the wire/WAV format is 16-bit
@@ -664,9 +672,14 @@ class PiperRuntime:
         }
         return outs, meta
 
-    def _validate_and_pad(self, ids_batch: List[List[int]]):
-        """Request validation + phoneme bucketing shared by the blocking and
-        dispatch/fetch batch paths (one copy, so the two cannot drift)."""
+    def _validate_and_pad(self, ids_batch: List[List[int]], pad_batch: bool = True):
+        """Request validation + phoneme AND batch-axis bucketing shared by
+        the blocking and dispatch/fetch batch paths (one copy, so the two
+        cannot drift). Returns (lengths, p_bucket, ids) where ids may carry
+        extra dummy rows (copies of row 0) padding the batch up to the
+        batch_buckets ladder — callers slice outputs to the REAL row count
+        (len(ids_batch)). Dummy rows copy row 0 so they cannot raise the
+        frame bucket above what the real rows need."""
         hp = self.hparams
         for seq in ids_batch:
             if not seq:
@@ -677,6 +690,11 @@ class PiperRuntime:
                     f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab}) — "
                     f"check the voice's phoneme_id_map"
                 )
+        b = len(ids_batch)
+        ladder = self.options.batch_buckets
+        if pad_batch and b > 1 and b <= ladder[-1]:
+            b_bucket = next(x for x in ladder if x >= b)
+            ids_batch = ids_batch + [ids_batch[0]] * (b_bucket - b)
         lengths = np.asarray([len(x) for x in ids_batch], np.int32)
         p_bucket = bucket_for(int(lengths.max()), self.options.phoneme_buckets, "phoneme")
         ids = np.stack([pad_to(np.asarray(x, np.int32), p_bucket) for x in ids_batch])
@@ -733,26 +751,30 @@ class PiperRuntime:
             meta["fused1"] = True
             return outs, meta
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+        bp = ids.shape[0]  # padded row count (batch bucket)
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array(list(speaker_ids) if speaker_ids is not None else None, b)
+        sids = None
+        if speaker_ids is not None:
+            sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
+        sid = self._sid_array(sids, bp)
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
         ids_j = jnp.asarray(ids)
         lengths_j = jnp.asarray(lengths)
         t_start = time.perf_counter()
-        compiled_enc = self._mark("enc_key", (b, p_bucket, sid is not None))
+        compiled_enc = self._mark("enc_key", (bp, p_bucket, sid is not None))
         enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
         # Host sync: frame counts decide the decode bucket (same one
         # unavoidable flush as the blocking path).
         y_lengths = np.asarray(enc.y_total).astype(np.int64)
         self.profiler.record("encode", p_bucket,
                              (time.perf_counter() - t_start) * 1e3, compiled_enc)
-        f_bucket = self._frame_bucket_or_clamp(int(y_lengths.max()))
-        compiled_dec = self._mark("dec_key", (b, f_bucket, sid is not None))
+        f_bucket = self._frame_bucket_or_clamp(int(y_lengths[:b].max()))
+        compiled_dec = self._mark("dec_key", (bp, f_bucket, sid is not None))
         audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                       max_frames=f_bucket)
-        return audio, {"y_len": np.clip(y_lengths, 1, f_bucket),
+        return audio, {"y_len": np.clip(y_lengths[:b], 1, f_bucket),
                        "hop": hp.hop_length, "f_bucket": f_bucket,
-                       "compiled": compiled_dec,
+                       "compiled": compiled_dec, "b": b,
                        "t_dispatch": time.perf_counter()}
 
     def fetch_batch(self, outs, meta) -> List[np.ndarray]:
@@ -769,7 +791,8 @@ class PiperRuntime:
         )
         y_len = meta["y_len"]
         hop = meta["hop"]
-        return [audio[i, : int(y_len[i]) * hop] for i in range(audio.shape[0])]
+        return [audio[i, : int(y_len[i]) * hop]
+                for i in range(meta.get("b", audio.shape[0]))]
 
     def fetch_fused(self, outs, meta) -> np.ndarray:
         """Complete a dispatch_fused: one device round trip; falls back to a
@@ -904,10 +927,15 @@ class PiperRuntime:
         t_start = time.perf_counter()
         hp = self.hparams
         b = len(ids_batch)
-        lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
-
+        # Injected-noise calls provide exactly b rows of noise — no batch
+        # padding there (they are test/bisection paths, not serving).
+        lengths, p_bucket, ids = self._validate_and_pad(
+            ids_batch, pad_batch=dp_noise is None and main_noise is None)
+        bp = ids.shape[0]
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array(speaker_ids, b)
+        if speaker_ids is not None and bp > b:
+            speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
+        sid = self._sid_array(speaker_ids, bp)
         base_seed = self.options.seed if seed is None else int(seed)
         seed_j = jnp.uint32(base_seed)
 
@@ -932,7 +960,7 @@ class PiperRuntime:
             except BucketOverflowError:
                 f_bucket = self.options.frame_buckets[-1]
             scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
-            compiled |= self._mark("fused", (b, p_bucket, f_bucket, sid is not None))
+            compiled |= self._mark("fused", (bp, p_bucket, f_bucket, sid is not None))
             audio, y_len_d, y_total_d = self._fused_keyed(
                 self.params, ids_j, lengths_j, seed_j, scales_j, sid,
                 max_frames=f_bucket,
@@ -953,11 +981,11 @@ class PiperRuntime:
                 dpn = np.zeros((b, 2, p_bucket), np.float32)
                 src = np.asarray(dp_noise, np.float32).reshape(b, 2, -1)
                 dpn[:, :, : src.shape[-1]] = src
-                compiled |= self._mark("enc_inj", (b, p_bucket, sid is not None))
+                compiled |= self._mark("enc_inj", (bp, p_bucket, sid is not None))
                 enc = self._encode_injected(self.params, ids_j, lengths_j,
                                             jnp.asarray(dpn), ls, nw, sid)
             else:
-                compiled |= self._mark("enc_key", (b, p_bucket, sid is not None))
+                compiled |= self._mark("enc_key", (bp, p_bucket, sid is not None))
                 enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j,
                                          ls, nw, sid)
 
@@ -970,7 +998,7 @@ class PiperRuntime:
             # Degenerate durations (extreme length_scale / pathological
             # inputs) clamp to the largest bucket and truncate the tail
             # rather than failing the request.
-            f_bucket = self._frame_bucket_or_clamp(int(y_lengths.max()))
+            f_bucket = self._frame_bucket_or_clamp(int(y_lengths[:b].max()))
 
             # --- decode ---
             if main_noise is not None:
@@ -984,16 +1012,16 @@ class PiperRuntime:
                     src = src[:, :, :f_bucket]
                 mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
                 mn[:, :, : src.shape[-1]] = src
-                compiled |= self._mark("dec_inj", (b, f_bucket, sid is not None))
+                compiled |= self._mark("dec_inj", (bp, f_bucket, sid is not None))
                 audio, _ = self._decode_injected(self.params, enc, jnp.asarray(mn), ns)
             else:
-                compiled |= self._mark("dec_key", (b, f_bucket, sid is not None))
+                compiled |= self._mark("dec_key", (bp, f_bucket, sid is not None))
                 audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                               max_frames=f_bucket)
             # y_len is derivable on the host — fetch only the audio (second
             # and final round trip).
             audio = self._as_output(audio)
-            y_len = np.clip(y_lengths, 1, f_bucket)
+            y_len = np.clip(y_lengths, 1, f_bucket)[:b]
             t_end = time.perf_counter()
 
         hop = hp.hop_length

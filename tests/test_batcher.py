@@ -43,30 +43,41 @@ def test_mixed_lengths_batch(runtime):
     assert lengths[2] > lengths[1]
 
 
-def test_extreme_length_spread_splits(runtime):
-    """A group whose max/min phoneme count crosses split_length_ratio is
-    served as per-bucket sub-batches; results are identical audio to a
-    direct synthesize of each request (split is a scheduling decision, not
-    a semantic one)."""
-    short, long = FIXTURE_IDS[:4], FIXTURE_IDS * 4  # 4 vs 56 phonemes
-    with BatchingServer(runtime, max_batch=4, max_wait_ms=100,
-                        split_length_ratio=4.0) as server:
+def test_length_bucketed_grouping(runtime):
+    """Mixed lengths are served as same-phoneme-bucket batches (short
+    prompts never pad to the longest paragraph in the window); results are
+    correct per request, and the scheduler picks the oldest-waiting bucket
+    first so neither bucket starves."""
+    short, long = FIXTURE_IDS[:4], FIXTURE_IDS * 4  # buckets 16 and 64
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=100) as server:
         futs = [server.submit(short), server.submit(long),
                 server.submit(short), server.submit(long)]
         audios = [f.result(timeout=300) for f in futs]
     assert len(audios) == 4
     assert len(audios[1]) > len(audios[0])
-    # sub-batching math: one group of identical lengths never splits
-    groups = BatchingServer.__new__(BatchingServer)
-    groups.split_length_ratio = 4.0
-    groups.rt = runtime
+    # grouping math: per-(scales, bucket) queues
     from piper_tpu.engine.batcher import _Request
-    reqs = [_Request(ids, (None, None, None), None, None)
-            for ids in (short, long, short)]
-    parts = groups._split_group(reqs)
-    assert [sorted(len(r.ids) for r in p) for p in parts] == [[4, 4], [56]]
-    same = [_Request(FIXTURE_IDS, (None, None, None), None, None)] * 3
-    assert len(groups._split_group(same)) == 1
+
+    srv = BatchingServer.__new__(BatchingServer)
+    srv.rt = runtime
+    srv.max_batch = 4
+    srv.phoneme_budget = 4 * 128
+    srv.max_wait_s = 0.0
+    srv._closed = True  # drain mode: no batching window
+    import threading
+    from collections import deque
+
+    srv._cond = threading.Condition()
+    srv._queues = {}
+    for ids in (short, long, short):
+        key = ((None, None, None),
+               16 if len(ids) <= 16 else 64)
+        srv._queues.setdefault(key, deque()).append(
+            _Request(ids, (None, None, None), None, None))
+    g1 = srv._take_group(block=False)
+    g2 = srv._take_group(block=False)
+    sizes = sorted([sorted(len(r.ids) for r in g) for g in (g1, g2)])
+    assert sizes == [[4, 4], [56]]
 
 
 def test_oversized_request_fails_its_future_only(runtime):
@@ -74,8 +85,7 @@ def test_oversized_request_fails_its_future_only(runtime):
     (BucketOverflowError surfaced per group) without killing the serve
     thread — the server keeps serving afterwards."""
     too_long = FIXTURE_IDS * 400  # 5600 > 4096-bucket ladder max
-    with BatchingServer(runtime, max_batch=4, max_wait_ms=50,
-                        split_length_ratio=4.0) as server:
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=50) as server:
         f_bad = server.submit(too_long)
         f_ok = server.submit(FIXTURE_IDS)
         with pytest.raises(Exception):

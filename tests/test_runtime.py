@@ -179,6 +179,27 @@ def test_vocoder_precision_schedule_synthesizes(tiny_voice, tiny_runtime):
     np.testing.assert_array_equal(rt_mix.synthesize(FIXTURE_IDS), a_ref)
 
 
+def test_batch_axis_bucketing(tiny_voice):
+    """Batched calls pad the ROW axis to the batch_buckets ladder (dummy
+    rows copy row 0; outputs sliced to the real count), so varying group
+    sizes — the continuous-batching reality — reuse a bounded program set
+    instead of compiling one per distinct size."""
+    rt = PiperRuntime(*tiny_voice)
+    out3 = rt.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS[:8], FIXTURE_IDS[:6]],
+                               seed=3)
+    assert len(out3) == 3 and all(len(a) > 0 for a in out3)
+    n_programs = len(rt._compiled_keys)
+    # b=4 hits the same bucket-4 programs: no new compile
+    out4 = rt.synthesize_batch([FIXTURE_IDS] * 4, seed=3)
+    assert len(out4) == 4
+    assert len(rt._compiled_keys) == n_programs
+    # a padded b=3 call equals the b=4 call row-for-row when the requests
+    # match (identical program, identical noise draw)
+    out3b = rt.synthesize_batch([FIXTURE_IDS] * 3, seed=3)
+    for a, r in zip(out3b, out4[:3]):
+        np.testing.assert_array_equal(a, r)
+
+
 def test_flow_precision_plumbing(tiny_voice, tiny_runtime, monkeypatch):
     """flow_precision scopes a matmul tier to the decode flows (streaming
     included); XLA-CPU computes every tier in fp32, so output must match the

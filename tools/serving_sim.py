@@ -1,0 +1,148 @@
+"""Realistic serving simulation: Poisson arrivals, mixed utterance lengths.
+
+The headline bench measures saturated uniform batches; production traffic is
+neither. This tool drives the continuous BatchingServer with Poisson request
+arrivals over a mix of utterance lengths (short prompts to paragraph-length)
+and reports end-to-end request latency percentiles, achieved batch grouping,
+and aggregate real-time factor — the numbers a capacity plan actually needs.
+
+Usage:
+    python3 tools/serving_sim.py                      # TPU, 60 req/s, 30 s
+    python3 tools/serving_sim.py --rate 120 --duration 60
+    python3 tools/serving_sim.py --platform cpu --quality test --rate 20 --duration 5
+
+Prints one JSON line with latency p50/p95/p99 (ms), throughput, and the
+request mix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+# (repeat-factor, weight): 14-phoneme prompts dominate, with a tail of
+# paragraph-length requests — a chat/assistant-style mix.
+LENGTH_MIX = [(1, 0.45), (2, 0.25), (4, 0.15), (8, 0.10), (16, 0.05)]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rate", type=float, default=60.0, help="requests/second")
+    ap.add_argument("--duration", type=float, default=30.0, help="seconds of traffic")
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--quality", default="medium")
+    ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        from piper_tpu.utils.env import apply_platform_override
+
+        apply_platform_override()
+
+    import bench as bench_mod
+    from piper_tpu.engine.batcher import BatchingServer
+
+    rt_args = argparse.Namespace(
+        model=None, config=None, quality=args.quality, precision="highest",
+        mode="fused", vocoder_precision="high", flow_precision="high",
+        output_dtype="int16",
+    )
+    rt = bench_mod.get_runtime(rt_args)
+
+    rng = np.random.default_rng(args.seed)
+    factors = [f for f, _ in LENGTH_MIX]
+    weights = np.asarray([w for _, w in LENGTH_MIX])
+    weights = weights / weights.sum()
+
+    # Warm every bucket the mix can hit (and the batch programs) outside the
+    # measured window, mirroring a prewarmed production deployment.
+    for f in factors:
+        rt.synthesize((FIXTURE_IDS * f)[:4096])
+    rt.synthesize_batch([(FIXTURE_IDS * max(factors))[:4096]] * min(4, args.max_batch))
+
+    def run_traffic(server, duration, rng):
+        recs = []
+        t_start = time.perf_counter()
+        next_at = t_start
+        while True:
+            now = time.perf_counter()
+            if now - t_start >= duration:
+                break
+            if now < next_at:
+                time.sleep(min(next_at - now, 0.005))
+                continue
+            f = int(rng.choice(factors, p=weights))
+            ids = (FIXTURE_IDS * f)[:4096]
+            t_submit = time.perf_counter()
+            fut = server.submit(ids, noise_scale=None)
+            done_at = {}
+            fut.add_done_callback(lambda fu, d=done_at: d.setdefault(
+                "t", time.perf_counter()))
+            recs.append((t_submit, f, fut, done_at))
+            next_at += rng.exponential(1.0 / args.rate)
+        out = []
+        audio_s = 0.0
+        for t_submit, f, fut, done_at in recs:
+            audio = fut.result(timeout=600)
+            audio_s += len(audio) / rt.sample_rate
+            out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
+        return out, audio_s, time.perf_counter() - t_start
+
+    with BatchingServer(rt, max_batch=args.max_batch,
+                        max_wait_ms=args.max_wait_ms) as server:
+        # Warmup pass: the same traffic shape, results discarded — group
+        # sizes and mixed-length bucket combinations compile here (even with
+        # the runtime's batch-axis bucketing, the first pass over a traffic
+        # mix touches new (size, bucket) programs), so the measured pass is
+        # steady-state, as a prewarmed deployment would be.
+        server.submit(FIXTURE_IDS).result(timeout=600)
+        run_traffic(server, min(args.duration, 15.0),
+                    np.random.default_rng(args.seed + 1))
+
+        results, audio_s, wall = run_traffic(
+            server, args.duration, np.random.default_rng(args.seed))
+
+    lats_ms = sorted(l * 1e3 for l, _ in results)
+
+
+    def pct(p):
+        k = (len(lats_ms) - 1) * p / 100.0
+        lo, hi = int(np.floor(k)), int(np.ceil(k))
+        return lats_ms[lo] if lo == hi else (
+            lats_ms[lo] + (lats_ms[hi] - lats_ms[lo]) * (k - lo))
+
+    print(json.dumps({
+        "metric": "serving_sim",
+        "platform": args.platform or "device-default",
+        "rate_req_s": args.rate,
+        "offered_duration_s": args.duration,
+        "requests": len(results),
+        "length_mix_factors": factors,
+        "latency_ms": {"p50": round(pct(50), 1), "p95": round(pct(95), 1),
+                       "p99": round(pct(99), 1), "max": round(lats_ms[-1], 1)},
+        "audio_s_total": round(audio_s, 1),
+        "wall_s": round(wall, 2),
+        "rtf_aggregate": round(audio_s / wall, 1),
+        "max_batch": args.max_batch,
+        "max_wait_ms": args.max_wait_ms,
+    }))
+
+
+if __name__ == "__main__":
+    main()
