@@ -118,22 +118,42 @@ def run_oneshot(args) -> None:
     ids = _phoneme_ids_for(args, rt)
     out = args.output or "out.wav"
     if args.stream:
-        # Incremental decode: audio reaches the file chunk by chunk.
+        # Incremental decode: audio reaches the file (and, with --play, the
+        # player's stdin — playback starts after the FIRST chunk, the analog
+        # of the reference's live buffer scheduling, AudioPlayer.swift:4-43)
+        # chunk by chunk.
+        player = None
+        if args.play:
+            from piper_tpu.utils.playback import StreamingPlayer
+
+            try:
+                player = StreamingPlayer(rt.sample_rate)
+            except RuntimeError as e:
+                print(f"{e}; will play the finished file instead",
+                      file=sys.stderr)
         t0 = time.perf_counter()
         first_ms = None
         n = 0
-        with WavWriter(out, rt.sample_rate) as w:
-            for chunk in rt.synthesize_stream(ids, incremental=True,
-                                              **_synth_args(args)):
-                if first_ms is None:
-                    first_ms = (time.perf_counter() - t0) * 1e3
-                w.append_float32(chunk.samples)
-                n += len(chunk.samples)
+        try:
+            with WavWriter(out, rt.sample_rate) as w:
+                for chunk in rt.synthesize_stream(ids, incremental=True,
+                                                  **_synth_args(args)):
+                    if first_ms is None:
+                        first_ms = (time.perf_counter() - t0) * 1e3
+                    w.append_float32(chunk.samples)
+                    if player is not None:
+                        player.play(chunk.samples)
+                    n += len(chunk.samples)
+        finally:
+            if player is not None:
+                player.close()
         wall_ms = (time.perf_counter() - t0) * 1e3
         print(
             f"wrote {out}: {n} samples ({n / rt.sample_rate:.2f}s) streamed in "
             f"{wall_ms:.1f} ms (first audio after {first_ms:.1f} ms)"
         )
+        if args.play and player is None:
+            _play(str(out))
     else:
         audio = rt.synthesize(ids, **_synth_args(args))
         write_wav(out, audio, rt.sample_rate)
@@ -142,8 +162,8 @@ def run_oneshot(args) -> None:
             f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
             f"in {t.wall_ms:.1f} ms (RTF {t.rtf:.1f}x)"
         )
-    if args.play:
-        _play(str(out))
+        if args.play:
+            _play(str(out))
 
 
 def run_repl(args) -> None:

@@ -31,6 +31,18 @@ import numpy as np
 from piper_tpu.engine.runtime import PiperRuntime
 
 
+class ServerOverloaded(RuntimeError):
+    """Raised by submit() when the pending-request cap is reached: the
+    caller should back off / retry elsewhere (the 503 of this API).
+    Admitted requests keep bounded latency instead of everyone queueing
+    into double-digit seconds."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """Set on a request's future when it waited longer than the server's
+    deadline before dispatch — shed so fresher requests stay useful."""
+
+
 @dataclass
 class _Request:
     ids: List[int]
@@ -48,16 +60,49 @@ class BatchingServer:
     idle; under load the previous group's service time is the window)."""
 
     def __init__(self, runtime: PiperRuntime, max_batch: int = 16,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0, max_rows: int = 128,
+                 fused: Optional[bool] = None,
+                 max_pending: Optional[int] = None,
+                 deadline_ms: Optional[float] = None):
+        """`max_batch` is the group row count at the 128-phoneme bucket; via
+        the phoneme budget below, shorter buckets form proportionally WIDER
+        groups, up to `max_rows` rows. Callers sizing for device memory or
+        per-group latency should set `max_rows` (the hard row cap),
+        not `max_batch`.
+
+        `fused` selects the single-round-trip fused group dispatch
+        (dispatch_batch(fused=True)): the per-row frame counts ride the same
+        fetch as the audio, halving the fixed per-group tunnel cost that
+        dominates short-prompt traffic. Default: on when the runtime's mode
+        is "fused". Overflow rows (durations beyond the budget bucket) are
+        redone exactly via the split path.
+
+        Admission control: `max_pending` bounds the total queued (not yet
+        dispatched) requests — submit() raises ServerOverloaded beyond it,
+        so overload degrades by shedding at the door instead of unbounded
+        queue latency for everyone. `deadline_ms` additionally sheds queued
+        requests that waited longer than this before dispatch (their future
+        gets DeadlineExceeded). Both default off (None)."""
         self.rt = runtime
         self.max_batch = max_batch
+        self.max_rows = max_rows
+        self.fused = (runtime.options.mode == "fused") if fused is None else fused
+        self.max_pending = max_pending
+        self.deadline_s = deadline_ms / 1e3 if deadline_ms is not None else None
+        self._pending = 0
+        self._metrics = {
+            "submitted": 0, "completed": 0, "failed": 0,
+            "shed_overload": 0, "shed_deadline": 0,
+            "groups": 0, "rows": 0, "padded_rows": 0,
+            "wait_ms_sum": 0.0, "wait_ms_max": 0.0,
+        }
         # Group size scales INVERSELY with utterance length via a phoneme
         # budget: `max_batch` rows of a 128-phoneme request and up to
-        # 128 rows of short prompts cost similar compute, while per-group
-        # overhead (2 host round trips + dispatch) is fixed — short-prompt
-        # traffic at a flat row cap is overhead-bound (measured on the TPU
-        # serving sim: a 32-row group of 14-phoneme prompts is ~6 audio-s
-        # against ~200 ms of fixed overhead).
+        # `max_rows` rows of short prompts cost similar compute, while
+        # per-group overhead (host round trips + dispatch) is fixed —
+        # short-prompt traffic at a flat row cap is overhead-bound (measured
+        # on the TPU serving sim: a 32-row group of 14-phoneme prompts is
+        # ~6 audio-s against ~200 ms of fixed overhead).
         self.phoneme_budget = max_batch * 128
         self.max_wait_s = max_wait_ms / 1e3
         # (scales, p_bucket) -> FIFO of requests. p_bucket is the phoneme
@@ -101,10 +146,28 @@ class BatchingServer:
         with self._cond:
             if self._closed:
                 raise RuntimeError("server is closed")
+            if (self.max_pending is not None
+                    and self._pending >= self.max_pending):
+                self._metrics["shed_overload"] += 1
+                raise ServerOverloaded(
+                    f"{self._pending} requests pending (cap {self.max_pending})"
+                )
+            self._metrics["submitted"] += 1
+            self._pending += 1
             key = (req.scales, p_bucket)
             self._queues.setdefault(key, deque()).append(req)
             self._cond.notify()
         return fut
+
+    def metrics(self) -> dict:
+        """Snapshot of serving counters: queue depth, shed counts, dispatch
+        wait stats, achieved grouping (rows per group, batch-ladder padding)."""
+        with self._cond:
+            m = dict(self._metrics)
+            m["queue_depth"] = self._pending
+        m["wait_ms_mean"] = (m.pop("wait_ms_sum") / m["rows"]) if m["rows"] else 0.0
+        m["rows_per_group"] = (m["rows"] / m["groups"]) if m["groups"] else 0.0
+        return m
 
     # -- scheduling ----------------------------------------------------------
 
@@ -120,7 +183,7 @@ class BatchingServer:
         bucket = key[1]
         if not isinstance(bucket, int):
             return 1  # overflow requests fail individually
-        return max(1, min(128, self.phoneme_budget // bucket))
+        return max(1, min(self.max_rows, self.phoneme_budget // bucket))
 
     def _take_group(self, block: bool) -> Optional[List[_Request]]:
         """Pop up to the key's group limit of same-key requests, oldest key
@@ -131,6 +194,7 @@ class BatchingServer:
         batch waits up to max_wait_s from its oldest arrival for company."""
         with self._cond:
             while True:
+                self._shed_expired_locked()
                 key = self._oldest_key()
                 if key is None:
                     if self._closed:
@@ -151,7 +215,39 @@ class BatchingServer:
                 group = [q.popleft() for _ in range(min(len(q), limit))]
                 if not q:
                     del self._queues[key]
+                self._pending -= len(group)
+                now = time.perf_counter()
+                m = self._metrics
+                m["groups"] += 1
+                m["rows"] += len(group)
+                if len(group) > 1:
+                    ladder = self.rt.options.batch_buckets
+                    bp = next((x for x in ladder if x >= len(group)),
+                              len(group))
+                    m["padded_rows"] += bp - len(group)
+                for r in group:
+                    w = (now - r.t_submit) * 1e3
+                    m["wait_ms_sum"] += w
+                    m["wait_ms_max"] = max(m["wait_ms_max"], w)
                 return group
+
+    def _shed_expired_locked(self) -> None:
+        """Fail (and drop) queued requests older than the deadline — called
+        with the lock held, before each group selection."""
+        if self.deadline_s is None:
+            return
+        cutoff = time.perf_counter() - self.deadline_s
+        for key in list(self._queues):
+            q = self._queues[key]
+            while q and q[0].t_submit < cutoff:
+                req = q.popleft()
+                self._pending -= 1
+                self._metrics["shed_deadline"] += 1
+                req.future.set_exception(DeadlineExceeded(
+                    f"queued longer than {self.deadline_s * 1e3:.0f} ms"
+                ))
+            if not q:
+                del self._queues[key]
 
     # -- serving -------------------------------------------------------------
 
@@ -166,10 +262,12 @@ class BatchingServer:
             outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],
                 noise_scale=ns, length_scale=ls, noise_w=nw,
-                speaker_ids=speaker_ids,
+                speaker_ids=speaker_ids, fused=self.fused,
             )
             return group, outs, meta
         except Exception as e:  # noqa: BLE001 — per-request surfacing
+            with self._cond:
+                self._metrics["failed"] += len(group)
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)
@@ -178,9 +276,13 @@ class BatchingServer:
     def _finish_group(self, group: List[_Request], outs, meta) -> None:
         try:
             audios = self.rt.fetch_batch(outs, meta)
+            with self._cond:
+                self._metrics["completed"] += len(group)
             for r, a in zip(group, audios):
                 r.future.set_result(a)
         except Exception as e:  # noqa: BLE001
+            with self._cond:
+                self._metrics["failed"] += len(group)
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)

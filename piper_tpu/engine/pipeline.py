@@ -8,7 +8,14 @@ both the RTT and the host-side Python between requests — measured ~5x the
 blocking single-stream throughput (9.4 vs 46 ms per utterance).
 
 The reference has no serving pipeline at all (its streaming wrapper spawns a
-fresh runtime per request — PiperMetalRuntime.swift:95-137)."""
+fresh runtime per request — PiperMetalRuntime.swift:95-137).
+
+Do NOT mix submit() and submit_batch() concurrently on one pipeline: the
+single-utterance fetcher threads and the batch worker would then issue
+device->host transfers from several threads at once, which stalls the
+tunneled axon client unpredictably (4-6 s per batch observed). Use one
+pipeline per traffic shape (the small single-utterance fetches among
+themselves are fine — they are what the fetcher pool exists for)."""
 
 from __future__ import annotations
 

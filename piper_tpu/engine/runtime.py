@@ -276,6 +276,14 @@ class PiperRuntime:
                 f"output_dtype must be 'float32' or 'int16', "
                 f"got {self.options.output_dtype!r}"
             )
+        # A per-level tuple that doesn't match this voice's upsample depth
+        # would otherwise surface as an opaque IndexError inside tracing.
+        if isinstance(voc_prec, tuple) and len(voc_prec) != hp.num_upsamples:
+            raise ValueError(
+                f"vocoder_precision has {len(voc_prec)} per-level entries but "
+                f"this voice has {hp.num_upsamples} upsample levels — give one "
+                f"tier per level (or a single tier name for all levels)"
+            )
         if self.options.output_dtype == "int16":
             def to_pcm(a):
                 return (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -593,25 +601,40 @@ class PiperRuntime:
         fmt = self.audio_format
         emitted = 0
         n_chunks = -(-y_len // c)
-        for k in range(n_chunks):
+
+        def dispatch(k):
+            """Enqueue window k's decode (JAX dispatch is non-blocking);
+            the device array is fetched later."""
             t_offset = k * c - halo
             if main_noise is not None:
-                full = np.asarray(main_noise, np.float32).reshape(1, hp.inter_channels, -1)
+                full = np.asarray(main_noise, np.float32).reshape(
+                    1, hp.inter_channels, -1)
                 win = np.zeros((1, hp.inter_channels, window), np.float32)
                 lo = max(0, t_offset)
                 hi = min(full.shape[-1], t_offset + window)
                 if hi > lo:
                     win[:, :, lo - t_offset : hi - t_offset] = full[:, :, lo:hi]
-                audio_win = self._decode_window_injected(
+                return self._decode_window_injected(
                     self.params, enc, jnp.asarray(win),
                     jnp.int32(t_offset), jnp.int32(total), ns,
                 )
-            else:
-                audio_win = self._decode_window_keyed(
-                    self.params, enc, seed_j, jnp.int32(t_offset),
-                    jnp.int32(total), ns, window=window,
-                )
-            audio_win = self._as_output(audio_win)[0]
+            return self._decode_window_keyed(
+                self.params, enc, seed_j, jnp.int32(t_offset),
+                jnp.int32(total), ns, window=window,
+            )
+
+        # Depth-2 pipeline (the same interleave as ServingPipeline's batch
+        # worker): window k+1's decode is dispatched BEFORE window k's audio
+        # is fetched, so the per-window device->host round trip (the tunnel
+        # RTT that previously serialized every window) overlaps the next
+        # window's compute. TTFB is unchanged — the first fetch happens
+        # right after dispatching window 1's compute, which runs while
+        # window 0's audio is on the wire.
+        pending = dispatch(0)
+        for k in range(n_chunks):
+            nxt = dispatch(k + 1) if k + 1 < n_chunks else None
+            audio_win = self._as_output(jax.device_get(pending))[0]
+            pending = nxt
             start = halo * hop
             end = start + c * hop
             samples = audio_win[start:end]
@@ -723,25 +746,40 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        fused: Optional[bool] = None,
     ):
         """Dispatch a batched synthesis without waiting for the audio.
 
-        Runs encode, fetches only the frame counts (one small round trip —
-        they pick the decode bucket), dispatches the decode, and returns
-        (device_audio, meta) for a later `fetch_batch`. The audio fetch is
-        the expensive transfer (~110 ms for a B=32 batch on the tunneled
-        dev chip, ~37% of the blocking wall time), so overlapping it with
-        the next batch's compute is the core of batched pipelined serving.
+        Default (split) path: runs encode, fetches only the frame counts
+        (one small round trip — they pick the decode bucket), dispatches the
+        decode, and returns (device_audio, meta) for a later `fetch_batch`.
+        The audio fetch is the expensive transfer (~110 ms for a B=32 batch
+        on the tunneled dev chip, ~37% of the blocking wall time), so
+        overlapping it with the next batch's compute is the core of batched
+        pipelined serving.
 
-        A 1-row batch on a fused-mode runtime delegates to dispatch_fused so
-        the audio is bit-identical to synthesize_batch (which takes the
-        fused path for b==1; the keyed noise depends on the frame bucket, so
-        the paths produce different realizations) and keeps the fused
-        path's single round trip."""
+        `fused=True` runs the WHOLE group through the one-program fused path
+        instead: the frame bucket comes from the heuristic budget
+        (max row length x fused_frames_per_phoneme) and the per-row frame
+        counts ride the SAME fetch as the audio — one device round trip per
+        group instead of two. Rows whose true duration overflows the budget
+        bucket are redone exactly via the split path at fetch time (their
+        noise realization then differs — same caveat as the b==1 fused
+        fallback). This is the continuous batcher's path: for short-prompt
+        groups the fixed ~2-RTT cost per group dominates, and halving it is
+        worth the budget bucket's padding waste.
+
+        `fused=None` keeps the historical default: a 1-row batch on a
+        fused-mode runtime delegates to dispatch_fused so the audio is
+        bit-identical to synthesize_batch (which takes the fused path for
+        b==1; the keyed noise depends on the frame bucket, so the paths
+        produce different realizations) and keeps the fused path's single
+        round trip; multi-row batches take the split path (exact buckets —
+        the saturated-throughput choice)."""
         ids_batch = [list(x) for x in phoneme_ids_batch]
         hp = self.hparams
         b = len(ids_batch)
-        if b == 1 and self.options.mode == "fused":
+        if b == 1 and self.options.mode == "fused" and not fused:
             sid1 = speaker_ids[0] if speaker_ids is not None else None
             outs, meta = self.dispatch_fused(
                 ids_batch[0], noise_scale=noise_scale,
@@ -750,6 +788,11 @@ class PiperRuntime:
             )
             meta["fused1"] = True
             return outs, meta
+        if fused:
+            return self._dispatch_batch_fused(
+                ids_batch, noise_scale=noise_scale, length_scale=length_scale,
+                noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
+            )
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]  # padded row count (batch bucket)
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
@@ -777,6 +820,74 @@ class PiperRuntime:
                        "compiled": compiled_dec, "b": b,
                        "t_dispatch": time.perf_counter()}
 
+    def _dispatch_batch_fused(
+        self, ids_batch: List[List[int]], *, noise_scale, length_scale,
+        noise_w, speaker_ids, seed,
+    ):
+        """Whole-group fused dispatch: one program, one later round trip.
+        See dispatch_batch(fused=True)."""
+        b = len(ids_batch)
+        lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+        bp = ids.shape[0]
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sids = None
+        if speaker_ids is not None:
+            sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
+        sid = self._sid_array(sids, bp)
+        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        # Budget from the longest REAL row (dummy rows copy row 0, so they
+        # cannot need more frames than it).
+        budget = max(32, int(lengths[:b].max())
+                     * self.options.fused_frames_per_phoneme)
+        try:
+            f_bucket = bucket_for(budget, self.options.frame_buckets, "frame")
+        except BucketOverflowError:
+            f_bucket = self.options.frame_buckets[-1]
+        scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
+        compiled = self._mark("fused", (bp, p_bucket, f_bucket, sid is not None))
+        outs = self._fused_keyed(
+            self.params, jnp.asarray(ids), jnp.asarray(lengths), seed_j,
+            scales_j, sid, max_frames=f_bucket,
+        )
+        meta = {
+            "fused_batch": True, "b": b, "f_bucket": f_bucket,
+            "hop": self.hparams.hop_length, "compiled": compiled,
+            "t_dispatch": time.perf_counter(),
+            # Kept for the overflow redo (split path, exact buckets).
+            "ids_batch": ids_batch, "scales": (ns, ls, nw),
+            "speaker_ids": list(speaker_ids) if speaker_ids is not None else None,
+            "seed": seed,
+        }
+        return outs, meta
+
+    def _fetch_batch_fused(self, outs, meta) -> List[np.ndarray]:
+        """Complete a fused group dispatch: ONE bulk round trip carries the
+        audio and both frame-count vectors; overflow rows are redone exactly
+        via the (blocking, 2-round-trip) split path."""
+        audio, y_len_d, y_total_d = jax.device_get(outs)
+        audio = self._as_output(audio)
+        y_len = np.asarray(y_len_d).astype(np.int64)
+        y_total = np.asarray(y_total_d).astype(np.int64)
+        self.profiler.record(
+            "fused", meta["f_bucket"],
+            (time.perf_counter() - meta["t_dispatch"]) * 1e3, meta["compiled"],
+        )
+        b, hop = meta["b"], meta["hop"]
+        out = [audio[i, : int(y_len[i]) * hop] for i in range(b)]
+        overflow = [i for i in range(b) if y_total[i] > meta["f_bucket"]]
+        if overflow:
+            ns, ls, nw = meta["scales"]
+            sids = meta["speaker_ids"]
+            redone = self.synthesize_batch(
+                [meta["ids_batch"][i] for i in overflow],
+                noise_scale=ns, length_scale=ls, noise_w=nw,
+                speaker_ids=[sids[i] for i in overflow] if sids is not None else None,
+                seed=meta["seed"],
+            )
+            for k, i in enumerate(overflow):
+                out[i] = redone[k]
+        return out
+
     def fetch_batch(self, outs, meta) -> List[np.ndarray]:
         """Complete a dispatch_batch: one bulk device round trip, then slice
         each row to its exact length. The profiler's "decode" row for this
@@ -784,6 +895,8 @@ class PiperRuntime:
         transfer overlap the NEXT batch's dispatch in pipelined serving)."""
         if meta.get("fused1"):
             return [self.fetch_fused(outs, meta)]
+        if meta.get("fused_batch"):
+            return self._fetch_batch_fused(outs, meta)
         audio = self._as_output(jax.device_get(outs))
         self.profiler.record(
             "decode", meta["f_bucket"],
@@ -845,11 +958,19 @@ class PiperRuntime:
         # would recompile the full debug graph every time (20-40 s on TPU).
         # speaker_id's VALUE is part of the key: `sid` is closed over, so it
         # bakes into the traced program as a constant.
+        # Bounded LRU: a bisection sweep over many scale values would
+        # otherwise accumulate compiled debug programs (and their device
+        # memory) for the runtime's lifetime; only the repeated-identical-
+        # settings case needs the cache.
         key = (p_bucket, max_frames, per_layer, ns, ls, nw,
                scales.get("speaker_id"))
         if not hasattr(self, "_debug_jits"):
-            self._debug_jits = {}
+            from collections import OrderedDict
+
+            self._debug_jits = OrderedDict()
         fn = self._debug_jits.get(key)
+        if fn is not None:
+            self._debug_jits.move_to_end(key)
         if fn is None:
             def run(params, ids_j, lengths_j, dpn, mn):
                 with jax.default_matmul_precision(self._matmul_precision()):
@@ -860,6 +981,8 @@ class PiperRuntime:
                     )
 
             fn = self._debug_jits[key] = jax.jit(run)
+            while len(self._debug_jits) > 8:
+                self._debug_jits.popitem(last=False)
         out = fn(
             self.params, jnp.asarray(ids),
             jnp.asarray([len(phoneme_ids)], jnp.int32),

@@ -61,8 +61,13 @@ def test_length_bucketed_grouping(runtime):
     srv = BatchingServer.__new__(BatchingServer)
     srv.rt = runtime
     srv.max_batch = 4
+    srv.max_rows = 128
     srv.phoneme_budget = 4 * 128
     srv.max_wait_s = 0.0
+    srv.deadline_s = None
+    srv._pending = 3
+    srv._metrics = {"groups": 0, "rows": 0, "padded_rows": 0,
+                    "wait_ms_sum": 0.0, "wait_ms_max": 0.0}
     srv._closed = True  # drain mode: no batching window
     import threading
     from collections import deque
@@ -130,3 +135,171 @@ def test_submit_after_close(runtime):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(FIXTURE_IDS)
+
+
+# -- fused single-round-trip group dispatch ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def fused_runtime(tiny_voice):
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    return PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"))
+
+
+def test_fused_batch_dispatch_fetch(fused_runtime):
+    """dispatch_batch(fused=True) returns a group whose audio/lengths come
+    back in ONE fetch; rows are finite and non-empty."""
+    rt = fused_runtime
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:6], FIXTURE_IDS + FIXTURE_IDS[:2]]
+    outs, meta = rt.dispatch_batch(batch, fused=True)
+    assert meta.get("fused_batch")
+    audios = rt.fetch_batch(outs, meta)
+    assert len(audios) == 3
+    for a in audios:
+        assert len(a) > 0 and np.isfinite(np.asarray(a, np.float32)).all()
+    # Longer input row should not produce shorter audio than the 6-id row.
+    assert len(audios[2]) > len(audios[1])
+
+
+def test_fused_batch_matches_split_when_bucket_matches(tiny_voice):
+    """With a single-rung frame ladder both paths are forced onto the same
+    frame bucket, so the noise realizations coincide and the audio must
+    match (tight tolerance: fused vs split programs may fuse differently)."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    base = PiperRuntime(*tiny_voice)
+    base.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS[:6]])
+    f_bucket = base.last_run_timings.frame_bucket
+    opts = RuntimeOptions(mode="fused", frame_buckets=(f_bucket,))
+    rt = PiperRuntime(*tiny_voice, options=opts)
+    split = rt.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS[:6]])
+    outs, meta = rt.dispatch_batch([FIXTURE_IDS, FIXTURE_IDS[:6]], fused=True)
+    fused = rt.fetch_batch(outs, meta)
+    assert len(fused) == len(split) == 2
+    for a, b in zip(fused, split):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-5, rtol=0,
+        )
+
+
+def test_fused_batch_overflow_rows_redone(tiny_voice):
+    """Rows whose duration overflows the fused budget bucket are redone via
+    the exact split path: same audio as a direct split-mode batch of those
+    rows (bit-equal: the redo IS that call)."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    # A 1-frame-per-phoneme budget is always exceeded (real voices emit
+    # several frames per phoneme), so every row overflows.
+    opts = RuntimeOptions(mode="fused", fused_frames_per_phoneme=1)
+    rt = PiperRuntime(*tiny_voice, options=opts)
+    batch = [FIXTURE_IDS, FIXTURE_IDS[:6]]
+    outs, meta = rt.dispatch_batch(batch, fused=True)
+    audios = rt.fetch_batch(outs, meta)
+    expected = rt.synthesize_batch(batch)
+    for a, b in zip(audios, expected):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batcher_uses_fused_dispatch(fused_runtime):
+    """A fused-mode runtime's BatchingServer serves groups through the
+    single-round-trip path end to end."""
+    with BatchingServer(fused_runtime, max_batch=8, max_wait_ms=50) as server:
+        assert server.fused
+        futs = [server.submit(FIXTURE_IDS) for _ in range(6)]
+        audios = [f.result(timeout=300) for f in futs]
+    assert all(len(a) > 0 for a in audios)
+    m = server.metrics()
+    assert m["completed"] == 6 and m["failed"] == 0
+
+
+# -- admission control ------------------------------------------------------
+
+
+class _StubRuntime:
+    """Deterministic runtime stand-in: dispatch blocks until released, so
+    tests control exactly how much queue builds up."""
+
+    def __init__(self):
+        import threading
+        from types import SimpleNamespace
+
+        self.hparams = SimpleNamespace(n_vocab=1000, hop_length=4)
+        self.options = SimpleNamespace(
+            phoneme_buckets=(16, 32, 64), batch_buckets=(1, 2, 4, 8),
+            mode="split",
+        )
+        self.release = threading.Event()
+        self.dispatched = []
+
+    def dispatch_batch(self, ids_batch, **kw):
+        self.release.wait(timeout=60)
+        self.dispatched.append(len(ids_batch))
+        return None, {"b": len(ids_batch)}
+
+    def fetch_batch(self, outs, meta):
+        return [np.zeros(8, np.float32)] * meta["b"]
+
+
+def test_overload_sheds_at_the_door():
+    from piper_tpu.engine.batcher import ServerOverloaded
+
+    rt = _StubRuntime()
+    server = BatchingServer(rt, max_batch=4, max_wait_ms=1, max_pending=2)
+    try:
+        futs = [server.submit(FIXTURE_IDS) for _ in range(2)]
+        # Worker may have taken up to one group already; submit until the cap
+        # trips, bounded by a few attempts.
+        with pytest.raises(ServerOverloaded):
+            for _ in range(8):
+                futs.append(server.submit(FIXTURE_IDS))
+        assert server.metrics()["shed_overload"] >= 1
+    finally:
+        rt.release.set()
+        server.close()
+    # Every admitted request still completes.
+    assert all(len(f.result(timeout=60)) == 8 for f in futs)
+
+
+def test_deadline_sheds_stale_requests():
+    from piper_tpu.engine.batcher import DeadlineExceeded
+
+    rt = _StubRuntime()
+    server = BatchingServer(rt, max_batch=4, max_wait_ms=1, deadline_ms=30)
+    try:
+        # First submit occupies the worker (blocked in dispatch); the rest
+        # age past the deadline in the queue.
+        f0 = server.submit(FIXTURE_IDS)
+        time.sleep(0.1)
+        stale = [server.submit(FIXTURE_IDS) for _ in range(3)]
+        time.sleep(0.1)
+        rt.release.set()  # worker finishes; next group selection sheds
+        fresh = server.submit(FIXTURE_IDS)
+        assert len(fresh.result(timeout=60)) == 8
+        assert len(f0.result(timeout=60)) == 8
+        n_shed = 0
+        for f in stale:
+            try:
+                f.result(timeout=60)
+            except DeadlineExceeded:
+                n_shed += 1
+        assert n_shed >= 1
+        assert server.metrics()["shed_deadline"] == n_shed
+    finally:
+        rt.release.set()
+        server.close()
+
+
+def test_metrics_snapshot(runtime):
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=20) as server:
+        futs = [server.submit(FIXTURE_IDS) for _ in range(5)]
+        [f.result(timeout=300) for f in futs]
+        m = server.metrics()
+    assert m["submitted"] == 5
+    assert m["completed"] == 5
+    assert m["rows"] == 5
+    assert m["groups"] >= 1
+    assert m["wait_ms_max"] >= m["wait_ms_mean"] >= 0.0
+    assert m["queue_depth"] == 0

@@ -41,6 +41,10 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=30.0, help="seconds of traffic")
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--max-pending", type=int, default=None,
+                    help="admission cap: shed (503) beyond this many queued")
+    ap.add_argument("--deadline-ms", type=float, default=None,
+                    help="shed queued requests older than this before dispatch")
     ap.add_argument("--quality", default="medium")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
@@ -56,7 +60,8 @@ def main(argv=None):
         apply_platform_override()
 
     import bench as bench_mod
-    from piper_tpu.engine.batcher import BatchingServer
+    from piper_tpu.engine.batcher import (BatchingServer, DeadlineExceeded,
+                                          ServerOverloaded)
 
     rt_args = argparse.Namespace(
         model=None, config=None, quality=args.quality, precision="highest",
@@ -78,6 +83,7 @@ def main(argv=None):
 
     def run_traffic(server, duration, rng):
         recs = []
+        shed = {"overload": 0, "deadline": 0}
         t_start = time.perf_counter()
         next_at = t_start
         while True:
@@ -90,7 +96,12 @@ def main(argv=None):
             f = int(rng.choice(factors, p=weights))
             ids = (FIXTURE_IDS * f)[:4096]
             t_submit = time.perf_counter()
-            fut = server.submit(ids, noise_scale=None)
+            try:
+                fut = server.submit(ids, noise_scale=None)
+            except ServerOverloaded:
+                shed["overload"] += 1
+                next_at += rng.exponential(1.0 / args.rate)
+                continue
             done_at = {}
             fut.add_done_callback(lambda fu, d=done_at: d.setdefault(
                 "t", time.perf_counter()))
@@ -99,13 +110,19 @@ def main(argv=None):
         out = []
         audio_s = 0.0
         for t_submit, f, fut, done_at in recs:
-            audio = fut.result(timeout=600)
+            try:
+                audio = fut.result(timeout=600)
+            except DeadlineExceeded:
+                shed["deadline"] += 1
+                continue
             audio_s += len(audio) / rt.sample_rate
             out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
-        return out, audio_s, time.perf_counter() - t_start
+        return out, audio_s, time.perf_counter() - t_start, shed
 
     with BatchingServer(rt, max_batch=args.max_batch,
-                        max_wait_ms=args.max_wait_ms) as server:
+                        max_wait_ms=args.max_wait_ms,
+                        max_pending=args.max_pending,
+                        deadline_ms=args.deadline_ms) as server:
         # Warmup pass: the same traffic shape, results discarded — group
         # sizes and mixed-length bucket combinations compile here (even with
         # the runtime's batch-axis bucketing, the first pass over a traffic
@@ -115,11 +132,19 @@ def main(argv=None):
         run_traffic(server, min(args.duration, 15.0),
                     np.random.default_rng(args.seed + 1))
 
-        results, audio_s, wall = run_traffic(
+        results, audio_s, wall, shed = run_traffic(
             server, args.duration, np.random.default_rng(args.seed))
+        server_metrics = server.metrics()
 
     lats_ms = sorted(l * 1e3 for l, _ in results)
-
+    if not lats_ms:
+        # Tiny --rate/--duration (or all requests failed) can leave the
+        # measured window empty; report that instead of an IndexError.
+        print(json.dumps({
+            "metric": "serving_sim", "error": "no completed requests",
+            "rate_req_s": args.rate, "offered_duration_s": args.duration,
+        }))
+        return
 
     def pct(p):
         k = (len(lats_ms) - 1) * p / 100.0
@@ -141,6 +166,16 @@ def main(argv=None):
         "rtf_aggregate": round(audio_s / wall, 1),
         "max_batch": args.max_batch,
         "max_wait_ms": args.max_wait_ms,
+        "shed": shed,
+        "server": {
+            "rows_per_group": round(server_metrics["rows_per_group"], 1),
+            "groups": server_metrics["groups"],
+            "padded_rows": server_metrics["padded_rows"],
+            "wait_ms_mean": round(server_metrics["wait_ms_mean"], 1),
+            "wait_ms_max": round(server_metrics["wait_ms_max"], 1),
+            "shed_overload": server_metrics["shed_overload"],
+            "shed_deadline": server_metrics["shed_deadline"],
+        },
     }))
 
 
