@@ -115,6 +115,11 @@ def main(argv=None):
     parser.add_argument("--high", action="store_true", default=True,
                         help="bench the high-quality (deeper upsample stack) config")
     parser.add_argument("--no-high", dest="high", action="store_false")
+    parser.add_argument("--roofline", action="store_true",
+                        help="embed the per-stage roofline/MFU report "
+                             "(tools/roofline.py) in the result JSON — "
+                             "measures chip ceilings and per-stage programs, "
+                             "adding a few compiles on first run")
     parser.add_argument("--quick", action="store_true", help="fast smoke (small sweep)")
     parser.add_argument("--platform", help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -330,6 +335,14 @@ def main(argv=None):
         }
         del rt_high
 
+    roofline = None
+    if args.roofline:
+        from piper_tpu.utils.roofline import roofline_report
+
+        roofline = roofline_report(
+            rt, args.batch or 32, 128, 768,
+            iters=3 if args.quick else 8, per_level=not args.quick)
+
     # Baseline comparison row: the factor-1 row when present (the *_factor1
     # keys would otherwise silently describe whatever factor was listed first).
     f1 = next((r for r in rows if r["factor"] == 1), rows[0])
@@ -364,6 +377,7 @@ def main(argv=None):
         "streaming": streaming_row,
         "multispeaker": multispeaker_row,
         "high": high_row,
+        "roofline": roofline,
         "rows": rows,
     }
     print(json.dumps(result))
