@@ -221,7 +221,8 @@ class BatchingServer:
                 m["groups"] += 1
                 m["rows"] += len(group)
                 if len(group) > 1:
-                    ladder = self.rt.options.batch_buckets
+                    ladder = getattr(self.rt, "batch_ladder",
+                                     self.rt.options.batch_buckets)
                     bp = next((x for x in ladder if x >= len(group)),
                               len(group))
                     m["padded_rows"] += bp - len(group)

@@ -184,9 +184,18 @@ class PiperRuntime:
         model_path: Union[str, Path],
         config_path: Union[str, Path, None] = None,
         options: Optional[RuntimeOptions] = None,
+        mesh=None,
     ):
+        """`mesh` (jax.sharding.Mesh, optional) turns this runtime into a
+        data-parallel multi-chip one: weights replicate across the mesh,
+        every batched program shards its rows over the `dp` axis, and the
+        batch-bucket ladder is restricted to dp-divisible rungs — so the
+        SAME serving stack (BatchingServer, ServingPipeline, bucketing,
+        prewarm) drives a slice exactly the way it drives one chip
+        (SURVEY.md §2.9's obligation is batched *serving* across chips)."""
         _enable_persistent_jit_cache()
         self.options = options or RuntimeOptions.from_env()
+        self.mesh = mesh
         self.model_path = Path(model_path)
         if not self.model_path.exists():
             raise FileNotFoundError(f"model checkpoint not found: {self.model_path}")
@@ -202,12 +211,29 @@ class PiperRuntime:
         dtype = jnp.bfloat16 if self.options.precision == "bfloat16" else jnp.float32
         # Weights go to device once (packed single transfer) and stay
         # resident (the analog of the reference's persistentF32Buffers cache,
-        # GraphExecutor.swift:27).
+        # GraphExecutor.swift:27). With a mesh they are replicated across
+        # every device instead (the ShardedVits.create placement).
         from piper_tpu.models.vits.params import device_put_packed, host_arrays_from_graph
 
-        self.params: Params = device_put_packed(
-            host_arrays_from_graph(onnx_model.graph), dtype=dtype
-        )
+        if mesh is not None:
+            from piper_tpu.parallel.mesh import DATA_AXIS, replicated
+
+            if DATA_AXIS not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh must have a '{DATA_AXIS}' axis (got {mesh.axis_names})"
+                )
+            host = host_arrays_from_graph(onnx_model.graph)
+            np_dtype = np.float32 if dtype == jnp.float32 else dtype
+            self.params: Params = {
+                k: jax.device_put(np.asarray(v, np_dtype), replicated(mesh))
+                for k, v in host.items()
+            }
+            self._dp_size = int(mesh.shape[DATA_AXIS])
+        else:
+            self.params = device_put_packed(
+                host_arrays_from_graph(onnx_model.graph), dtype=dtype
+            )
+            self._dp_size = 1
         del onnx_model
 
         import threading
@@ -252,6 +278,34 @@ class PiperRuntime:
 
     def _matmul_precision(self) -> str:
         return "default" if self.options.precision == "bfloat16" else self.options.precision
+
+    @property
+    def batch_ladder(self) -> Tuple[int, ...]:
+        """The effective batch-bucket ladder: on a mesh, only dp-divisible
+        rungs (each device gets whole rows)."""
+        ladder = self.options.batch_buckets
+        if self._dp_size <= 1:
+            return ladder
+        out = tuple(x for x in ladder if x % self._dp_size == 0)
+        return out or (self._dp_size,)
+
+    def _put_batch(self, arr):
+        """Place a batch-major array: sharded over dp on a mesh runtime,
+        plain device array otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from piper_tpu.parallel.mesh import batch_sharded
+
+        return jax.device_put(np.asarray(arr), batch_sharded(self.mesh))
+
+    def _put_repl(self, arr):
+        """Replicated placement (injected-noise test paths on a mesh run
+        fully replicated — correctness over parallelism there)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from piper_tpu.parallel.mesh import replicated
+
+        return jax.device_put(np.asarray(arr), replicated(self.mesh))
 
     def _resolve_pallas(self) -> bool:
         import os
@@ -575,10 +629,13 @@ class PiperRuntime:
                 f"check the voice's phoneme_id_map"
             )
         p_bucket = bucket_for(len(ids), self.options.phoneme_buckets, "phoneme")
-        ids_j = jnp.asarray(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
-        lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
+        # Streaming is single-utterance: on a mesh it runs replicated (the
+        # sp-sharded analog lives in parallel/serving.synthesize_long).
+        ids_j = self._put_repl(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
+        lengths_j = self._put_repl(np.asarray([len(ids)], np.int32))
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array([speaker_id] if speaker_id is not None else None, 1)
+        sid = self._sid_array([speaker_id] if speaker_id is not None else None,
+                              1, putter=self._put_repl)
         base_seed = self.options.seed if seed is None else int(seed)
         seed_j = jnp.uint32(base_seed)
 
@@ -587,7 +644,7 @@ class PiperRuntime:
             src = np.asarray(dp_noise, np.float32).reshape(1, 2, -1)
             dpn[:, :, : src.shape[-1]] = src
             enc = self._encode_injected(self.params, ids_j, lengths_j,
-                                        jnp.asarray(dpn), ls, nw, sid)
+                                        self._put_repl(dpn), ls, nw, sid)
         else:
             enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
         y_len = int(np.asarray(enc.y_total)[0])
@@ -615,7 +672,7 @@ class PiperRuntime:
                 if hi > lo:
                     win[:, :, lo - t_offset : hi - t_offset] = full[:, :, lo:hi]
                 return self._decode_window_injected(
-                    self.params, enc, jnp.asarray(win),
+                    self.params, enc, self._put_repl(win),
                     jnp.int32(t_offset), jnp.int32(total), ns,
                 )
             return self._decode_window_keyed(
@@ -661,7 +718,18 @@ class PiperRuntime:
     ):
         """Dispatch one fused synthesis without blocking; returns
         (device_outputs, meta) for a later fetch. The building block of the
-        async serving pipeline (device round trips overlap across requests)."""
+        async serving pipeline (device round trips overlap across requests).
+
+        On a mesh runtime the single utterance rides the batched fused path
+        (rows pad to a dp-divisible rung) so the program is dp-sharded like
+        every other; fetch_fused handles the batched meta transparently."""
+        if self.mesh is not None:
+            return self._dispatch_batch_fused(
+                [list(phoneme_ids)], noise_scale=noise_scale,
+                length_scale=length_scale, noise_w=noise_w,
+                speaker_ids=[speaker_id] if speaker_id is not None else None,
+                seed=seed,
+            )
         ids = list(phoneme_ids)
         if not ids:
             raise ValueError("empty phoneme sequence")
@@ -714,8 +782,10 @@ class PiperRuntime:
                     f"check the voice's phoneme_id_map"
                 )
         b = len(ids_batch)
-        ladder = self.options.batch_buckets
-        if pad_batch and b > 1 and b <= ladder[-1]:
+        ladder = self.batch_ladder
+        # On a mesh every batch (even b==1) pads to a dp-divisible rung so
+        # rows shard evenly over devices.
+        if pad_batch and (b > 1 or self._dp_size > 1) and b <= ladder[-1]:
             b_bucket = next(x for x in ladder if x >= b)
             ids_batch = ids_batch + [ids_batch[0]] * (b_bucket - b)
         lengths = np.asarray([len(x) for x in ids_batch], np.int32)
@@ -801,8 +871,8 @@ class PiperRuntime:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         sid = self._sid_array(sids, bp)
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
-        ids_j = jnp.asarray(ids)
-        lengths_j = jnp.asarray(lengths)
+        ids_j = self._put_batch(ids)
+        lengths_j = self._put_batch(lengths)
         t_start = time.perf_counter()
         compiled_enc = self._mark("enc_key", (bp, p_bucket, sid is not None))
         enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
@@ -846,8 +916,8 @@ class PiperRuntime:
         scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
         compiled = self._mark("fused", (bp, p_bucket, f_bucket, sid is not None))
         outs = self._fused_keyed(
-            self.params, jnp.asarray(ids), jnp.asarray(lengths), seed_j,
-            scales_j, sid, max_frames=f_bucket,
+            self.params, self._put_batch(ids), self._put_batch(lengths),
+            seed_j, scales_j, sid, max_frames=f_bucket,
         )
         meta = {
             "fused_batch": True, "b": b, "f_bucket": f_bucket,
@@ -910,6 +980,8 @@ class PiperRuntime:
     def fetch_fused(self, outs, meta) -> np.ndarray:
         """Complete a dispatch_fused: one device round trip; falls back to a
         blocking split-mode synthesis if the frame budget overflowed."""
+        if meta.get("fused_batch"):  # mesh runtime: batched fused path
+            return self._fetch_batch_fused(outs, meta)[0]
         audio, y_len, y_total = jax.device_get(outs)
         if int(np.asarray(y_total).max()) > meta["f_bucket"]:
             ns, ls, nw = meta["scales"]
@@ -1001,12 +1073,14 @@ class PiperRuntime:
         nw = inf.noise_w if noise_w is None else float(noise_w)
         return ns, ls, nw
 
-    def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int):
+    def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int,
+                   putter=None):
         if self.hparams.n_speakers <= 1:
             return None
         if speaker_ids is None:
             speaker_ids = [0] * batch
-        return jnp.asarray(np.asarray(speaker_ids, dtype=np.int32))
+        putter = putter or self._put_batch
+        return putter(np.asarray(speaker_ids, dtype=np.int32))
 
     def _mark(self, kind: str, key) -> bool:
         with self._lock:
@@ -1051,19 +1125,22 @@ class PiperRuntime:
         hp = self.hparams
         b = len(ids_batch)
         # Injected-noise calls provide exactly b rows of noise — no batch
-        # padding there (they are test/bisection paths, not serving).
+        # padding there (they are test/bisection paths, not serving); on a
+        # mesh they run fully replicated for the same reason.
+        injected = dp_noise is not None or main_noise is not None
         lengths, p_bucket, ids = self._validate_and_pad(
-            ids_batch, pad_batch=dp_noise is None and main_noise is None)
+            ids_batch, pad_batch=not injected)
         bp = ids.shape[0]
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         if speaker_ids is not None and bp > b:
             speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-        sid = self._sid_array(speaker_ids, bp)
+        putter = self._put_repl if injected else self._put_batch
+        sid = self._sid_array(speaker_ids, bp, putter=putter)
         base_seed = self.options.seed if seed is None else int(seed)
         seed_j = jnp.uint32(base_seed)
 
-        ids_j = jnp.asarray(ids)
-        lengths_j = jnp.asarray(lengths)
+        ids_j = putter(ids)
+        lengths_j = putter(lengths)
         compiled = False
 
         # --- fused single-round-trip path ---
@@ -1106,7 +1183,7 @@ class PiperRuntime:
                 dpn[:, :, : src.shape[-1]] = src
                 compiled |= self._mark("enc_inj", (bp, p_bucket, sid is not None))
                 enc = self._encode_injected(self.params, ids_j, lengths_j,
-                                            jnp.asarray(dpn), ls, nw, sid)
+                                            putter(dpn), ls, nw, sid)
             else:
                 compiled |= self._mark("enc_key", (bp, p_bucket, sid is not None))
                 enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j,
@@ -1136,7 +1213,7 @@ class PiperRuntime:
                 mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
                 mn[:, :, : src.shape[-1]] = src
                 compiled |= self._mark("dec_inj", (bp, f_bucket, sid is not None))
-                audio, _ = self._decode_injected(self.params, enc, jnp.asarray(mn), ns)
+                audio, _ = self._decode_injected(self.params, enc, putter(mn), ns)
             else:
                 compiled |= self._mark("dec_key", (bp, f_bucket, sid is not None))
                 audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,

@@ -1,0 +1,103 @@
+"""Multi-chip serving through the SAME stack as single-chip: a PiperRuntime
+built on a dp mesh drives BatchingServer / dispatch paths with rows sharded
+over devices (SURVEY.md §2.9 — batched *serving* across a slice, not just a
+sharded forward function)."""
+
+import jax
+import numpy as np
+import pytest
+
+from piper_tpu.engine.batcher import BatchingServer
+from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+from piper_tpu.parallel.mesh import make_mesh
+
+FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest provides 8 virtual CPU devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def mesh_runtime(tiny_voice, mesh):
+    return PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"),
+                        mesh=mesh)
+
+
+def test_batch_ladder_is_dp_divisible(mesh_runtime):
+    assert all(x % 8 == 0 for x in mesh_runtime.batch_ladder)
+    assert mesh_runtime.batch_ladder[0] == 8
+
+
+def test_params_replicated(mesh_runtime, mesh):
+    w = next(iter(mesh_runtime.params.values()))
+    assert w.sharding.is_fully_replicated
+    assert set(w.sharding.device_set) == set(np.asarray(mesh.devices).ravel())
+
+
+def test_single_utterance_on_mesh(mesh_runtime):
+    audio = mesh_runtime.synthesize(FIXTURE_IDS)
+    assert len(audio) > 0 and np.isfinite(audio).all()
+
+
+def test_batch_shards_rows_over_dp(mesh_runtime):
+    """A 3-row batch pads to the 8-rung and shards one row per device; the
+    sliced results stay per-request exact lengths."""
+    audios = mesh_runtime.synthesize_batch(
+        [FIXTURE_IDS, FIXTURE_IDS[:6], FIXTURE_IDS * 2])
+    assert len(audios) == 3
+    assert len(audios[2]) > len(audios[1])
+    for a in audios:
+        assert np.isfinite(a).all()
+
+
+def test_dispatch_fetch_fused_on_mesh(mesh_runtime):
+    outs, meta = mesh_runtime.dispatch_batch(
+        [FIXTURE_IDS, FIXTURE_IDS[:6]], fused=True)
+    assert meta["fused_batch"]
+    audios = mesh_runtime.fetch_batch(outs, meta)
+    assert len(audios) == 2 and all(len(a) > 0 for a in audios)
+
+
+def test_injected_noise_matches_single_device(tiny_voice, mesh):
+    """The replicated injected-noise path is numerically the single-device
+    computation — the fidelity/bisection contract survives the mesh."""
+    rng = np.random.default_rng(7)
+    p_bucket = 16
+    dp_noise = rng.standard_normal((1, 2, p_bucket)).astype(np.float32)
+    single = PiperRuntime(*tiny_voice)
+    main_frames = 64
+    main_noise = rng.standard_normal(
+        (1, single.hparams.inter_channels, main_frames)).astype(np.float32)
+    a_single = single.synthesize(FIXTURE_IDS, dp_noise=dp_noise,
+                                 main_noise=main_noise)
+    meshed = PiperRuntime(*tiny_voice, mesh=mesh)
+    a_mesh = meshed.synthesize(FIXTURE_IDS, dp_noise=dp_noise,
+                               main_noise=main_noise)
+    assert a_single.shape == a_mesh.shape
+    np.testing.assert_allclose(a_mesh, a_single, atol=1e-5, rtol=0)
+
+
+def test_batching_server_over_mesh(mesh_runtime):
+    """The continuous batcher — the same scheduler as single-chip — serves a
+    mixed-length workload across the 8-device mesh."""
+    with BatchingServer(mesh_runtime, max_batch=8, max_wait_ms=50) as server:
+        assert server.fused
+        futs = [server.submit(FIXTURE_IDS) for _ in range(10)]
+        futs += [server.submit(FIXTURE_IDS[:6]) for _ in range(5)]
+        futs += [server.submit(FIXTURE_IDS * 2) for _ in range(3)]
+        audios = [f.result(timeout=600) for f in futs]
+    assert len(audios) == 18
+    assert all(len(a) > 0 and np.isfinite(a).all() for a in audios)
+    m = server.metrics()
+    assert m["completed"] == 18 and m["failed"] == 0
+
+
+def test_streaming_on_mesh(mesh_runtime):
+    chunks = list(mesh_runtime.synthesize_stream(FIXTURE_IDS * 2,
+                                                 incremental=True))
+    assert chunks[-1].is_final
+    n = sum(len(c.samples) for c in chunks)
+    assert n > 0
