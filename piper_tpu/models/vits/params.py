@@ -18,16 +18,42 @@ from piper_tpu.onnx.ir import OnnxGraph, TensorDataType
 Params = Dict[str, jnp.ndarray]
 
 
+_FLOAT_TYPES = (TensorDataType.FLOAT, TensorDataType.DOUBLE, TensorDataType.FLOAT16)
+
+
+def _constant_weights(graph: OnnxGraph):
+    """Float weights that a real torch export emitted as Constant NODES
+    instead of initializers (constant folding moves some module parameters
+    — layer-norm gammas/betas in particular — out of the initializer list).
+    Yields (param_path, OnnxTensor) for Constant outputs named like
+    exported module parameters."""
+    for n in graph.nodes:
+        if n.op_type != "Constant" or not n.outputs:
+            continue
+        attr = n.attributes.get("value")
+        if attr is None or not hasattr(attr.value, "data_type"):
+            continue
+        t = attr.value
+        name = n.outputs[0]
+        looks_like_param = "." in name and name.split(".", 1)[0] in (
+            "enc_p", "dp", "flow", "dec", "emb_g")
+        if looks_like_param and t.data_type in _FLOAT_TYPES:
+            yield name, t
+
+
 def params_from_graph(graph: OnnxGraph, dtype=jnp.float32) -> Params:
-    """Extract all float initializers as JAX arrays keyed by name.
+    """Extract all float weights as JAX arrays keyed by name — initializers
+    plus parameter-named Constant nodes (see _constant_weights).
 
     Non-float initializers (shape constants the exported graph needed, the
     baked `sid`, etc.) are skipped — the native forward pass doesn't use them.
     """
     out: Params = {}
     for name, t in graph.initializers.items():
-        if t.data_type in (TensorDataType.FLOAT, TensorDataType.DOUBLE, TensorDataType.FLOAT16):
+        if t.data_type in _FLOAT_TYPES:
             out[name] = jnp.asarray(np.asarray(t.array), dtype=dtype)
+    for name, t in _constant_weights(graph):
+        out.setdefault(name, jnp.asarray(np.asarray(t.array), dtype=dtype))
     return out
 
 
@@ -36,11 +62,14 @@ def params_from_arrays(arrays: Dict[str, np.ndarray], dtype=jnp.float32) -> Para
 
 
 def host_arrays_from_graph(graph: OnnxGraph) -> Dict[str, np.ndarray]:
-    """Float initializers as host numpy arrays (no device transfer)."""
+    """Float weights (initializers + parameter-named Constant nodes) as host
+    numpy arrays (no device transfer)."""
     out: Dict[str, np.ndarray] = {}
     for name, t in graph.initializers.items():
-        if t.data_type in (TensorDataType.FLOAT, TensorDataType.DOUBLE, TensorDataType.FLOAT16):
+        if t.data_type in _FLOAT_TYPES:
             out[name] = np.asarray(t.array)
+    for name, t in _constant_weights(graph):
+        out.setdefault(name, np.asarray(t.array))
     return out
 
 

@@ -122,12 +122,21 @@ void appendFloat(std::string* out, double v) {
   }
 }
 
-// TensorProto: emit {"name":..,"data_type":N,"dims":[..],"offset":N,"nbytes":N}
+// TensorProto: emit {"name":..,"data_type":N,"dims":[..],"offset":N,
+// "nbytes":N, ...}. Besides raw_data, real torch exports store payloads in
+// the packed repeated fields: float_data/double_data are contiguous
+// little-endian scalars (zero-copy viewable — reported as spans), while
+// int32_data/int64_data are varint-packed (decoded here into JSON arrays;
+// they are small metadata tensors like `sid`).
 void parseTensor(Reader r, std::string* out) {
   std::string name;
   long long dataType = 0;
   std::vector<long long> dims;
   long long rawOff = -1, rawLen = 0;
+  long long floatOff = -1, floatLen = 0;
+  long long doubleOff = -1, doubleLen = 0;
+  std::vector<long long> i32data, i64data;
+  std::vector<double> inlineFloats;  // rare unpacked float_data entries
   while (!r.atEnd()) {
     uint32_t f, wt;
     r.tag(&f, &wt);
@@ -143,6 +152,37 @@ void parseTensor(Reader r, std::string* out) {
       } else r.skip(wt);
     } else if (f == 2 && wt == 0) {
       dataType = toSigned(r.varint());
+    } else if (f == 4) {  // float_data
+      if (wt == 2) {
+        size_t off, len;
+        r.bytesSpan(&off, &len);
+        floatOff = (long long)off;
+        floatLen = (long long)len;
+      } else if (wt == 5) {
+        if (r.pos + 4 > r.end) { r.ok = false; break; }
+        float v;
+        memcpy(&v, r.p + r.pos, 4);
+        r.pos += 4;
+        inlineFloats.push_back(v);
+      } else r.skip(wt);
+    } else if (f == 5) {  // int32_data (signed varints)
+      if (wt == 2) {
+        size_t off, len;
+        r.bytesSpan(&off, &len);
+        Reader sub(r.p, off, off + len);
+        while (!sub.atEnd()) i32data.push_back(toSigned(sub.varint()));
+      } else if (wt == 0) {
+        i32data.push_back(toSigned(r.varint()));
+      } else r.skip(wt);
+    } else if (f == 7) {  // int64_data
+      if (wt == 2) {
+        size_t off, len;
+        r.bytesSpan(&off, &len);
+        Reader sub(r.p, off, off + len);
+        while (!sub.atEnd()) i64data.push_back(toSigned(sub.varint()));
+      } else if (wt == 0) {
+        i64data.push_back(toSigned(r.varint()));
+      } else r.skip(wt);
     } else if (f == 8 && wt == 2) {
       name = r.str();
     } else if (f == 9 && wt == 2) {
@@ -150,6 +190,13 @@ void parseTensor(Reader r, std::string* out) {
       r.bytesSpan(&off, &len);
       rawOff = (long long)off;
       rawLen = (long long)len;
+    } else if (f == 10) {  // double_data
+      if (wt == 2) {
+        size_t off, len;
+        r.bytesSpan(&off, &len);
+        doubleOff = (long long)off;
+        doubleLen = (long long)len;
+      } else r.skip(wt);
     } else {
       r.skip(wt);
     }
@@ -167,6 +214,42 @@ void parseTensor(Reader r, std::string* out) {
   appendInt(out, rawOff);
   *out += ",\"nbytes\":";
   appendInt(out, rawLen);
+  if (floatOff >= 0) {
+    *out += ",\"float_off\":";
+    appendInt(out, floatOff);
+    *out += ",\"float_nbytes\":";
+    appendInt(out, floatLen);
+  }
+  if (doubleOff >= 0) {
+    *out += ",\"double_off\":";
+    appendInt(out, doubleOff);
+    *out += ",\"double_nbytes\":";
+    appendInt(out, doubleLen);
+  }
+  if (!inlineFloats.empty()) {
+    *out += ",\"float_data\":[";
+    for (size_t i = 0; i < inlineFloats.size(); i++) {
+      if (i) out->push_back(',');
+      appendFloat(out, inlineFloats[i]);
+    }
+    *out += "]";
+  }
+  if (!i32data.empty()) {
+    *out += ",\"int32_data\":[";
+    for (size_t i = 0; i < i32data.size(); i++) {
+      if (i) out->push_back(',');
+      appendInt(out, i32data[i]);
+    }
+    *out += "]";
+  }
+  if (!i64data.empty()) {
+    *out += ",\"int64_data\":[";
+    for (size_t i = 0; i < i64data.size(); i++) {
+      if (i) out->push_back(',');
+      appendInt(out, i64data[i]);
+    }
+    *out += "]";
+  }
   *out += "}";
 }
 
@@ -181,11 +264,17 @@ void parseAttribute(Reader r, std::string* out) {
   long long declared = 0;
   std::vector<long long> ints;
   std::vector<double> floats;
+  std::string tensorJson;  // TENSOR attr (Constant-node weights)
   while (!r.atEnd()) {
     uint32_t f, wt;
     r.tag(&f, &wt);
     if (!r.ok) break;
     if (f == 1 && wt == 2) name = r.str();
+    else if (f == 5 && wt == 2) {  // t: TensorProto
+      size_t off, len;
+      r.bytesSpan(&off, &len);
+      parseTensor(Reader(r.p, off, off + len), &tensorJson);
+    }
     else if (f == 2 && wt == 5) {
       if (r.pos + 4 > r.end) break;
       float v;
@@ -251,6 +340,9 @@ void parseAttribute(Reader r, std::string* out) {
       appendFloat(out, floats[i]);
     }
     *out += "]";
+  }
+  if (!tensorJson.empty()) {
+    *out += ",\"t\":" + tensorJson;
   }
   *out += "}";
 }

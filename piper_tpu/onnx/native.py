@@ -74,24 +74,39 @@ def load_model_native(path: str | Path | bytes) -> Optional[OnnxModel]:
     g = index["graph"]
     buf = np.frombuffer(data, dtype=np.uint8)
 
-    initializers = {}
-    for t in g["initializers"]:
+    def tensor_from_index(t) -> Optional[OnnxTensor]:
+        """OnnxTensor from one index entry. raw_data / float_data /
+        double_data payloads view the original buffer zero-copy (packed
+        repeated floats are contiguous little-endian scalars, same layout
+        as raw); varint-packed int payloads were decoded in C++."""
         dt = TensorDataType(t["data_type"])
         dims = t["dims"]
         n = int(np.prod(dims)) if dims else 1
-        if t["offset"] < 0:
-            # Payload not raw_data (packed repeated fields): unsupported by
-            # the native fast path — signal full-Python fallback.
-            return None
-        np_dt = np_dtype_for(dt)
-        raw = buf[t["offset"] : t["offset"] + t["nbytes"]]
-        arr = raw.view(np_dt)
+        if t.get("offset", -1) >= 0:
+            arr = buf[t["offset"] : t["offset"] + t["nbytes"]].view(np_dtype_for(dt))
+        elif t.get("float_off", -1) >= 0:
+            arr = buf[t["float_off"] : t["float_off"] + t["float_nbytes"]].view("<f4")
+        elif t.get("double_off", -1) >= 0:
+            arr = buf[t["double_off"] : t["double_off"] + t["double_nbytes"]].view("<f8")
+        elif "int64_data" in t:
+            arr = np.asarray(t["int64_data"], np.int64)
+        elif "int32_data" in t:
+            arr = np.asarray(t["int32_data"], np.int32)
+        elif "float_data" in t:
+            arr = np.asarray(t["float_data"], np.float32)
+        else:
+            arr = np.zeros(dims, dtype=np_dtype_for(dt) if dt else np.float32)
         if arr.size != max(n, 0):
             return None
-        arr = arr.reshape(dims)
-        initializers[t["name"]] = OnnxTensor(
-            name=t["name"], dims=list(dims), data_type=dt, array=arr
-        )
+        return OnnxTensor(name=t["name"], dims=list(dims), data_type=dt,
+                          array=arr.reshape(dims))
+
+    initializers = {}
+    for t in g["initializers"]:
+        tensor = tensor_from_index(t)
+        if tensor is None:
+            return None  # inconsistent payload: full-Python fallback
+        initializers[t["name"]] = tensor
 
     nodes = []
     for nd in g["nodes"]:
@@ -100,7 +115,12 @@ def load_model_native(path: str | Path | bytes) -> Optional[OnnxModel]:
             atype = AttrType(a.get("type", 0)) if a.get("type", 0) in set(
                 int(x) for x in AttrType
             ) else AttrType.UNDEFINED
-            if "ints" in a:
+            if "t" in a:
+                value = tensor_from_index(a["t"])
+                atype = AttrType.TENSOR
+                if value is None:
+                    return None  # malformed tensor attr: Python fallback
+            elif "ints" in a:
                 value = a["ints"]
                 atype = AttrType.INTS
             elif "floats" in a:

@@ -1,0 +1,299 @@
+"""Reconstruction of a REAL-shaped Piper export for loader compatibility
+tests — deliberately encoded by an INDEPENDENT protobuf writer.
+
+piper_tpu's own onnx/writer.py shares idioms with onnx/wire.py, so a
+round-trip through it proves writer<->reader consistency, not compatibility
+with real torch exports. This module encodes the wire bytes from scratch
+(bytearray + struct, no piper_tpu imports on the encode path) and produces a
+checkpoint matching tests/fixtures/real_voice_fingerprint.json:
+
+- exactly 2755 nodes / 401 initializers, opset 15, the real I/O signature,
+  first node Gather, `sid` present (ONNXParsingTests.swift:21-37);
+- tensor payloads spread across raw_data, float_data (packed non-raw),
+  int32_data and int64_data (signed varints);
+- ConvTranspose nodes carrying output_padding (real HiFi-GAN exports do);
+- 89 module parameters emitted as Constant NODES instead of initializers
+  (torch constant folding does this; 489 float params + sid - 89 = 401);
+- doc_string / producer / model_version / metadata_props / value_info
+  fields the loader must skip or tolerate.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+# --- minimal independent protobuf encoder ----------------------------------
+
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v &= (1 << 64) - 1  # two's-complement 64-bit, ONNX int convention
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _str_field(field: int, s: str) -> bytes:
+    return _len_field(field, s.encode("utf-8"))
+
+
+def _varint_field(field: int, v: int) -> bytes:
+    return _tag(field, 0) + _varint(v)
+
+
+def _packed_varints(field: int, vals: Sequence[int]) -> bytes:
+    payload = b"".join(_varint(v) for v in vals)
+    return _len_field(field, payload)
+
+
+def _packed_floats(field: int, vals: np.ndarray) -> bytes:
+    return _len_field(field, np.asarray(vals, "<f4").tobytes())
+
+
+# --- ONNX message builders --------------------------------------------------
+
+
+def tensor_proto(name: str, arr: np.ndarray, payload: str = "raw",
+                 doc: str = "") -> bytes:
+    """TensorProto bytes. payload: 'raw' | 'float_data' | 'int32_data' |
+    'int64_data'."""
+    out = bytearray()
+    if arr.shape:
+        out += _packed_varints(1, list(arr.shape))  # dims
+    dt = {"float32": 1, "int64": 7, "int32": 6}[str(arr.dtype)]
+    out += _varint_field(2, dt)  # data_type
+    out += _str_field(8, name)
+    if doc:
+        out += _str_field(12, doc)  # doc_string — loader must tolerate
+    flat = np.ascontiguousarray(arr).ravel()
+    if payload == "raw":
+        out += _len_field(9, flat.astype(
+            {"float32": "<f4", "int64": "<i8", "int32": "<i4"}[str(arr.dtype)]
+        ).tobytes())
+    elif payload == "float_data":
+        out += _packed_floats(4, flat)
+    elif payload == "int32_data":
+        out += _packed_varints(5, [int(v) for v in flat])
+    elif payload == "int64_data":
+        out += _packed_varints(7, [int(v) for v in flat])
+    else:
+        raise ValueError(payload)
+    return bytes(out)
+
+
+def attr_int(name: str, v: int) -> bytes:
+    return _str_field(1, name) + _varint_field(3, v) + _varint_field(20, 2)
+
+
+def attr_ints(name: str, vals: Sequence[int]) -> bytes:
+    return _str_field(1, name) + _packed_varints(8, list(vals)) + _varint_field(20, 7)
+
+
+def attr_tensor(name: str, t: bytes) -> bytes:
+    return _str_field(1, name) + _len_field(5, t) + _varint_field(20, 4)
+
+
+def node_proto(op: str, inputs: Sequence[str], outputs: Sequence[str],
+               attrs: Sequence[bytes] = (), name: str = "",
+               doc: str = "") -> bytes:
+    out = bytearray()
+    for i in inputs:
+        out += _str_field(1, i)
+    for o in outputs:
+        out += _str_field(2, o)
+    if name:
+        out += _str_field(3, name)
+    out += _str_field(4, op)
+    if doc:
+        out += _str_field(6, doc)
+    for a in attrs:
+        out += _len_field(5, a)
+    return bytes(out)
+
+
+def value_info(name: str, elem_type: int, shape: Sequence) -> bytes:
+    dims = bytearray()
+    for d in shape:
+        if isinstance(d, str):
+            dim = _str_field(2, d)  # dim_param
+        else:
+            dim = _varint_field(1, int(d))  # dim_value
+        dims += _len_field(1, dim)
+    tshape = _len_field(2, bytes(dims))
+    ttype = _varint_field(1, elem_type) + tshape
+    ty = _len_field(1, ttype)  # TypeProto.tensor_type
+    return _str_field(1, name) + _len_field(2, ty)
+
+
+# --- the reconstruction -----------------------------------------------------
+
+# Parameters a real export moves into Constant nodes (constant folding):
+# the 84 layer-norm gammas/betas plus 5 more — none consumed by
+# derive_hparams, all recovered by params_from_graph's Constant harvest.
+_EXTRA_CONSTANT_PARAMS = [
+    "dp.flows.0.m", "dp.flows.0.logs", "dp.proj.bias",
+    "dec.conv_post.bias", "enc_p.proj.bias",
+]
+
+FINGERPRINT_NODES = 2755
+FINGERPRINT_INITIALIZERS = 401
+
+
+def build_real_like_checkpoint(path, seed: int = 0) -> Dict[str, np.ndarray]:
+    """Write the reconstruction to `path`; returns the ground-truth float
+    weight dict (for array-equality checks against the parsed result)."""
+    from piper_tpu.models.vits.hparams import PRESETS
+    from piper_tpu.models.vits.synthetic import synthetic_params
+
+    hp = PRESETS["medium"]
+    weights = synthetic_params(hp, seed=seed)
+    constant_names = {k for k in weights if ".gamma" in k or ".beta" in k}
+    constant_names.update(_EXTRA_CONSTANT_PARAMS)
+    assert len(constant_names) == 89, len(constant_names)
+
+    nodes: List[bytes] = []
+    # 1. First node: the phoneme-embedding Gather (the reference pins this).
+    nodes.append(node_proto("Gather", ["enc_p.emb.weight", "input"],
+                            ["/enc_p/emb/Gather_output_0"],
+                            [attr_int("axis", 0)], name="/enc_p/emb/Gather",
+                            doc="phoneme embedding"))
+    # 2. Constant nodes carrying the folded parameters.
+    for k in sorted(constant_names):
+        nodes.append(node_proto(
+            "Constant", [], [k],
+            [attr_tensor("value", tensor_proto(k, weights[k], "float_data"))],
+            name=f"/Constant_{k}",
+        ))
+    # 3. Attribute-bearing compute nodes derive_hparams reads.
+    for i in range(hp.num_upsamples):
+        k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
+        pad = (k - u) // 2
+        nodes.append(node_proto(
+            "ConvTranspose",
+            [f"/dec/ups{i}_in", f"dec.ups.{i}.weight", f"dec.ups.{i}.bias"],
+            [f"/dec/ups{i}_out"],
+            [attr_ints("dilations", [1]), attr_int("group", 1),
+             attr_ints("kernel_shape", [k]),
+             attr_ints("output_padding", [0]),  # real exports carry this
+             attr_ints("pads", [pad, pad]), attr_ints("strides", [u])],
+            name=f"/dec/ups.{i}/ConvTranspose",
+        ))
+    nk = hp.num_resblock_kernels
+    for i in range(hp.num_upsamples):
+        for j in range(nk):
+            rb = f"dec.resblocks.{i * nk + j}"
+            kj = hp.resblock_kernel_sizes[j]
+            for m, d in enumerate(hp.resblock_dilation_sizes[j]):
+                for cv in ("convs1", "convs2"):
+                    dd = d if cv == "convs1" else 1
+                    nodes.append(node_proto(
+                        "Conv",
+                        [f"/{rb}/{cv}{m}_in", f"{rb}.{cv}.{m}.weight",
+                         f"{rb}.{cv}.{m}.bias"],
+                        [f"/{rb}/{cv}{m}_out"],
+                        [attr_ints("dilations", [dd]), attr_int("group", 1),
+                         attr_ints("kernel_shape", [kj]),
+                         attr_ints("pads", [(kj - 1) // 2 * dd] * 2),
+                         attr_ints("strides", [1])],
+                    ))
+    for i in range(hp.flow_n_flows):
+        rc = f"flow.flows.{2 * i}"
+        for j in range(hp.flow_n_layers):
+            d = hp.flow_dilation_rate ** j
+            nodes.append(node_proto(
+                "Conv",
+                [f"/{rc}/wn{j}_in", f"{rc}.enc.in_layers.{j}.weight",
+                 f"{rc}.enc.in_layers.{j}.bias"],
+                [f"/{rc}/wn{j}_out"],
+                [attr_ints("dilations", [d]), attr_int("group", 1),
+                 attr_ints("kernel_shape", [hp.flow_kernel_size]),
+                 attr_ints("pads", [(hp.flow_kernel_size - 1) // 2 * d] * 2),
+                 attr_ints("strides", [1])],
+            ))
+    # 4. Filler: the shape-inference / arithmetic chains a torch export is
+    # full of (the op mix GraphExecutor.swift:591-2663 dispatches), padding
+    # to exactly 2755 nodes.
+    filler_ops = ["Shape", "Gather", "Unsqueeze", "Concat", "Reshape", "Mul",
+                  "Add", "Cast", "Slice", "Where", "Squeeze", "Transpose",
+                  "Div", "Sub", "Exp", "ReduceSum", "CumSum", "Ceil"]
+    n_fill = FINGERPRINT_NODES - len(nodes)
+    assert n_fill > 0, len(nodes)
+    for idx in range(n_fill):
+        op = filler_ops[idx % len(filler_ops)]
+        attrs = []
+        if op == "Cast":
+            attrs = [attr_int("to", 7)]
+        elif op in ("Concat", "Gather"):
+            attrs = [attr_int("axis", 0)]
+        elif op == "Unsqueeze" and idx % 2:
+            attrs = [attr_ints("axes", [0])]
+        nodes.append(node_proto(op, [f"/fill_{idx}_in"], [f"/fill_{idx}_out"],
+                                attrs, name=f"/fill/{op}_{idx}"))
+    assert len(nodes) == FINGERPRINT_NODES
+
+    # Initializers: 400 float weights + sid, with payload encodings mixed
+    # the way real exports mix them.
+    init_names = sorted(k for k in weights if k not in constant_names)
+    assert len(init_names) == FINGERPRINT_INITIALIZERS - 1
+    inits: List[bytes] = []
+    for n_i, k in enumerate(init_names):
+        payload = "float_data" if (n_i % 7 == 3) else "raw"
+        inits.append(tensor_proto(k, weights[k], payload,
+                                  doc="exported parameter" if n_i == 0 else ""))
+    inits.append(tensor_proto("sid", np.asarray([0], np.int64), "int64_data"))
+    # One extra non-float graph constant exercising int32_data would push the
+    # count past the pinned 401, so instead the int32 path rides a Constant
+    # node (real exports widen int32 shape constants the same way).
+    nodes[-1] = node_proto(
+        "Constant", [], ["/fill_int32_const"],
+        [attr_tensor("value", tensor_proto(
+            "/fill_int32_const", np.asarray([1, 2, -3], np.int32),
+            "int32_data"))],
+    )
+
+    graph = bytearray()
+    for n_b in nodes:
+        graph += _len_field(1, n_b)
+    graph += _str_field(2, "torch_jit")  # graph name
+    for t in inits:
+        graph += _len_field(5, t)
+    graph += _str_field(10, "VITS inference graph")  # graph doc_string
+    graph += _len_field(11, value_info("input", 7, [1, "P"]))
+    graph += _len_field(11, value_info("input_lengths", 7, [1]))
+    graph += _len_field(11, value_info("scales", 1, [3]))
+    graph += _len_field(12, value_info("output", 1, [1, 1, 1, "T"]))
+    graph += _len_field(13, value_info("/enc_p/emb/Gather_output_0", 1,
+                                       [1, "P", 192]))  # value_info
+
+    model = bytearray()
+    model += _varint_field(1, 8)  # ir_version
+    model += _str_field(2, "pytorch")  # producer_name
+    model += _str_field(3, "1.13.1")   # producer_version
+    model += _str_field(4, "")         # domain
+    model += _varint_field(5, 1)       # model_version
+    model += _str_field(6, "Piper VITS export")  # doc_string
+    model += _len_field(7, bytes(graph))
+    model += _len_field(8, _str_field(1, "") + _varint_field(2, 15))  # opset
+    # metadata_props (field 14) — unknown to the loader, must be skipped.
+    model += _len_field(14, _str_field(1, "converted_by") + _str_field(2, "piper"))
+
+    with open(path, "wb") as f:
+        f.write(bytes(model))
+    return weights
