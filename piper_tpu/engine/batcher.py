@@ -82,7 +82,18 @@ class BatchingServer:
         so overload degrades by shedding at the door instead of unbounded
         queue latency for everyone. `deadline_ms` additionally sheds queued
         requests that waited longer than this before dispatch (their future
-        gets DeadlineExceeded). Both default off (None)."""
+        gets DeadlineExceeded). Both default off (None).
+
+        Program-grid discipline (fused mode): each fused group pads its
+        rows to one of exactly TWO rungs per phoneme bucket — a small rung
+        (sparse traffic) and the bucket's full group limit — with the frame
+        budget pinned to the phoneme bucket. XLA compiles cost 40-100 s on
+        the tunneled dev chip and the cross-process persistent cache misses
+        whenever the device assignment changes, so an unbounded
+        (rows x frames) grid turns real traffic into a compile storm
+        (measured: EVERY group of a mixed 200-request burst compiled,
+        0.5x aggregate; the same groups warm run at ~360x). Call
+        `prewarm()` after construction to compile the whole grid up front."""
         self.rt = runtime
         self.max_batch = max_batch
         self.max_rows = max_rows
@@ -185,6 +196,53 @@ class BatchingServer:
             return 1  # overflow requests fail individually
         return max(1, min(self.max_rows, self.phoneme_budget // bucket))
 
+    def _rungs(self, p_bucket: int):
+        """The two padded-row counts groups of this bucket may use (the
+        whole compiled-program grid is n_buckets x 2)."""
+        limit = self._group_limit(((), p_bucket))
+        small = min(8, limit)
+        ladder = getattr(self.rt, "batch_ladder", None)
+        if ladder:  # mesh runtimes: rungs must be dp-divisible
+            small = next((x for x in ladder if x >= small), ladder[-1])
+            limit = next((x for x in ladder if x >= limit), ladder[-1])
+        return (small, limit) if small < limit else (limit,)
+
+    def _pad_rows_for(self, p_bucket: int, group_size: int) -> int:
+        rungs = self._rungs(p_bucket)
+        return next((r for r in rungs if r >= group_size), rungs[-1])
+
+    def prewarm(self, p_buckets: Optional[Sequence[int]] = None,
+                scales: Sequence[tuple] = ((None, None, None),)) -> dict:
+        """Compile the server's whole fused program grid ahead of traffic:
+        for each phoneme bucket and each row rung, one dummy group through
+        the exact dispatch path real groups take. Returns
+        {"programs": n, "seconds": wall}. Only meaningful in fused mode
+        (split mode's decode bucket tracks real durations)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        if p_buckets is None:
+            p_buckets = [b for b in self.rt.options.phoneme_buckets
+                         if b <= 256]
+        n = 0
+        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = [i % self.rt.hparams.n_vocab for i in base]
+        for p_bucket in p_buckets:
+            ids = (base * (-(-p_bucket // len(base))))[:p_bucket]
+            for rung in self._rungs(p_bucket):
+                for ns, ls, nw in scales:
+                    if self.fused:
+                        outs, meta = self.rt.dispatch_batch(
+                            [ids], noise_scale=ns, length_scale=ls,
+                            noise_w=nw, fused=True, pad_rows_to=rung,
+                            budget_phonemes=p_bucket)
+                        self.rt.fetch_batch(outs, meta)
+                    else:
+                        self.rt.synthesize_batch([ids] * rung, noise_scale=ns,
+                                                 length_scale=ls, noise_w=nw)
+                    n += 1
+        return {"programs": n, "seconds": _time.perf_counter() - t0}
+
     def _take_group(self, block: bool) -> Optional[List[_Request]]:
         """Pop up to the key's group limit of same-key requests, oldest key
         first.
@@ -220,7 +278,10 @@ class BatchingServer:
                 m = self._metrics
                 m["groups"] += 1
                 m["rows"] += len(group)
-                if len(group) > 1:
+                if self.fused and isinstance(key[1], int):
+                    bp = self._pad_rows_for(key[1], len(group))
+                    m["padded_rows"] += bp - len(group)
+                elif len(group) > 1:
                     ladder = getattr(self.rt, "batch_ladder",
                                      self.rt.options.batch_buckets)
                     bp = next((x for x in ladder if x >= len(group)),
@@ -260,10 +321,23 @@ class BatchingServer:
             speaker_ids = None
             if any(r.speaker_id is not None for r in group):
                 speaker_ids = [r.speaker_id or 0 for r in group]
+            kwargs = {}
+            if self.fused:
+                # Pin the program grid: rows pad to one of two rungs, frame
+                # budget derives from the phoneme bucket (see class doc).
+                from piper_tpu.engine.bucketing import bucket_for
+
+                p_bucket = bucket_for(max(len(r.ids) for r in group),
+                                      self.rt.options.phoneme_buckets,
+                                      "phoneme")
+                kwargs = {
+                    "pad_rows_to": self._pad_rows_for(p_bucket, len(group)),
+                    "budget_phonemes": p_bucket,
+                }
             outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],
                 noise_scale=ns, length_scale=ls, noise_w=nw,
-                speaker_ids=speaker_ids, fused=self.fused,
+                speaker_ids=speaker_ids, fused=self.fused, **kwargs,
             )
             return group, outs, meta
         except Exception as e:  # noqa: BLE001 — per-request surfacing

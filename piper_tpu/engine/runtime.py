@@ -817,6 +817,8 @@ class PiperRuntime:
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
         fused: Optional[bool] = None,
+        pad_rows_to: Optional[int] = None,
+        budget_phonemes: Optional[int] = None,
     ):
         """Dispatch a batched synthesis without waiting for the audio.
 
@@ -862,6 +864,7 @@ class PiperRuntime:
             return self._dispatch_batch_fused(
                 ids_batch, noise_scale=noise_scale, length_scale=length_scale,
                 noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
+                pad_rows_to=pad_rows_to, budget_phonemes=budget_phonemes,
             )
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]  # padded row count (batch bucket)
@@ -892,12 +895,29 @@ class PiperRuntime:
 
     def _dispatch_batch_fused(
         self, ids_batch: List[List[int]], *, noise_scale, length_scale,
-        noise_w, speaker_ids, seed,
+        noise_w, speaker_ids, seed, pad_rows_to: Optional[int] = None,
+        budget_phonemes: Optional[int] = None,
     ):
         """Whole-group fused dispatch: one program, one later round trip.
-        See dispatch_batch(fused=True)."""
+        See dispatch_batch(fused=True).
+
+        `pad_rows_to` overrides the batch-bucket ladder with an exact padded
+        row count, and `budget_phonemes` derives the frame budget from a
+        FIXED phoneme count instead of the group's longest real row — both
+        exist so a serving layer can pin its compiled-program grid to a
+        handful of shapes (compiles cost 40-100 s on the tunneled dev chip
+        and the cross-process persistent cache misses whenever the device
+        assignment changes, so every extra shape is a risk of a
+        mid-traffic stall)."""
         b = len(ids_batch)
-        lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+        if pad_rows_to is not None:
+            if pad_rows_to < b:
+                raise ValueError(f"pad_rows_to {pad_rows_to} < group size {b}")
+            lengths, p_bucket, ids = self._validate_and_pad(
+                ids_batch + [ids_batch[0]] * (pad_rows_to - b),
+                pad_batch=False)
+        else:
+            lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sids = None
@@ -906,9 +926,19 @@ class PiperRuntime:
         sid = self._sid_array(sids, bp)
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
         # Budget from the longest REAL row (dummy rows copy row 0, so they
-        # cannot need more frames than it).
-        budget = max(32, int(lengths[:b].max())
-                     * self.options.fused_frames_per_phoneme)
+        # cannot need more frames than it) — or from the pinned phoneme
+        # count when the caller wants a stable program grid. Grid mode adds
+        # a 1.25x tail margin: a row of exactly budget_phonemes phonemes at
+        # a typical ~6.1 frames/phoneme would otherwise sit right at the
+        # budget and overflow (a blocking 2-round-trip redo) on every
+        # longer-than-average utterance.
+        if budget_phonemes is not None:
+            budget = max(32, int(budget_phonemes
+                                 * self.options.fused_frames_per_phoneme
+                                 * 1.25))
+        else:
+            budget = max(32, int(lengths[:b].max())
+                         * self.options.fused_frames_per_phoneme)
         try:
             f_bucket = bucket_for(budget, self.options.frame_buckets, "frame")
         except BucketOverflowError:

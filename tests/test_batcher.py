@@ -65,6 +65,7 @@ def test_length_bucketed_grouping(runtime):
     srv.phoneme_budget = 4 * 128
     srv.max_wait_s = 0.0
     srv.deadline_s = None
+    srv.fused = False
     srv._pending = 3
     srv._metrics = {"groups": 0, "rows": 0, "padded_rows": 0,
                     "wait_ms_sum": 0.0, "wait_ms_max": 0.0}
@@ -213,6 +214,51 @@ def test_batcher_uses_fused_dispatch(fused_runtime):
     assert all(len(a) > 0 for a in audios)
     m = server.metrics()
     assert m["completed"] == 6 and m["failed"] == 0
+
+
+def test_fused_grid_rungs(fused_runtime):
+    """Fused groups pad to exactly two rungs per bucket (small, limit)."""
+    srv = BatchingServer(fused_runtime, max_batch=8, max_wait_ms=1)
+    try:
+        assert srv._rungs(16) == (8, 64)  # budget 8*128/16=64
+        assert srv._rungs(128) == (8,)    # limit == 8 == small
+        assert srv._pad_rows_for(16, 3) == 8
+        assert srv._pad_rows_for(16, 9) == 64
+        assert srv._pad_rows_for(16, 200) == 64  # capped at the limit rung
+    finally:
+        srv.close()
+
+
+def test_prewarm_covers_grid(tiny_voice):
+    """After prewarm(), serving a mixed burst hits ONLY prewarmed programs
+    (no new compile keys — the whole point of the pinned grid)."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    rt = PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"))
+    with BatchingServer(rt, max_batch=8, max_wait_ms=20) as server:
+        stats = server.prewarm(p_buckets=[16, 32])
+        assert stats["programs"] >= 2
+        n_programs = len(rt._compiled_keys)
+        futs = [server.submit(FIXTURE_IDS) for _ in range(12)]
+        futs += [server.submit(FIXTURE_IDS * 2) for _ in range(3)]
+        for f in futs:
+            assert len(f.result(timeout=300)) > 0
+        assert len(rt._compiled_keys) == n_programs, (
+            "traffic compiled new programs beyond the prewarmed grid")
+
+
+def test_pad_rows_to_and_budget_phonemes(fused_runtime):
+    """Explicit grid controls: rows pad to the requested rung; the frame
+    bucket derives from the pinned phoneme count (+ tail margin)."""
+    rt = fused_runtime
+    outs, meta = rt.dispatch_batch([FIXTURE_IDS, FIXTURE_IDS[:6]],
+                                   fused=True, pad_rows_to=8,
+                                   budget_phonemes=16)
+    assert outs[0].shape[0] == 8  # padded rows
+    audios = rt.fetch_batch(outs, meta)
+    assert len(audios) == 2 and all(len(a) > 0 for a in audios)
+    with pytest.raises(ValueError):
+        rt.dispatch_batch([FIXTURE_IDS] * 4, fused=True, pad_rows_to=2)
 
 
 # -- admission control ------------------------------------------------------

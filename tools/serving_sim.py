@@ -75,12 +75,6 @@ def main(argv=None):
     weights = np.asarray([w for _, w in LENGTH_MIX])
     weights = weights / weights.sum()
 
-    # Warm every bucket the mix can hit (and the batch programs) outside the
-    # measured window, mirroring a prewarmed production deployment.
-    for f in factors:
-        rt.synthesize((FIXTURE_IDS * f)[:4096])
-    rt.synthesize_batch([(FIXTURE_IDS * max(factors))[:4096]] * min(4, args.max_batch))
-
     def run_traffic(server, duration, rng):
         recs = []
         shed = {"overload": 0, "deadline": 0}
@@ -123,13 +117,22 @@ def main(argv=None):
                         max_wait_ms=args.max_wait_ms,
                         max_pending=args.max_pending,
                         deadline_ms=args.deadline_ms) as server:
-        # Warmup pass: the same traffic shape, results discarded — group
-        # sizes and mixed-length bucket combinations compile here (even with
-        # the runtime's batch-axis bucketing, the first pass over a traffic
-        # mix touches new (size, bucket) programs), so the measured pass is
-        # steady-state, as a prewarmed deployment would be.
-        server.submit(FIXTURE_IDS).result(timeout=600)
-        run_traffic(server, min(args.duration, 15.0),
+        # Prewarm the server's ENTIRE fused program grid deterministically
+        # (2 rungs x each phoneme bucket of the mix) — traffic-shaped warmup
+        # is not enough: any (rows, frames) shape first seen mid-traffic is
+        # a 40-100 s XLA compile stalling the serve loop.
+        from piper_tpu.engine.bucketing import bucket_for
+
+        p_buckets = sorted({
+            bucket_for(len((FIXTURE_IDS * f)[:4096]),
+                       rt.options.phoneme_buckets, "phoneme")
+            for f in factors})
+        warm = server.prewarm(p_buckets=p_buckets)
+        print(f"[serving_sim] prewarmed {warm['programs']} grid programs in "
+              f"{warm['seconds']:.0f}s", file=sys.stderr)
+        # Short warmup traffic pass (steady-state queues, executable
+        # instances loaded), then the measured pass.
+        run_traffic(server, min(args.duration, 10.0),
                     np.random.default_rng(args.seed + 1))
 
         results, audio_s, wall, shed = run_traffic(
