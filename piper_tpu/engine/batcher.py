@@ -100,6 +100,7 @@ class BatchingServer:
         self.fused = (runtime.options.mode == "fused") if fused is None else fused
         self.max_pending = max_pending
         self.deadline_s = deadline_ms / 1e3 if deadline_ms is not None else None
+        self._fpp: Optional[float] = None  # calibrated frames/phoneme
         self._pending = 0
         self._metrics = {
             "submitted": 0, "completed": 0, "failed": 0,
@@ -197,30 +198,57 @@ class BatchingServer:
         return max(1, min(self.max_rows, self.phoneme_budget // bucket))
 
     def _rungs(self, p_bucket: int):
-        """The two padded-row counts groups of this bucket may use (the
-        whole compiled-program grid is n_buckets x 2)."""
+        """The padded-row counts groups of this bucket may use: a small
+        rung (sparse traffic), a mid rung, and the bucket's full group
+        limit — the whole compiled-program grid is n_buckets x <=3."""
         limit = self._group_limit(((), p_bucket))
-        small = min(8, limit)
+        cand = sorted({min(8, limit), max(1, limit // 4), limit})
         ladder = getattr(self.rt, "batch_ladder", None)
         if ladder:  # mesh runtimes: rungs must be dp-divisible
-            small = next((x for x in ladder if x >= small), ladder[-1])
-            limit = next((x for x in ladder if x >= limit), ladder[-1])
-        return (small, limit) if small < limit else (limit,)
+            cand = sorted({next((x for x in ladder if x >= c), ladder[-1])
+                           for c in cand})
+        return tuple(cand)
 
     def _pad_rows_for(self, p_bucket: int, group_size: int) -> int:
         rungs = self._rungs(p_bucket)
         return next((r for r in rungs if r >= group_size), rungs[-1])
 
+    def _budget_frames(self, p_bucket: int) -> int:
+        """Frame budget for this bucket's grid programs: calibrated
+        frames-per-phoneme x bucket, or the runtime's heuristic (+25% tail
+        margin: a full-length row at the typical ratio would otherwise sit
+        right at the budget and overflow on every longer-than-average
+        utterance)."""
+        fpp = self._fpp or self.rt.options.fused_frames_per_phoneme
+        return max(32, int(p_bucket * fpp * 1.25))
+
+    def calibrate(self, sample_phonemes: int = 64) -> float:
+        """Measure this voice's frames-per-phoneme from one synthesis and
+        pin the grid's frame budgets to it. Real voices run ~6 frames per
+        phoneme, synthetic ones ~1.4 — a fixed heuristic either overflows
+        (redo storms) or wastes multiples of decode compute."""
+        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = [i % self.rt.hparams.n_vocab for i in base]
+        ids = (base * (-(-sample_phonemes // len(base))))[:sample_phonemes]
+        audio = self.rt.synthesize(ids)
+        frames = len(audio) / self.rt.hparams.hop_length
+        self._fpp = max(0.5, frames / len(ids))
+        return self._fpp
+
     def prewarm(self, p_buckets: Optional[Sequence[int]] = None,
-                scales: Sequence[tuple] = ((None, None, None),)) -> dict:
+                scales: Sequence[tuple] = ((None, None, None),),
+                calibrate: bool = True) -> dict:
         """Compile the server's whole fused program grid ahead of traffic:
-        for each phoneme bucket and each row rung, one dummy group through
-        the exact dispatch path real groups take. Returns
-        {"programs": n, "seconds": wall}. Only meaningful in fused mode
-        (split mode's decode bucket tracks real durations)."""
+        calibrate the voice's frames-per-phoneme, then run one dummy group
+        through the exact dispatch path for each (phoneme bucket, row rung).
+        Returns {"programs": n, "seconds": wall, "frames_per_phoneme": fpp}.
+        Only meaningful in fused mode (split mode's decode bucket tracks
+        real durations)."""
         import time as _time
 
         t0 = _time.perf_counter()
+        if calibrate and self._fpp is None:
+            self.calibrate()
         if p_buckets is None:
             p_buckets = [b for b in self.rt.options.phoneme_buckets
                          if b <= 256]
@@ -235,13 +263,14 @@ class BatchingServer:
                         outs, meta = self.rt.dispatch_batch(
                             [ids], noise_scale=ns, length_scale=ls,
                             noise_w=nw, fused=True, pad_rows_to=rung,
-                            budget_phonemes=p_bucket)
+                            budget_frames=self._budget_frames(p_bucket))
                         self.rt.fetch_batch(outs, meta)
                     else:
                         self.rt.synthesize_batch([ids] * rung, noise_scale=ns,
                                                  length_scale=ls, noise_w=nw)
                     n += 1
-        return {"programs": n, "seconds": _time.perf_counter() - t0}
+        return {"programs": n, "seconds": _time.perf_counter() - t0,
+                "frames_per_phoneme": self._fpp}
 
     def _take_group(self, block: bool) -> Optional[List[_Request]]:
         """Pop up to the key's group limit of same-key requests, oldest key
@@ -332,7 +361,7 @@ class BatchingServer:
                                       "phoneme")
                 kwargs = {
                     "pad_rows_to": self._pad_rows_for(p_bucket, len(group)),
-                    "budget_phonemes": p_bucket,
+                    "budget_frames": self._budget_frames(p_bucket),
                 }
             outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],

@@ -818,7 +818,7 @@ class PiperRuntime:
         seed: Optional[int] = None,
         fused: Optional[bool] = None,
         pad_rows_to: Optional[int] = None,
-        budget_phonemes: Optional[int] = None,
+        budget_frames: Optional[int] = None,
     ):
         """Dispatch a batched synthesis without waiting for the audio.
 
@@ -864,7 +864,7 @@ class PiperRuntime:
             return self._dispatch_batch_fused(
                 ids_batch, noise_scale=noise_scale, length_scale=length_scale,
                 noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
-                pad_rows_to=pad_rows_to, budget_phonemes=budget_phonemes,
+                pad_rows_to=pad_rows_to, budget_frames=budget_frames,
             )
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]  # padded row count (batch bucket)
@@ -896,19 +896,22 @@ class PiperRuntime:
     def _dispatch_batch_fused(
         self, ids_batch: List[List[int]], *, noise_scale, length_scale,
         noise_w, speaker_ids, seed, pad_rows_to: Optional[int] = None,
-        budget_phonemes: Optional[int] = None,
+        budget_frames: Optional[int] = None,
     ):
         """Whole-group fused dispatch: one program, one later round trip.
         See dispatch_batch(fused=True).
 
         `pad_rows_to` overrides the batch-bucket ladder with an exact padded
-        row count, and `budget_phonemes` derives the frame budget from a
-        FIXED phoneme count instead of the group's longest real row — both
+        row count, and `budget_frames` pins the frame budget directly
+        (instead of deriving it from the group's longest real row) — both
         exist so a serving layer can pin its compiled-program grid to a
         handful of shapes (compiles cost 40-100 s on the tunneled dev chip
         and the cross-process persistent cache misses whenever the device
         assignment changes, so every extra shape is a risk of a
-        mid-traffic stall)."""
+        mid-traffic stall). The serving layer calibrates budget_frames per
+        voice (frames-per-phoneme varies: ~6 on real voices, ~1.4 on the
+        synthetic ones — a fixed heuristic wastes multiples of decode
+        compute on the wrong voice)."""
         b = len(ids_batch)
         if pad_rows_to is not None:
             if pad_rows_to < b:
@@ -926,16 +929,10 @@ class PiperRuntime:
         sid = self._sid_array(sids, bp)
         seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
         # Budget from the longest REAL row (dummy rows copy row 0, so they
-        # cannot need more frames than it) — or from the pinned phoneme
-        # count when the caller wants a stable program grid. Grid mode adds
-        # a 1.25x tail margin: a row of exactly budget_phonemes phonemes at
-        # a typical ~6.1 frames/phoneme would otherwise sit right at the
-        # budget and overflow (a blocking 2-round-trip redo) on every
-        # longer-than-average utterance.
-        if budget_phonemes is not None:
-            budget = max(32, int(budget_phonemes
-                                 * self.options.fused_frames_per_phoneme
-                                 * 1.25))
+        # cannot need more frames than it) — or pinned by the caller for a
+        # stable program grid.
+        if budget_frames is not None:
+            budget = max(32, int(budget_frames))
         else:
             budget = max(32, int(lengths[:b].max())
                          * self.options.fused_frames_per_phoneme)

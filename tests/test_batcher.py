@@ -217,13 +217,13 @@ def test_batcher_uses_fused_dispatch(fused_runtime):
 
 
 def test_fused_grid_rungs(fused_runtime):
-    """Fused groups pad to exactly two rungs per bucket (small, limit)."""
+    """Fused groups pad to a tiny rung set per bucket (small/mid/limit)."""
     srv = BatchingServer(fused_runtime, max_batch=8, max_wait_ms=1)
     try:
-        assert srv._rungs(16) == (8, 64)  # budget 8*128/16=64
-        assert srv._rungs(128) == (8,)    # limit == 8 == small
+        assert srv._rungs(16) == (8, 16, 64)  # limit 8*128/16=64, mid 16
+        assert srv._rungs(128) == (2, 8)      # limit 8, mid 2
         assert srv._pad_rows_for(16, 3) == 8
-        assert srv._pad_rows_for(16, 9) == 64
+        assert srv._pad_rows_for(16, 9) == 16
         assert srv._pad_rows_for(16, 200) == 64  # capped at the limit rung
     finally:
         srv.close()
@@ -247,18 +247,28 @@ def test_prewarm_covers_grid(tiny_voice):
             "traffic compiled new programs beyond the prewarmed grid")
 
 
-def test_pad_rows_to_and_budget_phonemes(fused_runtime):
+def test_pad_rows_to_and_budget_frames(fused_runtime):
     """Explicit grid controls: rows pad to the requested rung; the frame
-    bucket derives from the pinned phoneme count (+ tail margin)."""
+    bucket derives from the pinned frame budget."""
     rt = fused_runtime
     outs, meta = rt.dispatch_batch([FIXTURE_IDS, FIXTURE_IDS[:6]],
                                    fused=True, pad_rows_to=8,
-                                   budget_phonemes=16)
+                                   budget_frames=48)
     assert outs[0].shape[0] == 8  # padded rows
     audios = rt.fetch_batch(outs, meta)
     assert len(audios) == 2 and all(len(a) > 0 for a in audios)
     with pytest.raises(ValueError):
         rt.dispatch_batch([FIXTURE_IDS] * 4, fused=True, pad_rows_to=2)
+
+
+def test_calibration_measures_fpp(fused_runtime):
+    srv = BatchingServer(fused_runtime, max_batch=8, max_wait_ms=1)
+    try:
+        fpp = srv.calibrate()
+        assert 0.5 <= fpp < 20.0
+        assert srv._budget_frames(16) >= 32
+    finally:
+        srv.close()
 
 
 # -- admission control ------------------------------------------------------

@@ -38,6 +38,11 @@ LENGTH_MIX = [(1, 0.45), (2, 0.25), (4, 0.15), (8, 0.10), (16, 0.05)]
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=60.0, help="requests/second")
+    ap.add_argument("--rates", default="",
+                    help="comma list of rates to sweep IN ONE PROCESS (one "
+                         "prewarm, one JSON line per rate) — compiles cost "
+                         "40-100 s each on the tunneled chip, so per-rate "
+                         "processes would re-pay the grid every time")
     ap.add_argument("--duration", type=float, default=30.0, help="seconds of traffic")
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
@@ -75,7 +80,7 @@ def main(argv=None):
     weights = np.asarray([w for _, w in LENGTH_MIX])
     weights = weights / weights.sum()
 
-    def run_traffic(server, duration, rng):
+    def run_traffic(server, duration, rng, rate):
         recs = []
         shed = {"overload": 0, "deadline": 0}
         t_start = time.perf_counter()
@@ -94,13 +99,13 @@ def main(argv=None):
                 fut = server.submit(ids, noise_scale=None)
             except ServerOverloaded:
                 shed["overload"] += 1
-                next_at += rng.exponential(1.0 / args.rate)
+                next_at += rng.exponential(1.0 / rate)
                 continue
             done_at = {}
             fut.add_done_callback(lambda fu, d=done_at: d.setdefault(
                 "t", time.perf_counter()))
             recs.append((t_submit, f, fut, done_at))
-            next_at += rng.exponential(1.0 / args.rate)
+            next_at += rng.exponential(1.0 / rate)
         out = []
         audio_s = 0.0
         for t_submit, f, fut, done_at in recs:
@@ -129,23 +134,30 @@ def main(argv=None):
             for f in factors})
         warm = server.prewarm(p_buckets=p_buckets)
         print(f"[serving_sim] prewarmed {warm['programs']} grid programs in "
-              f"{warm['seconds']:.0f}s", file=sys.stderr)
+              f"{warm['seconds']:.0f}s (fpp {warm['frames_per_phoneme']:.2f})",
+              file=sys.stderr)
+        rates = ([float(r) for r in args.rates.split(",")] if args.rates
+                 else [args.rate])
         # Short warmup traffic pass (steady-state queues, executable
-        # instances loaded), then the measured pass.
+        # instances loaded), then one measured pass per rate.
         run_traffic(server, min(args.duration, 10.0),
-                    np.random.default_rng(args.seed + 1))
+                    np.random.default_rng(args.seed + 1), rates[0])
+        for rate in rates:
+            results, audio_s, wall, shed = run_traffic(
+                server, args.duration, np.random.default_rng(args.seed), rate)
+            server_metrics = server.metrics()
+            report(args, rate, results, audio_s, wall, shed, server_metrics,
+                   factors)
 
-        results, audio_s, wall, shed = run_traffic(
-            server, args.duration, np.random.default_rng(args.seed))
-        server_metrics = server.metrics()
 
+def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
     lats_ms = sorted(l * 1e3 for l, _ in results)
     if not lats_ms:
-        # Tiny --rate/--duration (or all requests failed) can leave the
+        # Tiny rate/--duration (or all requests failed) can leave the
         # measured window empty; report that instead of an IndexError.
         print(json.dumps({
             "metric": "serving_sim", "error": "no completed requests",
-            "rate_req_s": args.rate, "offered_duration_s": args.duration,
+            "rate_req_s": rate, "offered_duration_s": args.duration,
         }))
         return
 
@@ -158,13 +170,14 @@ def main(argv=None):
     print(json.dumps({
         "metric": "serving_sim",
         "platform": args.platform or "device-default",
-        "rate_req_s": args.rate,
+        "rate_req_s": rate,
         "offered_duration_s": args.duration,
         "requests": len(results),
         "length_mix_factors": factors,
         "latency_ms": {"p50": round(pct(50), 1), "p95": round(pct(95), 1),
                        "p99": round(pct(99), 1), "max": round(lats_ms[-1], 1)},
         "audio_s_total": round(audio_s, 1),
+        "offered_rtf": round(audio_s / args.duration, 1),
         "wall_s": round(wall, 2),
         "rtf_aggregate": round(audio_s / wall, 1),
         "max_batch": args.max_batch,
@@ -179,7 +192,7 @@ def main(argv=None):
             "shed_overload": server_metrics["shed_overload"],
             "shed_deadline": server_metrics["shed_deadline"],
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
