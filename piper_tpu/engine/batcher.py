@@ -257,18 +257,24 @@ class BatchingServer:
         base = [i % self.rt.hparams.n_vocab for i in base]
         for p_bucket in p_buckets:
             ids = (base * (-(-p_bucket // len(base))))[:p_bucket]
-            for rung in self._rungs(p_bucket):
-                for ns, ls, nw in scales:
-                    if self.fused:
-                        outs, meta = self.rt.dispatch_batch(
-                            [ids], noise_scale=ns, length_scale=ls,
-                            noise_w=nw, fused=True, pad_rows_to=rung,
-                            budget_frames=self._budget_frames(p_bucket))
-                        self.rt.fetch_batch(outs, meta)
-                    else:
-                        self.rt.synthesize_batch([ids] * rung, noise_scale=ns,
-                                                 length_scale=ls, noise_w=nw)
-                    n += 1
+            budgets = [(self._rungs(p_bucket), self._budget_frames(p_bucket)),
+                       # the overflow-redo program (tail rows, 2x budget)
+                       ((self._rungs(p_bucket)[0],),
+                        2 * self._budget_frames(p_bucket))]
+            for rungs, budget in budgets if self.fused else budgets[:1]:
+                for rung in rungs:
+                    for ns, ls, nw in scales:
+                        if self.fused:
+                            outs, meta = self.rt.dispatch_batch(
+                                [ids], noise_scale=ns, length_scale=ls,
+                                noise_w=nw, fused=True, pad_rows_to=rung,
+                                budget_frames=budget)
+                            self.rt.fetch_batch(outs, meta)
+                        else:
+                            self.rt.synthesize_batch(
+                                [ids] * rung, noise_scale=ns,
+                                length_scale=ls, noise_w=nw)
+                        n += 1
         return {"programs": n, "seconds": _time.perf_counter() - t0,
                 "frames_per_phoneme": self._fpp}
 
@@ -362,6 +368,8 @@ class BatchingServer:
                 kwargs = {
                     "pad_rows_to": self._pad_rows_for(p_bucket, len(group)),
                     "budget_frames": self._budget_frames(p_bucket),
+                    "overflow_budget_frames": 2 * self._budget_frames(p_bucket),
+                    "overflow_pad_rows": self._rungs(p_bucket)[0],
                 }
             outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],

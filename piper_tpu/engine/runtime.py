@@ -819,6 +819,8 @@ class PiperRuntime:
         fused: Optional[bool] = None,
         pad_rows_to: Optional[int] = None,
         budget_frames: Optional[int] = None,
+        overflow_budget_frames: Optional[int] = None,
+        overflow_pad_rows: Optional[int] = None,
     ):
         """Dispatch a batched synthesis without waiting for the audio.
 
@@ -865,6 +867,8 @@ class PiperRuntime:
                 ids_batch, noise_scale=noise_scale, length_scale=length_scale,
                 noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
                 pad_rows_to=pad_rows_to, budget_frames=budget_frames,
+                overflow_budget_frames=overflow_budget_frames,
+                overflow_pad_rows=overflow_pad_rows,
             )
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]  # padded row count (batch bucket)
@@ -897,6 +901,8 @@ class PiperRuntime:
         self, ids_batch: List[List[int]], *, noise_scale, length_scale,
         noise_w, speaker_ids, seed, pad_rows_to: Optional[int] = None,
         budget_frames: Optional[int] = None,
+        overflow_budget_frames: Optional[int] = None,
+        overflow_pad_rows: Optional[int] = None,
     ):
         """Whole-group fused dispatch: one program, one later round trip.
         See dispatch_batch(fused=True).
@@ -954,6 +960,13 @@ class PiperRuntime:
             "ids_batch": ids_batch, "scales": (ns, ls, nw),
             "speaker_ids": list(speaker_ids) if speaker_ids is not None else None,
             "seed": seed,
+            # Grid-serving redo escape hatch: rows that overflow the budget
+            # are redone through ANOTHER (prewarmed) fused program at this
+            # larger budget instead of the blocking split path — a split
+            # redo compiles new (rows, frames) programs mid-traffic
+            # (measured: one tail row = a 60 s serve-loop stall).
+            "overflow_budget_frames": overflow_budget_frames,
+            "overflow_pad_rows": overflow_pad_rows,
         }
         return outs, meta
 
@@ -975,12 +988,25 @@ class PiperRuntime:
         if overflow:
             ns, ls, nw = meta["scales"]
             sids = meta["speaker_ids"]
-            redone = self.synthesize_batch(
-                [meta["ids_batch"][i] for i in overflow],
-                noise_scale=ns, length_scale=ls, noise_w=nw,
-                speaker_ids=[sids[i] for i in overflow] if sids is not None else None,
-                seed=meta["seed"],
-            )
+            o_sids = [sids[i] for i in overflow] if sids is not None else None
+            o_ids = [meta["ids_batch"][i] for i in overflow]
+            ob = meta.get("overflow_budget_frames")
+            o_rows = meta.get("overflow_pad_rows")
+            if ob and o_rows and len(overflow) <= o_rows:
+                # Prewarmed taller grid program; if a row overflows even
+                # this budget, the inner fetch (no redo keys) falls back to
+                # the exact split path.
+                outs2, meta2 = self._dispatch_batch_fused(
+                    o_ids, noise_scale=ns, length_scale=ls, noise_w=nw,
+                    speaker_ids=o_sids, seed=meta["seed"],
+                    pad_rows_to=o_rows, budget_frames=ob,
+                )
+                redone = self._fetch_batch_fused(outs2, meta2)
+            else:
+                redone = self.synthesize_batch(
+                    o_ids, noise_scale=ns, length_scale=ls, noise_w=nw,
+                    speaker_ids=o_sids, seed=meta["seed"],
+                )
             for k, i in enumerate(overflow):
                 out[i] = redone[k]
         return out

@@ -261,6 +261,26 @@ def test_pad_rows_to_and_budget_frames(fused_runtime):
         rt.dispatch_batch([FIXTURE_IDS] * 4, fused=True, pad_rows_to=2)
 
 
+def test_overflow_redo_stays_on_fused_grid(tiny_voice):
+    """Rows overflowing the pinned budget are redone via the taller fused
+    grid program, NOT the split path (which would compile new programs
+    mid-traffic)."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    rt = PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"))
+    # budget_frames=32 is too small for this voice's 28-id utterance
+    # (~2 frames/phoneme on the test voice x 28 > 32), so the row
+    # overflows; 256 is plenty for the redo.
+    outs, meta = rt.dispatch_batch(
+        [FIXTURE_IDS * 2], fused=True, pad_rows_to=4, budget_frames=32,
+        overflow_budget_frames=256, overflow_pad_rows=4)
+    audios = rt.fetch_batch(outs, meta)
+    assert len(audios) == 1 and len(audios[0]) > 32 * rt.hparams.hop_length
+    # Only fused programs were compiled — no split enc/dec keys.
+    kinds = {k for (k, _) in rt._compiled_keys}
+    assert kinds == {"fused"}, kinds
+
+
 def test_calibration_measures_fpp(fused_runtime):
     srv = BatchingServer(fused_runtime, max_batch=8, max_wait_ms=1)
     try:
