@@ -99,9 +99,15 @@ class RuntimeOptions:
     # continuous batcher whose group sizes vary request-to-request reuses a
     # bounded set of compiled programs instead of compiling one per distinct
     # group size (20-40 s each on TPU — a compile storm under real traffic).
-    # Powers of two: each extra rung multiplies the (batch x phoneme-bucket
-    # x frame-bucket) program grid a serving deployment must warm.
-    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128)
+    # Powers of two up to 32, then measured mid rungs: the padding-tax
+    # measurement (tools/padding_tax.py, docs/BENCH.md) found <=8% dummy-row
+    # waste below 32 rows (fixed per-group overhead dominates) but 16-26%
+    # for 33-48-row groups padded to 64, so 48 and 96 break the widest gaps.
+    # Each extra rung multiplies the (batch x phoneme-bucket x frame-bucket)
+    # program grid a serving deployment must warm; BatchingServer therefore
+    # pins its own <=3-rung serving grid (engine/batcher.py::_rungs) rather
+    # than prewarming this full ladder.
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 48, 64, 96, 128)
     # PCM sample format the synthesis programs EMIT. "int16" converts on
     # device (clip*32767, the exact float_to_int16 semantics) so the
     # device->host fetch moves half the bytes — the wire/WAV format is 16-bit
