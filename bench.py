@@ -267,7 +267,10 @@ def main(argv=None):
     streaming_row = None
     if not args.quick:
         ids_long = (FIXTURE_IDS * 16)[:4096]
-        next(iter(rt.synthesize_stream(ids_long, incremental=True)))  # warm
+        # Warm the FULL stream: the growing window schedule compiles one
+        # program per distinct window size, not just the first.
+        for _ in rt.synthesize_stream(ids_long, incremental=True):
+            pass
         ttfbs, totals = [], []
         for i in range(max(3, args.iters // 2)):
             t0 = time.perf_counter()

@@ -614,6 +614,7 @@ class PiperRuntime:
         main_noise: Optional[np.ndarray] = None,
         total_frames: Optional[int] = None,
         halo_frames: Optional[int] = None,
+        chunk_schedule: Optional[Sequence[int]] = None,
     ) -> Iterator[AudioChunk]:
         """Windowed incremental decode (see synthesize_stream).
 
@@ -621,6 +622,14 @@ class PiperRuntime:
         stack's receptive field on each side; the emitted region is then
         exact (up to fp reduction order) vs a full decode. `main_noise`
         injects the full-length prior noise for bit-reproducible tests.
+
+        The halo is paid per window (47 frames/side on the medium stack), so
+        small windows overcompute ~4x while large ones delay first audio. By
+        default the window GROWS: `chunk_schedule` windows of emitted frames
+        (last entry repeats) — small first window for TTFB, wide steady-state
+        windows for sustained throughput. Passing `chunk_frames` pins a fixed
+        size (exactness tests); each distinct window size is its own compiled
+        program, so schedules should stay short and stable.
         """
         from piper_tpu.models.vits.hparams import receptive_field_frames
 
@@ -658,17 +667,35 @@ class PiperRuntime:
         total = int(total_frames) if total_frames is not None else y_len
 
         halo = receptive_field_frames(hp) if halo_frames is None else int(halo_frames)
-        c = chunk_frames or max(32, chunk_size // hp.hop_length)
-        window = c + 2 * halo
+        c0 = chunk_frames or max(32, chunk_size // hp.hop_length)
+        if chunk_schedule is not None:
+            sched = [max(1, int(v)) for v in chunk_schedule]
+        elif chunk_frames is not None:
+            sched = [c0]  # explicit fixed size: exactness-test contract
+        else:
+            # Growing default: first window keeps TTFB at ~one small decode;
+            # doubling to 8x amortizes the 2*halo overhang (the measured
+            # knee — beyond ~8x the single-row decode stops scaling).
+            sched = [c0, 2 * c0, 4 * c0, 8 * c0]
         hop = hp.hop_length
         fmt = self.audio_format
         emitted = 0
-        n_chunks = -(-y_len // c)
+        # (start_frame, emitted_frames) per window; the last schedule entry
+        # repeats for the steady state.
+        plan = []
+        pos = 0
+        while pos < y_len:
+            c_k = sched[min(len(plan), len(sched) - 1)]
+            plan.append((pos, c_k))
+            pos += c_k
+        n_chunks = len(plan)
 
         def dispatch(k):
             """Enqueue window k's decode (JAX dispatch is non-blocking);
             the device array is fetched later."""
-            t_offset = k * c - halo
+            start_k, c_k = plan[k]
+            window = c_k + 2 * halo
+            t_offset = start_k - halo
             if main_noise is not None:
                 full = np.asarray(main_noise, np.float32).reshape(
                     1, hp.inter_channels, -1)
@@ -698,8 +725,9 @@ class PiperRuntime:
             nxt = dispatch(k + 1) if k + 1 < n_chunks else None
             audio_win = self._as_output(jax.device_get(pending))[0]
             pending = nxt
+            c_k = plan[k][1]
             start = halo * hop
-            end = start + c * hop
+            end = start + c_k * hop
             samples = audio_win[start:end]
             remaining = y_len * hop - emitted
             if len(samples) > remaining:

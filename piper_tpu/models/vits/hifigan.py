@@ -173,35 +173,73 @@ def hifigan_generator(
                 use_pallas and not use_resblock2 and ch_here < 128
                 and (m is None or bounds is not None)
             )
-            acc = None
-            for j in range(num_kernels):
-                rb = p.sub(f"resblocks.{i * num_kernels + j}")
-                kernel = hp.resblock_kernel_sizes[j]
-                dils = hp.resblock_dilation_sizes[j]
-                if fuse_branch:
-                    from piper_tpu.ops.pallas.resblock import pallas_resblock1_branch
+            # Whole-MRF fusion: every branch AND the mean in one kernel —
+            # the level activation crosses HBM twice instead of ~7 times.
+            # Measured on the dev chip (docs/BENCH.md round-3 MRF table):
+            # wins ~9% only at the LAST level (ch=32, longest sequences,
+            # deepest into the bandwidth roofline); at ch=64 the redone
+            # margin compute of the narrow branches outweighs the saved
+            # traffic, so those levels keep per-branch kernels.
+            # PIPER_TPU_FUSE_MRF=1 forces it everywhere, =0 disables.
+            # Per-branch kernels also remain for the tracing/bisection
+            # path, which needs each branch's intermediate recorded.
+            from piper_tpu.utils.debug_trace import tracing
+            from piper_tpu.utils.env import flag
 
+            _mrf_flag = flag("PIPER_TPU_FUSE_MRF")
+            fuse_mrf = ch_here <= 32 if _mrf_flag == "" else _mrf_flag == "1"
+            if fuse_branch and fuse_mrf and not tracing():
+                from piper_tpu.ops.pallas.resblock import pallas_resblock1_mrf
+
+                branches = []
+                for j in range(num_kernels):
+                    rb = p.sub(f"resblocks.{i * num_kernels + j}")
+                    dils = hp.resblock_dilation_sizes[j]
                     n_d = len(dils)
-                    w1 = jnp.stack([rb[f"convs1.{mm}.weight"] for mm in range(n_d)])
-                    b1 = jnp.stack([rb[f"convs1.{mm}.bias"] for mm in range(n_d)])
-                    w2 = jnp.stack([rb[f"convs2.{mm}.weight"] for mm in range(n_d)])
-                    b2 = jnp.stack([rb[f"convs2.{mm}.bias"] for mm in range(n_d)])
-                    y = pallas_resblock1_branch(
-                        x, w1, b1, w2, b2, kernel=kernel, dilations=dils,
-                        bounds=bounds, slope=LRELU_SLOPE,
-                        precision=_pallas_precision(lp[i]),
-                    )
-                else:
-                    y = (
-                        _resblock2(x, rb, kernel, dils, t_mask=m,
-                                   use_pallas=use_pallas, precision=lp[i])
-                        if use_resblock2
-                        else _resblock1(x, rb, kernel, dils, t_mask=m,
-                                        use_pallas=use_pallas, precision=lp[i])
-                    )
-                trace_put(f"{prefix}.resblocks.{i * num_kernels + j}", y)
-                acc = y if acc is None else acc + y
-            x = acc / num_kernels
+                    branches.append((
+                        jnp.stack([rb[f"convs1.{mm}.weight"] for mm in range(n_d)]),
+                        jnp.stack([rb[f"convs1.{mm}.bias"] for mm in range(n_d)]),
+                        jnp.stack([rb[f"convs2.{mm}.weight"] for mm in range(n_d)]),
+                        jnp.stack([rb[f"convs2.{mm}.bias"] for mm in range(n_d)]),
+                        hp.resblock_kernel_sizes[j],
+                        dils,
+                    ))
+                x = pallas_resblock1_mrf(
+                    x, branches, bounds=bounds, slope=LRELU_SLOPE,
+                    precision=_pallas_precision(lp[i]),
+                )
+            else:
+                acc = None
+                for j in range(num_kernels):
+                    rb = p.sub(f"resblocks.{i * num_kernels + j}")
+                    kernel = hp.resblock_kernel_sizes[j]
+                    dils = hp.resblock_dilation_sizes[j]
+                    if fuse_branch:
+                        from piper_tpu.ops.pallas.resblock import (
+                            pallas_resblock1_branch,
+                        )
+
+                        n_d = len(dils)
+                        w1 = jnp.stack([rb[f"convs1.{mm}.weight"] for mm in range(n_d)])
+                        b1 = jnp.stack([rb[f"convs1.{mm}.bias"] for mm in range(n_d)])
+                        w2 = jnp.stack([rb[f"convs2.{mm}.weight"] for mm in range(n_d)])
+                        b2 = jnp.stack([rb[f"convs2.{mm}.bias"] for mm in range(n_d)])
+                        y = pallas_resblock1_branch(
+                            x, w1, b1, w2, b2, kernel=kernel, dilations=dils,
+                            bounds=bounds, slope=LRELU_SLOPE,
+                            precision=_pallas_precision(lp[i]),
+                        )
+                    else:
+                        y = (
+                            _resblock2(x, rb, kernel, dils, t_mask=m,
+                                       use_pallas=use_pallas, precision=lp[i])
+                            if use_resblock2
+                            else _resblock1(x, rb, kernel, dils, t_mask=m,
+                                            use_pallas=use_pallas, precision=lp[i])
+                        )
+                    trace_put(f"{prefix}.resblocks.{i * num_kernels + j}", y)
+                    acc = y if acc is None else acc + y
+                x = acc / num_kernels
 
     with _prec_ctx(lp[-1]):
         x = leaky_relu(masked(x, m))  # final activation: torch default slope 0.01

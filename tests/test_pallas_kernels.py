@@ -223,3 +223,91 @@ def test_decode_window_pallas_matches_unfused(monkeypatch):
         window=window, total_frames=jnp.int32(total), use_pallas=True,
     )
     np.testing.assert_allclose(np.asarray(fused0), np.asarray(plain0), atol=1e-5)
+
+
+def _torch_mrf(x, branches, bounds, n):
+    """Torch reference for the whole MRF stage (mean of ResBlock1 branches)
+    with the kernel's exact-length masking semantics."""
+    with torch.no_grad():
+        mask = torch.ones((x.shape[0], 1, n))
+        if bounds is not None:
+            b = np.asarray(bounds)
+            if b.ndim == 1:
+                b = np.stack([np.zeros_like(b), b], axis=1)
+            for bi, (lo, hi) in enumerate(b):
+                mask[bi, 0, :lo] = 0
+                mask[bi, 0, hi:] = 0
+        acc = None
+        for (w1, b1, w2, b2, k, dils) in branches:
+            y = torch.from_numpy(x)
+            for mi, d in enumerate(dils):
+                t1 = F.leaky_relu(y, 0.1) * mask
+                t1 = F.conv1d(t1, torch.from_numpy(w1[mi]),
+                              torch.from_numpy(b1[mi]),
+                              padding=(k - 1) // 2 * d, dilation=d)
+                t2 = F.leaky_relu(t1, 0.1) * mask
+                t2 = F.conv1d(t2, torch.from_numpy(w2[mi]),
+                              torch.from_numpy(b2[mi]),
+                              padding=(k - 1) // 2)
+                y = y + t2
+            acc = y if acc is None else acc + y
+        return (acc / len(branches) * mask).numpy()
+
+
+@pytest.mark.parametrize("bnd", [None, [700, 1000], [[37, 401], [0, 1000]]])
+def test_fused_mrf_matches_torch(bnd):
+    """Whole-MRF kernel (3 branches, HiFi-GAN kernels 3/7/11, dilations
+    1/3/5, + mean) vs torch — the production vocoder stage shape."""
+    from piper_tpu.ops.pallas.resblock import pallas_resblock1_mrf
+
+    rng = np.random.default_rng(7)
+    ch, n = 32, 1000
+    dils = (1, 3, 5)
+    m = len(dils)
+    x = rng.standard_normal((2, ch, n)).astype(np.float32) * 0.3
+    branches = []
+    for k in (3, 7, 11):
+        w1 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b1 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        w2 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b2 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        branches.append((w1, b1, w2, b2, k, dils))
+    bounds = None if bnd is None else np.asarray(bnd, np.int32)
+    got = pallas_resblock1_mrf(
+        jnp.asarray(x),
+        [(jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
+          k, d) for (w1, b1, w2, b2, k, d) in branches],
+        bounds=None if bounds is None else jnp.asarray(bounds),
+        tile=256, interpret=True,
+    )
+    want = _torch_mrf(x, branches, bounds, n)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_fused_mrf_matches_per_branch_kernels():
+    """MRF fusion must agree with the per-branch kernels + array mean it
+    replaces (same tile/bounds machinery, one shared window)."""
+    from piper_tpu.ops.pallas.resblock import pallas_resblock1_mrf
+
+    rng = np.random.default_rng(8)
+    ch, n = 16, 640
+    dils = (1, 3, 5)
+    m = len(dils)
+    x = rng.standard_normal((1, ch, n)).astype(np.float32) * 0.3
+    branches = []
+    for k in (3, 7, 11):
+        w1 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b1 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        w2 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b2 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        branches.append((jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2),
+                         jnp.asarray(b2), k, dils))
+    bounds = jnp.asarray(np.array([500], np.int32))
+    got = pallas_resblock1_mrf(jnp.asarray(x), branches, bounds=bounds,
+                               tile=128, interpret=True)
+    ys = [pallas_resblock1_branch(jnp.asarray(x), w1, b1, w2, b2, kernel=k,
+                                  dilations=d, bounds=bounds, tile=128,
+                                  interpret=True)
+          for (w1, b1, w2, b2, k, d) in branches]
+    want = sum(np.asarray(y) for y in ys) / len(ys)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)

@@ -100,3 +100,35 @@ def test_insufficient_halo_detectable(runtime):
             dp_noise=dp_noise, main_noise=main_noise, total_frames=fb)]
     )
     assert np.abs(streamed - full).max() > 1e-4
+
+
+def test_growing_schedule_matches_fixed(runtime):
+    """The default growing window schedule (small first window for TTFB,
+    doubling steady-state windows) must produce the same audio as a fixed
+    window size — same injected noise, different window plans."""
+    hp = runtime.hparams
+    rng = np.random.default_rng(14)
+    ids = FIXTURE_IDS * 4
+    dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
+    runtime.synthesize(ids, dp_noise=dp_noise)
+    fb = runtime.last_run_timings.frame_bucket
+    main_noise = rng.standard_normal((1, hp.inter_channels, fb)).astype(np.float32)
+    kw = dict(dp_noise=dp_noise, main_noise=main_noise, total_frames=fb)
+    fixed = np.concatenate(
+        [c.samples for c in runtime.synthesize_stream_incremental(
+            ids, chunk_frames=16, **kw)]
+    )
+    grown = list(runtime.synthesize_stream_incremental(
+        ids, chunk_schedule=(8, 16, 32), **kw))
+    # the plan actually grows: 8, 16, then 32-frame windows
+    hop = hp.hop_length
+    sizes = [len(c.samples) for c in grown[:-1]]  # last window is trimmed
+    assert sizes[0] == 8 * hop and (len(sizes) < 2 or sizes[1] == 16 * hop)
+    assert all(s == 32 * hop for s in sizes[2:])
+    streamed = np.concatenate([c.samples for c in grown])
+    assert len(streamed) == len(fixed)
+    np.testing.assert_allclose(streamed, fixed, atol=1e-5)
+    offs = [c.start_sample_index for c in grown]
+    all_sizes = [len(c.samples) for c in grown]
+    assert offs == [int(np.sum(all_sizes[:i])) for i in range(len(all_sizes))]
+    assert grown[-1].is_final
