@@ -311,3 +311,46 @@ def test_fused_mrf_matches_per_branch_kernels():
           for (w1, b1, w2, b2, k, d) in branches]
     want = sum(np.asarray(y) for y in ys) / len(ys)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("force", ["0", "1"])
+def test_fuse_mrf_flag_matches_unfused(monkeypatch, force):
+    """PIPER_TPU_FUSE_MRF=0 (per-branch kernels everywhere) and =1 (MRF
+    fusion at every level) must both match the plain XLA lowering — the
+    flag only changes kernel selection, never semantics."""
+    monkeypatch.setenv("PIPER_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("PIPER_TPU_FUSE_MRF", force)
+    from piper_tpu.models.vits.hparams import VitsHParams
+    from piper_tpu.models.vits import model as vits
+    from piper_tpu.models.vits.params import params_from_arrays
+    from piper_tpu.models.vits.synthetic import synthetic_params
+
+    hp = VitsHParams(
+        n_vocab=40, inter_channels=16, hidden_channels=16, filter_channels=32,
+        n_heads=2, n_layers=1, dp_filter_channels=16, dp_n_flows=2,
+        flow_n_flows=1, flow_hidden_channels=16, flow_n_layers=1,
+        resblock_kernel_sizes=[3, 5], resblock_dilation_sizes=[[1, 3], [1, 3]],
+        upsample_rates=[4, 2], upsample_initial_channel=64,
+        upsample_kernel_sizes=[8, 4],
+    )
+    params = params_from_arrays(synthetic_params(hp, seed=5))
+    rng = np.random.default_rng(0)
+    b, p = 2, 12
+    ids = jnp.asarray(rng.integers(0, hp.n_vocab, size=(b, p)), jnp.int32)
+    lengths = jnp.asarray([p, p - 3], jnp.int32)
+    dp_noise = jnp.asarray(rng.standard_normal((b, 2, p)).astype(np.float32))
+    enc = vits.encode(params, hp, ids, lengths, dp_noise)
+    window, t_offset, total = 24, 8, 40
+    noise = jnp.asarray(
+        rng.standard_normal((b, hp.inter_channels, window)).astype(np.float32)
+    )
+    plain = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(t_offset),
+        window=window, total_frames=jnp.int32(total), use_pallas=False,
+    )
+    fused = vits.decode_window(
+        params, hp, enc, noise, jnp.int32(t_offset),
+        window=window, total_frames=jnp.int32(total), use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-5)
