@@ -144,10 +144,13 @@ def run_oneshot(args) -> None:
                     if player is not None:
                         player.play(chunk.samples)
                     n += len(chunk.samples)
+                # Stop the synthesis clock before draining the player —
+                # close() blocks until playback finishes, which would fold
+                # the audio's own duration into the reported streaming time.
+                wall_ms = (time.perf_counter() - t0) * 1e3
         finally:
             if player is not None:
                 player.close()
-        wall_ms = (time.perf_counter() - t0) * 1e3
         print(
             f"wrote {out}: {n} samples ({n / rt.sample_rate:.2f}s) streamed in "
             f"{wall_ms:.1f} ms (first audio after {first_ms:.1f} ms)"

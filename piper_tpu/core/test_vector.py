@@ -15,6 +15,14 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+# The canonical 14-id smoke phrase (BOS, interleaved phonemes/blanks, EOS)
+# used by every bench, prewarm, calibration, and test fixture in the repo.
+# One definition: benches, the serving calibrator, and the prewarm paths
+# must all measure the SAME phrase or calibration silently drifts from
+# what the benches report. Mirrors the reference's recorded-vector phrase
+# (bench/fixtures/test_summary.json).
+FIXTURE_PHONEME_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+
 
 @dataclass(frozen=True)
 class TestVectorMetadata:

@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
 from piper_tpu.engine.runtime import PiperRuntime
 
 
@@ -181,6 +182,13 @@ class BatchingServer:
         m["rows_per_group"] = (m["rows"] / m["groups"]) if m["groups"] else 0.0
         return m
 
+    def reset_metrics(self) -> None:
+        """Zero the serving counters (queue depth is live state and is not
+        touched). Measurement passes that share one server — e.g. a rate
+        sweep after a warmup — call this so each pass reports only itself."""
+        with self._cond:
+            self._metrics = {k: type(v)() for k, v in self._metrics.items()}
+
     # -- scheduling ----------------------------------------------------------
 
     def _oldest_key(self):
@@ -203,9 +211,14 @@ class BatchingServer:
         limit — the whole compiled-program grid is n_buckets x <=3."""
         limit = self._group_limit(((), p_bucket))
         cand = sorted({min(8, limit), max(1, limit // 4), limit})
-        ladder = getattr(self.rt, "batch_ladder", None)
-        if ladder:  # mesh runtimes: rungs must be dp-divisible
-            cand = sorted({next((x for x in ladder if x >= c), ladder[-1])
+        # Only mesh runtimes need ladder-snapped rungs (dp divisibility);
+        # single-chip fused programs take exact row counts, and snapping a
+        # e.g. 24-row limit up to 32 would pay permanent dummy-row compute
+        # on every full group.
+        if getattr(self.rt, "mesh", None) is not None:
+            ladder = getattr(self.rt, "batch_ladder", None) or ()
+            cand = sorted({next((x for x in ladder if x >= c),
+                                ladder[-1] if ladder else c)
                            for c in cand})
         return tuple(cand)
 
@@ -227,7 +240,7 @@ class BatchingServer:
         pin the grid's frame budgets to it. Real voices run ~6 frames per
         phoneme, synthetic ones ~1.4 — a fixed heuristic either overflows
         (redo storms) or wastes multiples of decode compute."""
-        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.rt.hparams.n_vocab for i in base]
         ids = (base * (-(-sample_phonemes // len(base))))[:sample_phonemes]
         audio = self.rt.synthesize(ids)
@@ -253,7 +266,7 @@ class BatchingServer:
             p_buckets = [b for b in self.rt.options.phoneme_buckets
                          if b <= 256]
         n = 0
-        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.rt.hparams.n_vocab for i in base]
         for p_bucket in p_buckets:
             ids = (base * (-(-p_bucket // len(base))))[:p_bucket]

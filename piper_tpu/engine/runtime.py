@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from piper_tpu.core.audio import AudioChunk, AudioFormat
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
 from piper_tpu.core.config import VoiceConfig
 from piper_tpu.core.voices import VoiceManager
 from piper_tpu.engine.bucketing import (
@@ -544,7 +545,7 @@ class PiperRuntime:
         """
         t0 = time.perf_counter()
         before = len(self._compiled_keys)
-        base = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+        base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.hparams.n_vocab for i in base]
         for b in batch_sizes:
             for length in phoneme_lengths:
@@ -887,7 +888,7 @@ class PiperRuntime:
         ids_batch = [list(x) for x in phoneme_ids_batch]
         hp = self.hparams
         b = len(ids_batch)
-        if b == 1 and self.options.mode == "fused" and not fused:
+        if b == 1 and self.options.mode == "fused" and fused is None:
             sid1 = speaker_ids[0] if speaker_ids is not None else None
             outs, meta = self.dispatch_fused(
                 ids_batch[0], noise_scale=noise_scale,

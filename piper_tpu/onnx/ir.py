@@ -53,6 +53,32 @@ def np_dtype_for(dt: TensorDataType) -> np.dtype:
         raise ValueError(f"no numpy dtype for ONNX data type {dt!r}") from None
 
 
+# Narrow types whose VALUES the TensorProto spec packs into int32_data
+# (onnx.proto: "int32, int16, int8, uint16, uint8, bool" — float16 is
+# stored there too, but as raw bit patterns, handled separately).
+_INT32_PACKED = {
+    TensorDataType.INT32,
+    TensorDataType.INT16,
+    TensorDataType.INT8,
+    TensorDataType.UINT16,
+    TensorDataType.UINT8,
+    TensorDataType.BOOL,
+}
+
+
+def decode_int32_packed(values, dt: TensorDataType) -> Optional[np.ndarray]:
+    """Decode a TensorProto int32_data payload per spec for data type `dt`:
+    narrow int/bool values are widened in the field (cast back), float16 is
+    stored as raw bit patterns. Returns None for types the field cannot
+    legally carry (caller should reject the tensor, not guess)."""
+    a = np.asarray(values, np.int32)
+    if dt == TensorDataType.FLOAT16:
+        return a.astype(np.uint16).view("<f2")
+    if dt in _INT32_PACKED:
+        return a.astype(np_dtype_for(dt))
+    return None
+
+
 @dataclass
 class OnnxTensor:
     name: str

@@ -23,6 +23,7 @@ from piper_tpu.onnx.ir import (
     OnnxTensor,
     OnnxValueInfo,
     TensorDataType,
+    decode_int32_packed,
     np_dtype_for,
 )
 from piper_tpu.onnx.wire import (
@@ -360,9 +361,25 @@ def _decode_tensor(r: Reader) -> OnnxTensor:
     elif int64_data:
         arr = np.asarray(int64_data, dtype=np.int64)
     elif int32_data:
-        arr = np.asarray(int32_data, dtype=np.int32)
+        # Spec packs narrow int/bool values (and float16 bit patterns)
+        # into int32_data — decode per the declared type, never return
+        # raw int32 for a non-int32 tensor.
+        arr = decode_int32_packed(int32_data, data_type)
+        if arr is None:
+            raise OnnxLoadError(
+                f"tensor {name!r}: int32_data payload for data type "
+                f"{data_type!r}, which the field cannot carry"
+            )
     elif double_data:
         arr = np.asarray(double_data, dtype=np.float64)
+    elif shape and int(np.prod(shape)) > 0:
+        # Non-empty dims but no payload we understand: external data or an
+        # unsupported encoding. Fabricating zeros here would load a model
+        # with silently wrong weights — fail loudly instead.
+        raise OnnxLoadError(
+            f"tensor {name!r}: dims {dims} but no inline payload "
+            f"(external data is not supported)"
+        )
     else:
         arr = np.zeros(shape, dtype=np_dtype_for(data_type) if data_type else np.float32)
     n = int(np.prod(shape)) if shape else arr.size

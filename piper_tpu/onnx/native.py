@@ -25,6 +25,7 @@ from piper_tpu.onnx.ir import (
     OnnxTensor,
     OnnxValueInfo,
     TensorDataType,
+    decode_int32_packed,
     np_dtype_for,
 )
 
@@ -91,9 +92,21 @@ def load_model_native(path: str | Path | bytes) -> Optional[OnnxModel]:
         elif "int64_data" in t:
             arr = np.asarray(t["int64_data"], np.int64)
         elif "int32_data" in t:
-            arr = np.asarray(t["int32_data"], np.int32)
+            # Spec packs narrow int/bool values (and float16 bit patterns)
+            # into int32_data — decode per the declared type; for types the
+            # field cannot carry, punt to the full-Python loader, which
+            # raises a descriptive OnnxLoadError.
+            arr = decode_int32_packed(t["int32_data"], dt)
+            if arr is None:
+                return None
         elif "float_data" in t:
             arr = np.asarray(t["float_data"], np.float32)
+        elif n > 0:
+            # Non-empty dims but no payload the C++ index carries (external
+            # data / unsupported encoding): fabricating zeros would load
+            # silently wrong weights. Fall back to the full-Python loader,
+            # which fails loudly with the tensor name.
+            return None
         else:
             arr = np.zeros(dims, dtype=np_dtype_for(dt) if dt else np.float32)
         if arr.size != max(n, 0):

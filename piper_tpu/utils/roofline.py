@@ -92,7 +92,10 @@ def duration_predictor_cost(hp: VitsHParams, B: int, P: int) -> StageCost:
     fl, by = _conv(B, P, H, D, 1)  # dp.pre
     f, b = dds()                   # dp.convs
     fl, by = fl + f, by + b
-    for _ in range(hp.dp_n_flows):  # ConvFlow each: pre + DDS + proj
+    # The SDP reverse pass executes dp_n_flows - 1 ConvFlows: it drops the
+    # first one (flows[:-2] + [flows[-1]] — the trained-but-unused flow),
+    # matching models/vits/duration.py and the torch oracle.
+    for _ in range(max(0, hp.dp_n_flows - 1)):  # ConvFlow each: pre + DDS + proj
         f, b = _conv(B, P, 1, D, 1)
         fl, by = fl + f, by + b
         f, b = dds()

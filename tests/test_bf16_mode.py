@@ -5,7 +5,7 @@ import pytest
 
 from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 
-FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 
 @pytest.fixture(scope="module")

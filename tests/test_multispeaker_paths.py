@@ -9,7 +9,7 @@ from piper_tpu.engine.server import VoiceServer
 from piper_tpu.models.vits.synthetic import make_synthetic_voice
 from piper_tpu.utils.wav import read_wav
 
-FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 
 @pytest.fixture(scope="module")

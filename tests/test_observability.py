@@ -10,7 +10,7 @@ from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
 from piper_tpu.testing import record_test_vector, replay_test_vector, write_test_summary
 from piper_tpu.utils.profiling import Profiler
 
-FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 
 @pytest.fixture(scope="module")

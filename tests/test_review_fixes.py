@@ -14,7 +14,7 @@ from piper_tpu.models.vits.params import params_from_arrays
 from piper_tpu.models.vits.synthetic import synthetic_params
 from piper_tpu.testing import record_test_vector
 
-FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 SMALL = VitsHParams(
     n_vocab=40, inter_channels=32, hidden_channels=32, filter_channels=64,
@@ -138,3 +138,119 @@ def test_cli_env_precision_flag(tiny_voice, tmp_path, monkeypatch):
     out = tmp_path / "o.wav"
     cli.main(["--model", str(model), "--phoneme-ids", "1,20,0,2", "-o", str(out)])
     assert captured["precision"] == "high"
+
+
+# --- round-3 review findings -------------------------------------------------
+
+
+def _tensor_proto_bytes(name, dims, data_type, payload=b""):
+    """Minimal TensorProto: dims(1, packed), data_type(2), name(8), payload."""
+    def varint(v):
+        out = b""
+        while True:
+            b7, v = v & 0x7F, v >> 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def len_field(f, b):
+        return varint((f << 3) | 2) + varint(len(b)) + b
+
+    out = b""
+    if dims:
+        out += len_field(1, b"".join(varint(d) for d in dims))
+    out += varint((2 << 3) | 0) + varint(data_type)
+    out += len_field(8, name.encode())
+    return out + payload
+
+
+def test_loader_decodes_float16_in_int32_data():
+    """Finding: int32_data payloads must be decoded per the declared type —
+    float16 is stored there as raw bit patterns, not int32 values."""
+    from piper_tpu.onnx.loader import _decode_tensor
+    from piper_tpu.onnx.wire import Reader
+
+    want = np.array([1.5, -2.0, 0.25], np.float16)
+
+    def varint(v):
+        out = b""
+        while True:
+            b7, v = v & 0x7F, v >> 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    bits = want.view(np.uint16).astype(np.int64)
+    payload = b"".join(varint(int(b)) for b in bits)
+    data = _tensor_proto_bytes(
+        "w", [3], 10,  # FLOAT16
+        varint((5 << 3) | 2) + varint(len(payload)) + payload)
+    t = _decode_tensor(Reader(data))
+    assert t.array.dtype == np.float16
+    np.testing.assert_array_equal(t.array, want)
+
+
+def test_loader_rejects_payloadless_tensor():
+    """Finding: a non-empty tensor with no inline payload (external data)
+    must fail loudly, never load as silent zeros."""
+    from piper_tpu.onnx.loader import OnnxLoadError, _decode_tensor
+    from piper_tpu.onnx.wire import Reader
+
+    data = _tensor_proto_bytes("w", [2, 3], 1)  # FLOAT, no payload
+    with pytest.raises(OnnxLoadError, match="no inline payload"):
+        _decode_tensor(Reader(data))
+
+
+def test_dispatch_batch_fused_false_takes_split_path(tiny_voice):
+    """Finding: explicit fused=False on a 1-row batch of a fused-mode
+    runtime must take the split path (the prewarmed-program contract), not
+    silently delegate to dispatch_fused."""
+    rt = PiperRuntime(*tiny_voice, RuntimeOptions(mode="fused"))
+    outs, meta = rt.dispatch_batch([FIXTURE_IDS], fused=False)
+    assert not meta.get("fused1") and not meta.get("fused")
+    # And the default (fused=None) still delegates for bit-identity.
+    outs2, meta2 = rt.dispatch_batch([FIXTURE_IDS])
+    assert meta2.get("fused1")
+
+
+def test_single_chip_rungs_keep_exact_group_limit(runtime):
+    """Finding: without a mesh, the top rung must be the bucket's exact
+    group limit (e.g. 24), not snapped up the power-of-two ladder to 32."""
+    server = BatchingServer.__new__(BatchingServer)
+    server.rt = runtime
+    server.max_rows = 24
+    server.phoneme_budget = 24 * 128
+    rungs = server._rungs(128)
+    assert rungs[-1] == 24, rungs
+
+
+def test_reset_metrics_zeroes_counters(runtime):
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=1.0) as server:
+        server.submit(FIXTURE_IDS).result(timeout=300)
+        assert server.metrics()["submitted"] == 1
+        server.reset_metrics()
+        m = server.metrics()
+        assert m["submitted"] == 0 and m["groups"] == 0
+        assert m["wait_ms_mean"] == 0.0
+
+
+def test_roofline_dp_flows_matches_reverse_pass():
+    """Finding: the analytic SDP cost must count dp_n_flows - 1 ConvFlows
+    (the reverse pass skips the first one)."""
+    import dataclasses
+
+    from piper_tpu.utils.roofline import duration_predictor_cost
+
+    hp2 = SMALL
+    hp3 = dataclasses.replace(SMALL, dp_n_flows=3)
+    c2 = duration_predictor_cost(hp2, 1, 64)
+    c3 = duration_predictor_cost(hp3, 1, 64)
+    # Adding one flow adds exactly one ConvFlow of cost; with the skip,
+    # dp_n_flows=2 counts 1 ConvFlow and dp_n_flows=3 counts 2 — the
+    # difference equals the per-flow cost, and the base (n=2) must be
+    # strictly less than twice the difference plus the non-flow part.
+    assert c3.flops > c2.flops
+    per_flow = c3.flops - c2.flops
+    # dp_n_flows=2 case: pre + convs + 1 ConvFlow => removing that one
+    # ConvFlow's cost leaves the pre+convs part, which must be positive.
+    assert c2.flops - per_flow > 0

@@ -28,7 +28,7 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
-FIXTURE_IDS = [1, 20, 0, 120, 0, 61, 0, 24, 0, 59, 0, 100, 0, 2]
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 # (repeat-factor, weight): 14-phoneme prompts dominate, with a tail of
 # paragraph-length requests — a chat/assistant-style mix.
@@ -143,6 +143,9 @@ def main(argv=None):
         run_traffic(server, min(args.duration, 10.0),
                     np.random.default_rng(args.seed + 1), rates[0])
         for rate in rates:
+            # Each pass reports its own counters, not the warmup's or the
+            # previous rates' (the server is shared across the sweep).
+            server.reset_metrics()
             results, audio_s, wall, shed = run_traffic(
                 server, args.duration, np.random.default_rng(args.seed), rate)
             server_metrics = server.metrics()
