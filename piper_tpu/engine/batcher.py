@@ -86,10 +86,11 @@ class BatchingServer:
         gets DeadlineExceeded). Both default off (None).
 
         Program-grid discipline (fused mode): each fused group pads its
-        rows to one of exactly TWO rungs per phoneme bucket — a small rung
-        (sparse traffic) and the bucket's full group limit — with the frame
-        budget pinned to the phoneme bucket. XLA compiles cost 40-100 s on
-        the tunneled dev chip and the cross-process persistent cache misses
+        rows to one of at most THREE rungs per phoneme bucket — a small
+        rung (sparse traffic), a mid rung, and the bucket's full group
+        limit — with the frame budget pinned to the phoneme bucket. XLA
+        compiles cost 40-100 s on the tunneled dev chip and the
+        cross-process persistent cache misses
         whenever the device assignment changes, so an unbounded
         (rows x frames) grid turns real traffic into a compile storm
         (measured: EVERY group of a mixed 200-request burst compiled,
@@ -371,7 +372,7 @@ class BatchingServer:
                 speaker_ids = [r.speaker_id or 0 for r in group]
             kwargs = {}
             if self.fused:
-                # Pin the program grid: rows pad to one of two rungs, frame
+                # Pin the program grid: rows pad to one of <=3 rungs, frame
                 # budget derives from the phoneme bucket (see class doc).
                 from piper_tpu.engine.bucketing import bucket_for
 

@@ -123,7 +123,7 @@ def main(argv=None):
                         max_pending=args.max_pending,
                         deadline_ms=args.deadline_ms) as server:
         # Prewarm the server's ENTIRE fused program grid deterministically
-        # (2 rungs x each phoneme bucket of the mix) — traffic-shaped warmup
+        # (each phoneme bucket of the mix x its <=3 row rungs) — traffic-shaped warmup
         # is not enough: any (rows, frames) shape first seen mid-traffic is
         # a 40-100 s XLA compile stalling the serve loop.
         from piper_tpu.engine.bucketing import bucket_for
