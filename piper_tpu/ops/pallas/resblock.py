@@ -334,6 +334,7 @@ def pallas_resblock1_mrf(
     tile: int = 2048,
     interpret: bool = False,
     precision: str = "highest",
+    vmem_budget: int = 4 * 1024 * 1024,
 ) -> jnp.ndarray:
     """The whole multi-receptive-field stage — every ResBlock1 branch AND
     their mean — in one Pallas kernel.
@@ -345,7 +346,13 @@ def pallas_resblock1_mrf(
     reads the haloed window once, runs all branches from VMEM, and writes
     only the averaged central tile — ~3.5x less HBM traffic per level.
     Reference semantics: HiFi-GAN MRF sum/num_kernels (Generator.forward,
-    reference Sources/PiperMetal mirrors it node-by-node)."""
+    reference Sources/PiperMetal mirrors it node-by-node).
+
+    `vmem_budget` caps the im2col scratch (hence the tile width). Raising
+    it to 8 MB fails Mosaic compilation on v5e (total scratch — cols +
+    double-buffered window + branch buffers + stacked weights — exceeds
+    VMEM), so the 4 MB default is the measured practical ceiling, not a
+    conservative guess."""
     from piper_tpu.ops.pallas.conv import force_interpret
 
     interpret = interpret or force_interpret()
@@ -357,7 +364,6 @@ def pallas_resblock1_mrf(
     halo = max(halos)
     k_max = max(ks)
 
-    vmem_budget = 4 * 1024 * 1024
     max_tile = vmem_budget // (k_max * ch * 4)
     tile = min(tile, max(512, max_tile // 128 * 128))
     tile = min(tile, max(128, -(-n // 128) * 128))
