@@ -85,3 +85,56 @@ def test_model_roundtrip(tmp_path):
 def test_loader_rejects_garbage():
     with pytest.raises(Exception):
         load_model(b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff")
+
+
+def _tiny_model_bytes(tmp_path):
+    rng = np.random.default_rng(7)
+    weights = {
+        "w.a": rng.standard_normal((8, 4)).astype(np.float32),
+        "w.b": np.arange(5, dtype=np.int64),
+    }
+    nodes = [node("Gather", ["w.a", "input"], ["y"], axis=0)]
+    inputs = [OnnxValueInfo("input", TensorDataType.INT64, [1, "P"])]
+    outputs = [OnnxValueInfo("y", TensorDataType.FLOAT, [1, "P", 4])]
+    p = tmp_path / "fuzz.onnx"
+    save_model(str(p), nodes, weights, inputs, outputs, opset=15)
+    return p.read_bytes()
+
+
+def test_truncated_checkpoint_fails_loudly(tmp_path):
+    """A checkpoint cut off anywhere must raise a loader error (from either
+    the native or the python path), never return a silently-partial model
+    with fabricated weights."""
+    data = _tiny_model_bytes(tmp_path)
+    for cut in (1, len(data) // 4, len(data) // 2, len(data) - 3):
+        trunc = data[:cut]
+        try:
+            m = load_model(trunc)
+        except ValueError:
+            continue  # OnnxLoadError subclasses ValueError — good
+        # If a prefix happens to decode as a complete message, every weight
+        # it reports must be intact; a Gather model with missing/zeroed
+        # weights is the silent-corruption case this guards against.
+        got = {t.name for t in m.graph.initializers.values()} if isinstance(
+            m.graph.initializers, dict) else {t.name for t in m.graph.initializers}
+        assert got == {"w.a", "w.b"}, f"cut={cut}: partial model {got}"
+
+
+def test_bitflipped_checkpoint_never_misloads_weights(tmp_path):
+    """Flip single bytes across the file: each load either raises a clean
+    ValueError/OnnxLoadError or returns a model whose decoded weights are
+    all shape-consistent (no crashes, no numpy broadcasting surprises)."""
+    data = bytearray(_tiny_model_bytes(tmp_path))
+    step = max(1, len(data) // 40)
+    for pos in range(0, len(data), step):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0xFF
+        try:
+            m = load_model(bytes(mutated))
+        except (ValueError, KeyError):
+            continue  # clean rejection (bad wire type / dtype enum)
+        for t in (m.graph.initializers.values() if isinstance(
+                m.graph.initializers, dict) else m.graph.initializers):
+            arr = t.array
+            if arr is not None and t.dims:
+                assert list(arr.shape) == [int(d) for d in t.dims]
