@@ -137,11 +137,22 @@ def vocoder_level_costs(hp: VitsHParams, B: int, T: int) -> List[StageCost]:
         k, u = hp.upsample_kernel_sizes[i], hp.upsample_rates[i]
         fl, by = _conv(B, t, c_in, c_out, k, T_out=t * u)  # conv_transpose
         t *= u
+        # Minimum HBM traffic of the resblock stage depends on kernel
+        # selection: at ch<=32 ResBlock1 levels the whole-MRF Pallas kernel
+        # (hifigan.py fuse_mrf default) reads the level activation once and
+        # writes the mean once — per-conv intermediates never leave VMEM —
+        # so only weights are charged per conv. Other levels stream each
+        # conv's input/output through HBM.
+        mrf_fused = hp.resblock != "2" and c_out <= 32
+        if mrf_fused:
+            by += 4.0 * 2 * B * t * c_out  # one stage read + one write
         for j, kj in enumerate(hp.resblock_kernel_sizes):
             n_convs = len(hp.resblock_dilation_sizes[j]) * (
                 1 if hp.resblock == "2" else 2)
             for _ in range(n_convs):
                 f, b = _conv(B, t, c_out, c_out, kj)
+                if mrf_fused:
+                    b = 4.0 * c_out * c_out * kj  # weights only
                 fl, by = fl + f, by + b
         out.append(StageCost(f"vocoder.up{i}", fl, by))
     f, b = _conv(B, t, U0 // (2 ** hp.num_upsamples), 1, 7)
