@@ -440,6 +440,62 @@ class PiperRuntime:
                     flow_precision=flow_prec, use_pallas=use_pallas,
                 ))
 
+        def decode_window_batch_keyed(params, enc, seeds, t_offsets, totals,
+                                      noise_scales, *, window, halo):
+            # One window per ROW at independent positions: the batched
+            # multi-stream decode (StreamingServer). Row r's noise is the
+            # exact realization stream r would see decoding alone — derived
+            # from ITS seed at ITS absolute frame indices. Only the central
+            # (emitted) region crosses the tunnel — halo audio is margin.
+            with jax.default_matmul_precision(prec):
+                base_keys = jax.vmap(
+                    lambda s: jax.random.fold_in(jax.random.PRNGKey(s), 1)
+                )(seeds)
+                t_idx = t_offsets[:, None] + jnp.arange(window)[None, :]
+                main_noise = vits.per_row_frame_noise(
+                    base_keys, t_idx, enc.m_p.shape[1])
+                audio = to_pcm(vits.decode_window(
+                    params, hp, enc, main_noise, t_offsets, window=window,
+                    total_frames=totals,
+                    noise_scale=noise_scales[:, None, None],
+                    vocoder_precision=voc_prec, flow_precision=flow_prec,
+                    use_pallas=use_pallas,
+                ))
+                return audio[:, halo * hp.hop_length
+                             : (window - halo) * hp.hop_length]
+
+        def stream_head_keyed(params, ids, lengths, seed, length_scale,
+                              noise_w, sid, noise_scale, *, window, halo):
+            # Streaming TTFB path: encode + the FIRST decode window in one
+            # program, so the first audio costs a single device->host round
+            # trip (the split path fetches y_total after encode, then the
+            # window-0 audio — two tunnel RTTs before any sound). The noise
+            # derivations match encode_keyed/decode_window_keyed exactly, so
+            # later windows from the split programs continue the same
+            # realization.
+            with jax.default_matmul_precision(prec):
+                base = jax.random.PRNGKey(seed)
+                dp_noise = jax.random.normal(
+                    jax.random.fold_in(base, 0),
+                    (ids.shape[0], 2, ids.shape[1]), dtype=jnp.float32)
+                enc = vits.encode(params, hp, ids, lengths, dp_noise,
+                                  length_scale=length_scale, noise_w=noise_w,
+                                  sid=sid)
+                t_offset = jnp.int32(-halo)
+                t_idx = t_offset + jnp.arange(window)
+                main_noise = vits.per_frame_noise(
+                    jax.random.fold_in(base, 1), t_idx,
+                    enc.m_p.shape[0], enc.m_p.shape[1])
+                # Same clamp the host applies (y_len = max(1, y_total[0])),
+                # done on device so window 1 can dispatch before the fetch.
+                total = jnp.maximum(enc.y_total[0], 1).astype(jnp.int32)
+                audio0 = to_pcm(vits.decode_window(
+                    params, hp, enc, main_noise, t_offset, window=window,
+                    total_frames=total, noise_scale=noise_scale,
+                    vocoder_precision=voc_prec, flow_precision=flow_prec,
+                    use_pallas=use_pallas))
+                return enc, audio0, total
+
         self._encode_keyed = jax.jit(encode_keyed)
         self._encode_injected = jax.jit(encode_injected)
         self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
@@ -448,6 +504,10 @@ class PiperRuntime:
         self._decode_window_keyed = jax.jit(decode_window_keyed,
                                             static_argnames=("window",))
         self._decode_window_injected = jax.jit(decode_window_injected)
+        self._stream_head_keyed = jax.jit(stream_head_keyed,
+                                          static_argnames=("window", "halo"))
+        self._decode_window_batch_keyed = jax.jit(
+            decode_window_batch_keyed, static_argnames=("window", "halo"))
 
     # -- synthesis -------------------------------------------------------------
 
@@ -616,6 +676,7 @@ class PiperRuntime:
         total_frames: Optional[int] = None,
         halo_frames: Optional[int] = None,
         chunk_schedule: Optional[Sequence[int]] = None,
+        fused_head: Optional[bool] = None,
     ) -> Iterator[AudioChunk]:
         """Windowed incremental decode (see synthesize_stream).
 
@@ -631,6 +692,14 @@ class PiperRuntime:
         windows for sustained throughput. Passing `chunk_frames` pins a fixed
         size (exactness tests); each distinct window size is its own compiled
         program, so schedules should stay short and stable.
+
+        `fused_head` (default: auto — on for seeded mode) runs encode + the
+        first window in ONE program so TTFB pays a single device round trip
+        instead of two (y_total fetch, then window-0 audio), and dispatches
+        window 1 speculatively on the device-held frame count so the depth-2
+        pipeline never bubbles. Injected-noise and explicit `total_frames`
+        calls use the split path (the noise window / virtual length are
+        host-side inputs there).
         """
         from piper_tpu.models.vits.hparams import receptive_field_frames
 
@@ -655,18 +724,6 @@ class PiperRuntime:
         base_seed = self.options.seed if seed is None else int(seed)
         seed_j = jnp.uint32(base_seed)
 
-        if dp_noise is not None:
-            dpn = np.zeros((1, 2, p_bucket), np.float32)
-            src = np.asarray(dp_noise, np.float32).reshape(1, 2, -1)
-            dpn[:, :, : src.shape[-1]] = src
-            enc = self._encode_injected(self.params, ids_j, lengths_j,
-                                        self._put_repl(dpn), ls, nw, sid)
-        else:
-            enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
-        y_len = int(np.asarray(enc.y_total)[0])
-        y_len = max(1, y_len)
-        total = int(total_frames) if total_frames is not None else y_len
-
         halo = receptive_field_frames(hp) if halo_frames is None else int(halo_frames)
         c0 = chunk_frames or max(32, chunk_size // hp.hop_length)
         if chunk_schedule is not None:
@@ -681,6 +738,44 @@ class PiperRuntime:
         hop = hp.hop_length
         fmt = self.audio_format
         emitted = 0
+
+        seeded = dp_noise is None and main_noise is None and total_frames is None
+        use_head = seeded if fused_head is None else bool(fused_head)
+        if use_head and not seeded:
+            raise ValueError(
+                "fused_head streaming is seeded-only: injected noise and "
+                "explicit total_frames need the split encode/window path"
+            )
+
+        audio0 = spec1 = None
+        if use_head:
+            enc, audio0_dev, total_dev = self._stream_head_keyed(
+                self.params, ids_j, lengths_j, seed_j, ls, nw, sid, ns,
+                window=sched[0] + 2 * halo, halo=halo)
+            # Speculatively dispatch window 1 on the DEVICE-held frame count
+            # before fetching the head, so window 1 computes while window 0's
+            # audio is on the wire (same depth-2 interleave as the loop
+            # below). If the utterance ends inside window 0 this wastes one
+            # masked-to-zero window decode — a few ms, vs a tunnel RTT bubble
+            # on every longer stream.
+            c1 = sched[min(1, len(sched) - 1)]
+            spec1 = self._decode_window_keyed(
+                self.params, enc, seed_j, jnp.int32(sched[0] - halo),
+                total_dev, ns, window=c1 + 2 * halo)
+            audio0, total_np = jax.device_get((audio0_dev, total_dev))
+            y_len = int(total_np)  # already clamped >= 1 in-program
+        else:
+            if dp_noise is not None:
+                dpn = np.zeros((1, 2, p_bucket), np.float32)
+                src = np.asarray(dp_noise, np.float32).reshape(1, 2, -1)
+                dpn[:, :, : src.shape[-1]] = src
+                enc = self._encode_injected(self.params, ids_j, lengths_j,
+                                            self._put_repl(dpn), ls, nw, sid)
+            else:
+                enc = self._encode_keyed(self.params, ids_j, lengths_j,
+                                         seed_j, ls, nw, sid)
+            y_len = max(1, int(np.asarray(enc.y_total)[0]))
+        total = int(total_frames) if total_frames is not None else y_len
         # (start_frame, emitted_frames) per window; the last schedule entry
         # repeats for the steady state.
         plan = []
@@ -714,33 +809,110 @@ class PiperRuntime:
                 jnp.int32(total), ns, window=window,
             )
 
+        def emit(k, audio_win):
+            nonlocal emitted
+            c_k = plan[k][1]
+            start = halo * hop
+            samples = audio_win[start : start + c_k * hop]
+            remaining = y_len * hop - emitted
+            if len(samples) > remaining:
+                samples = samples[:remaining]
+            chunk = AudioChunk(
+                format=fmt,
+                start_sample_index=emitted,
+                samples=samples,
+                is_final=k == n_chunks - 1,
+            )
+            emitted += len(samples)
+            return chunk
+
         # Depth-2 pipeline (the same interleave as ServingPipeline's batch
         # worker): window k+1's decode is dispatched BEFORE window k's audio
         # is fetched, so the per-window device->host round trip (the tunnel
         # RTT that previously serialized every window) overlaps the next
-        # window's compute. TTFB is unchanged — the first fetch happens
-        # right after dispatching window 1's compute, which runs while
-        # window 0's audio is on the wire.
-        pending = dispatch(0)
-        for k in range(n_chunks):
+        # window's compute. On the fused-head path chunk 0 is already fetched
+        # and window 1 is already in flight, so the loop starts at k=1 with
+        # the same interleave.
+        if use_head:
+            yield emit(0, self._as_output(audio0)[0])
+            if n_chunks == 1:
+                return
+            pending = spec1
+            start_k = 1
+        else:
+            pending = dispatch(0)
+            start_k = 0
+        for k in range(start_k, n_chunks):
             nxt = dispatch(k + 1) if k + 1 < n_chunks else None
             audio_win = self._as_output(jax.device_get(pending))[0]
             pending = nxt
-            c_k = plan[k][1]
-            start = halo * hop
-            end = start + c_k * hop
-            samples = audio_win[start:end]
-            remaining = y_len * hop - emitted
-            if len(samples) > remaining:
-                samples = samples[:remaining]
-            is_final = k == n_chunks - 1
-            yield AudioChunk(
-                format=fmt,
-                start_sample_index=emitted,
-                samples=samples,
-                is_final=is_final,
+            yield emit(k, audio_win)
+
+    def dispatch_stream_head(
+        self,
+        phoneme_ids: Sequence[int],
+        *,
+        c0: int,
+        halo: int,
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        """Dispatch one stream's fused head (encode + the first `c0` emitted
+        frames) WITHOUT blocking. Returns (enc, audio0_dev, total_dev,
+        seed_j, ns) device handles — the StreamingServer fetches audio0 and
+        total later (batched with other device reads on its one I/O thread)
+        and keeps `enc` resident for the batched steady-state windows."""
+        hp = self.hparams
+        ids = list(phoneme_ids)
+        if not ids:
+            raise ValueError("empty phoneme sequence")
+        bad = [i for i in ids if not (0 <= i < hp.n_vocab)]
+        if bad:
+            raise ValueError(
+                f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab})"
             )
-            emitted += len(samples)
+        p_bucket = bucket_for(len(ids), self.options.phoneme_buckets, "phoneme")
+        ids_j = self._put_repl(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
+        lengths_j = self._put_repl(np.asarray([len(ids)], np.int32))
+        ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
+        sid = self._sid_array([speaker_id] if speaker_id is not None else None,
+                              1, putter=self._put_repl)
+        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        self._mark("stream_head", (p_bucket, c0, halo, sid is not None))
+        enc, audio0, total = self._stream_head_keyed(
+            self.params, ids_j, lengths_j, seed_j, ls, nw, sid, ns,
+            window=c0 + 2 * halo, halo=halo)
+        return enc, audio0, total, seed_j, ns
+
+    def dispatch_window_batch(
+        self,
+        enc,
+        seeds: jnp.ndarray,      # (B,) uint32
+        t_offsets: np.ndarray,   # (B,) int32 window starts minus halo
+        totals: np.ndarray,      # (B,) int32 per-row y_len (virtual length)
+        noise_scales: np.ndarray,  # (B,) float32
+        *,
+        emit_frames: int,
+        halo: int,
+    ):
+        """Dispatch one batched multi-stream window decode (non-blocking).
+
+        `enc` is a stacked EncodeResult (rows from different utterances at a
+        shared phoneme bucket). Each row decodes frames
+        [t_offsets[r] + halo, t_offsets[r] + halo + emit_frames) of ITS OWN
+        sequence; the returned device array is (B, emit_frames * hop) — the
+        halo never crosses the tunnel."""
+        window = emit_frames + 2 * halo
+        self._mark("stream_window",
+                   (int(seeds.shape[0]), enc.m_p.shape[-1], window, halo))
+        return self._decode_window_batch_keyed(
+            self.params, enc, seeds,
+            jnp.asarray(t_offsets, jnp.int32), jnp.asarray(totals, jnp.int32),
+            jnp.asarray(noise_scales, jnp.float32),
+            window=window, halo=halo)
 
     def dispatch_fused(
         self,

@@ -1,0 +1,405 @@
+"""Batched multi-stream serving: N concurrent low-latency streams, one chip.
+
+The single-stream incremental decoder (PiperRuntime.synthesize_stream_
+incremental) runs B=1 windows — fine for one client, but N concurrent
+streaming clients would serialize N single-row decodes and leave the MXU
+mostly idle (B=1 vocoder GEMMs run far below the batched rate; see
+docs/BENCH.md batch sweep). This server gives every stream the same
+time-to-first-audio as a lone stream (its OWN fused encode+window-0 head,
+one tunnel round trip) and then decodes all streams' steady-state windows
+in ONE batched program per tick: per-row window positions, per-row seeds,
+per-row lengths — the generalized decode_window (models/vits/model.py)
+masks each row at its own sequence edges, so a stream batched with 15
+others produces EXACTLY the audio it would produce alone.
+
+The reference has no analog: its runtime synthesizes one utterance per
+call and its "streaming" chunks a finished waveform
+(PiperMetalRuntime.swift:93-94). This is the TPU-native design obligation
+of SURVEY §2.9 applied to streaming: batch across requests because that is
+where this hardware's throughput lives.
+
+Scheduling mirrors the hard-won serving rules (CLAUDE.md): one worker
+thread owns ALL device interaction (the tunneled client stalls under
+concurrent transfers); dispatches for tick k+1 are enqueued before tick
+k's results are fetched (depth-2 — the fetch RTT overlaps compute); rows
+pad to a small rung ladder so the program set is bounded and prewarmable.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from piper_tpu.core.audio import AudioChunk
+from piper_tpu.engine.batcher import ServerOverloaded
+
+_FAR = 1 << 28  # padding-row offset: beyond any real sequence, exact in fp32
+
+
+@dataclass(eq=False)  # identity semantics: fields hold device arrays
+class _Session:
+    sid: int
+    ids: List[int]
+    seed: Optional[int]
+    noise_scale: Optional[float]
+    length_scale: Optional[float]
+    noise_w: Optional[float]
+    speaker_id: Optional[int]
+    out: "queue.Queue[object]"
+    # filled after the head fetch:
+    enc: object = None
+    seed_j: object = None
+    ns_j: object = None
+    y_len: int = 0
+    pos: int = 0
+    emitted: int = 0
+    failed: bool = False
+
+
+class _StreamHandle:
+    """Iterator over one stream's chunks (drains the session queue)."""
+
+    def __init__(self, session: _Session):
+        self._s = session
+
+    def __iter__(self) -> Iterator[AudioChunk]:
+        while True:
+            item = self._s.out.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+            if item.is_final:
+                return
+
+
+class StreamingServer:
+    """Continuous batched window decoding for concurrent audio streams.
+
+    Usage::
+
+        server = StreamingServer(runtime)
+        for chunk in server.submit(phoneme_ids, seed=1):
+            play(chunk)   # N submits from N threads share batched decodes
+
+    emit_frames: frames of audio emitted per steady-state window (every
+    window additionally computes a receptive-field halo on each side, so
+    small values overcompute). c0: the head window's emitted frames (TTFB).
+    row_rungs: batch sizes the window program compiles for (rows pad up).
+    """
+
+    def __init__(
+        self,
+        runtime,
+        *,
+        emit_frames: int = 256,
+        c0: Optional[int] = None,
+        row_rungs: Sequence[int] = (1, 2, 4, 8, 16, 32),
+        max_sessions: int = 64,
+        queue_chunks: int = 8,
+        tick_wait_s: float = 0.002,
+    ) -> None:
+        from piper_tpu.models.vits.hparams import receptive_field_frames
+
+        self.rt = runtime
+        hp = runtime.hparams
+        self.halo = receptive_field_frames(hp)
+        self.hop = hp.hop_length
+        self.emit_frames = int(emit_frames)
+        self.c0 = int(c0) if c0 is not None else max(32, 2048 // hp.hop_length)
+        self.row_rungs = tuple(sorted(int(r) for r in row_rungs))
+        self.max_sessions = int(max_sessions)
+        self.queue_chunks = int(queue_chunks)
+        self.tick_wait_s = float(tick_wait_s)
+        self._ids = itertools.count()
+        self._incoming: "queue.Queue[_Session]" = queue.Queue()
+        self._active: List[_Session] = []  # head fetched, windows pending
+        self._n_open = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._metrics = {
+            "ticks": 0, "head_dispatches": 0, "window_dispatches": 0,
+            "window_rows": 0, "padded_rows": 0, "sessions": 0,
+        }
+        self._worker = threading.Thread(
+            target=self._run, name="piper-stream-server", daemon=True)
+        self._worker.start()
+
+    # -- client surface ------------------------------------------------------
+
+    def submit(
+        self,
+        phoneme_ids: Sequence[int],
+        *,
+        seed: Optional[int] = None,
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+    ) -> Iterator[AudioChunk]:
+        """Register a stream; returns an iterator of AudioChunks.
+
+        Chunk 0 carries the head window (c0 frames); steady-state chunks
+        carry emit_frames each; the last chunk is trimmed and is_final.
+        Raises ServerOverloaded beyond max_sessions concurrent streams."""
+        if self._stop.is_set():
+            raise RuntimeError("StreamingServer is shut down")
+        with self._lock:
+            if self._n_open >= self.max_sessions:
+                raise ServerOverloaded(
+                    f"{self._n_open} streams open (max_sessions="
+                    f"{self.max_sessions})")
+            self._n_open += 1
+            self._metrics["sessions"] += 1
+        s = _Session(
+            sid=next(self._ids), ids=list(phoneme_ids), seed=seed,
+            noise_scale=noise_scale, length_scale=length_scale,
+            noise_w=noise_w, speaker_id=speaker_id,
+            out=queue.Queue(maxsize=self.queue_chunks),
+        )
+        self._incoming.put(s)
+        return iter(_StreamHandle(s))
+
+    def metrics(self) -> dict:
+        with self._lock:
+            m = dict(self._metrics)
+        m["open_sessions"] = self._n_open
+        return m
+
+    def prewarm(
+        self,
+        phoneme_lengths: Sequence[int] = (14, 56, 224),
+        row_rungs: Optional[Sequence[int]] = None,
+    ) -> dict:
+        """Compile the program grid — one head per phoneme bucket plus the
+        (bucket x rung) window ladder — ahead of traffic.
+
+        Must run BEFORE serving traffic: it drives the device from the
+        calling thread (the worker is idle with no open sessions), honoring
+        the one-thread device-I/O rule. `row_rungs` trims the warmed ladder
+        (each program is a compile)."""
+        import jax.numpy as jnp
+
+        from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
+
+        if self._n_open:
+            raise RuntimeError("prewarm must run before traffic "
+                               f"({self._n_open} streams open)")
+        t0 = time.perf_counter()
+        rungs = tuple(row_rungs) if row_rungs is not None else self.row_rungs
+        base = [i % self.rt.hparams.n_vocab for i in FIXTURE_PHONEME_IDS]
+        programs = 0
+        for length in phoneme_lengths:
+            ids = (base * (-(-length // len(base))))[:length]
+            enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
+                ids, c0=self.c0, halo=self.halo, seed=0)
+            jax.device_get((audio0, total))
+            programs += 1
+            for rung in rungs:
+                encR = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs, axis=0), *([enc] * rung))
+                audio = self.rt.dispatch_window_batch(
+                    encR, jnp.stack([seed_j] * rung).astype(jnp.uint32),
+                    np.full((rung,), -self.halo, np.int32),
+                    np.full((rung,), self.c0, np.int32),
+                    np.full((rung,), 0.667, np.float32),
+                    emit_frames=self.emit_frames, halo=self.halo)
+                jax.device_get(audio)
+                programs += 1
+        return {"seconds": time.perf_counter() - t0, "programs": programs}
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=30)
+
+    # -- worker --------------------------------------------------------------
+
+    def _rung(self, rows: int) -> int:
+        for r in self.row_rungs:
+            if rows <= r:
+                return r
+        return self.row_rungs[-1]
+
+    def _fail(self, s: _Session, err: Exception) -> None:
+        if not s.failed:
+            s.failed = True
+            self._close(s, err)
+
+    def _close(self, s: _Session, item: object) -> None:
+        s.out.put(item)
+        with self._lock:
+            self._n_open -= 1
+
+    def _dispatch_heads(self, sessions: List[_Session]) -> list:
+        work = []
+        for s in sessions:
+            try:
+                enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
+                    s.ids, c0=self.c0, halo=self.halo, seed=s.seed,
+                    noise_scale=s.noise_scale, length_scale=s.length_scale,
+                    noise_w=s.noise_w, speaker_id=s.speaker_id)
+            except Exception as e:  # noqa: BLE001 — deliver to the caller
+                self._fail(s, e)
+                continue
+            s.enc, s.seed_j, s.ns_j = enc, seed_j, ns
+            work.append(("head", s, (audio0, total)))
+            self._metrics["head_dispatches"] += 1
+        return work
+
+    @staticmethod
+    def _pad_enc(enc, p: int):
+        """Pad an EncodeResult along the phoneme axis — EXACT: padded
+        phonemes have w_ceil=0 and x_mask=0, so the alignment path never
+        selects them (cum == cum_prev there). Lets streams from different
+        phoneme buckets share one batched window decode."""
+        import jax.numpy as jnp
+
+        cur = enc.m_p.shape[-1]
+        if cur == p:
+            return enc
+        d = p - cur
+        pad3 = ((0, 0), (0, 0), (0, d))
+        return type(enc)(
+            m_p=jnp.pad(enc.m_p, pad3),
+            logs_p=jnp.pad(enc.logs_p, pad3),
+            x_mask=jnp.pad(enc.x_mask, pad3),
+            w_ceil=jnp.pad(enc.w_ceil, ((0, 0), (0, d))),
+            y_total=enc.y_total,
+            g=enc.g,
+        )
+
+    def _dispatch_windows(self, sessions: List[_Session]) -> list:
+        """One batched window decode over `sessions` (any mix of phoneme
+        buckets — rows pad to the group's largest)."""
+        import jax.numpy as jnp
+
+        rows = len(sessions)
+        rung = self._rung(rows)
+        pad = rung - rows
+        p_group = max(s.enc.m_p.shape[-1] for s in sessions)
+        encs = [self._pad_enc(s.enc, p_group) for s in sessions]
+        encs += [encs[0]] * pad
+        enc = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *encs)
+        seeds = jnp.stack(
+            [s.seed_j for s in sessions]
+            + [sessions[0].seed_j] * pad).astype(jnp.uint32)
+        t_offs = np.asarray(
+            [s.pos - self.halo for s in sessions] + [_FAR] * pad, np.int32)
+        totals = np.asarray(
+            [s.y_len for s in sessions] + [1] * pad, np.int32)
+        nss = jnp.stack([s.ns_j for s in sessions]
+                        + [sessions[0].ns_j] * pad)
+        audio = self.rt.dispatch_window_batch(
+            enc, seeds, t_offs, totals, nss,
+            emit_frames=self.emit_frames, halo=self.halo)
+        self._metrics["window_dispatches"] += 1
+        self._metrics["window_rows"] += rows
+        self._metrics["padded_rows"] += pad
+        return [("window", tuple(sessions), (audio,))]
+
+    def _emit(self, s: _Session, samples: np.ndarray, final: bool) -> None:
+        chunk = AudioChunk(
+            format=self.rt.audio_format, start_sample_index=s.emitted,
+            samples=samples, is_final=final)
+        s.emitted += len(samples)
+        if final:
+            self._close(s, chunk)
+        else:
+            s.out.put(chunk)  # bounded: scheduler never outruns queue_chunks
+
+    def _process(self, kind: str, target, fetched) -> None:
+        if kind == "head":
+            s: _Session = target
+            audio0, total = fetched
+            s.y_len = int(total)
+            n_total = s.y_len * self.hop
+            samples = self.rt._as_output(np.asarray(audio0))[0]
+            samples = samples[self.halo * self.hop
+                              : self.halo * self.hop + self.c0 * self.hop]
+            final = s.y_len <= self.c0
+            self._emit(s, samples[: n_total] if final else samples, final)
+            if not final:
+                s.pos = self.c0
+                self._active.append(s)
+            return
+        (audio,) = fetched
+        audio = self.rt._as_output(np.asarray(audio))
+        for r, s in enumerate(target):
+            take = min(self.emit_frames, s.y_len - s.pos)
+            samples = audio[r, : take * self.hop]
+            s.pos += take
+            final = s.pos >= s.y_len
+            self._emit(s, samples, final)
+            if not final:
+                self._active.append(s)
+
+    def _run(self) -> None:
+        inflight: list = []
+        while not (self._stop.is_set()
+                   and not inflight and self._incoming.empty()
+                   and not self._active):
+            try:
+                new_work: list = []
+                # New streams: dispatch their heads (TTFB path).
+                drained: List[_Session] = []
+                try:
+                    while True:
+                        drained.append(self._incoming.get_nowait())
+                except queue.Empty:
+                    pass
+                if drained:
+                    new_work += self._dispatch_heads(drained)
+                # Active streams with queue room: batched windows. Mixed
+                # phoneme buckets batch together (rows pad to the group
+                # max); sorting by bucket keeps padding minimal when a
+                # group splits across the row cap.
+                ready, waiting = [], []
+                for s in self._active:
+                    (ready if s.out.qsize() < self.queue_chunks
+                     else waiting).append(s)
+                self._active = waiting
+                ready.sort(key=lambda s: s.enc.m_p.shape[-1], reverse=True)
+                max_rows = self.row_rungs[-1]
+                for i in range(0, len(ready), max_rows):
+                    new_work += self._dispatch_windows(ready[i : i + max_rows])
+                if not new_work and not inflight:
+                    # idle: wait for arrivals without spinning
+                    try:
+                        s0 = self._incoming.get(timeout=self.tick_wait_s)
+                        self._incoming.put(s0)
+                    except queue.Empty:
+                        pass
+                    continue
+                # Fetch LAST tick's results while this tick's work computes
+                # (depth-2), one device_get for every pending array.
+                if inflight:
+                    fetched = jax.device_get(
+                        [w[2] for w in inflight])
+                    for (kind, target, _), data in zip(inflight, fetched):
+                        self._process(kind, target, data)
+                inflight = new_work
+                self._metrics["ticks"] += 1
+            except Exception as e:  # noqa: BLE001 — fail open sessions
+                for kind, target, _ in inflight:
+                    for s in (target,) if kind == "head" else target:
+                        self._fail(s, e)
+                inflight = []
+                for s in self._active:
+                    self._fail(s, e)
+                self._active = []
+        # drain: fetch whatever is still in flight
+        if inflight:
+            try:
+                fetched = jax.device_get([w[2] for w in inflight])
+                for (kind, target, _), data in zip(inflight, fetched):
+                    self._process(kind, target, data)
+            except Exception as e:  # noqa: BLE001
+                for kind, target, _ in inflight:
+                    for s in (target,) if kind == "head" else target:
+                        self._fail(s, e)

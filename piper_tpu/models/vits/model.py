@@ -146,6 +146,19 @@ def per_frame_noise(base_key, t_idx: jnp.ndarray, b: int, ch: int) -> jnp.ndarra
     return noise.transpose(1, 2, 0)
 
 
+def per_row_frame_noise(base_keys, t_idx: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """Per-row per-frame prior noise -> (B, C, W).
+
+    base_keys: (B,) PRNG keys (one per stream), t_idx: (B, W) absolute frame
+    indices. Row r's value at absolute frame t equals per_frame_noise(
+    base_keys[r], [t], 1, ch) — so a stream batched with others sees exactly
+    the noise realization it would see decoding alone."""
+    def row(key, ts):
+        keys = jax.vmap(lambda t: jax.random.fold_in(key, t))(ts)
+        return jax.vmap(lambda k: jax.random.normal(k, (1, ch)))(keys)[:, 0, :]
+    return jax.vmap(row)(base_keys, t_idx).transpose(0, 2, 1)
+
+
 def decode_window(
     params: Params,
     hp: VitsHParams,
@@ -162,6 +175,11 @@ def decode_window(
 ) -> jnp.ndarray:
     """Decode only frames [t_offset, t_offset + window) — streaming.
 
+    `t_offset` and `total_frames` are scalars for a single stream, or (B,)
+    arrays to decode one window PER ROW at independent positions — that is
+    the batched multi-stream case (N concurrent streams share one program;
+    every mask below is already per-row).
+
     `total_frames` is the virtual full-sequence length (the array edge):
     lanes outside [0, total_frames) are masked through every conv so a window
     edge reproduces the full run's zero padding exactly. With a halo of
@@ -172,21 +190,25 @@ def decode_window(
     frames (must be consistent across overlapping windows).
     Returns audio (B, window * hop).
     """
-    t_idx = t_offset + jnp.arange(window)  # absolute frame indices (window,)
-    y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, total_frames)
+    b = enc.m_p.shape[0]
+    t_off = jnp.broadcast_to(
+        jnp.asarray(t_offset, jnp.int32).reshape(-1), (b,))
+    total = jnp.broadcast_to(jnp.asarray(total_frames).reshape(-1), (b,))
+    t_idx = t_off[:, None] + jnp.arange(window)[None, :]  # (B, W) absolute
+    y_lengths = jnp.clip(jnp.sum(enc.w_ceil, axis=-1), 1, total)
     # Validity inside the sequence (for the prior/flow masking)...
-    y_mask = (t_idx[None, None, :] < y_lengths[:, None, None]).astype(enc.m_p.dtype)
-    y_mask = y_mask * (t_idx >= 0).astype(enc.m_p.dtype)[None, None, :]
+    y_mask = (t_idx[:, None, :] < y_lengths[:, None, None]).astype(enc.m_p.dtype)
+    y_mask = y_mask * (t_idx >= 0).astype(enc.m_p.dtype)[:, None, :]
     # ...and inside the virtual array (for conv zero-padding semantics).
-    arr_mask = jnp.logical_and(t_idx >= 0, t_idx < total_frames)
-    arr_mask = arr_mask.astype(enc.m_p.dtype)[None, None, :]
+    arr_mask = jnp.logical_and(t_idx >= 0, t_idx < total[:, None])
+    arr_mask = arr_mask.astype(enc.m_p.dtype)[:, None, :]
 
     # Alignment path restricted to the window's absolute frames.
     cum = jnp.cumsum(enc.w_ceil, axis=-1)  # (B, P)
     cum_prev = jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1)
     tf = t_idx.astype(enc.w_ceil.dtype)
-    below = tf[None, :, None] < cum[:, None, :]
-    below_prev = tf[None, :, None] < cum_prev[:, None, :]
+    below = tf[:, :, None] < cum[:, None, :]
+    below_prev = tf[:, :, None] < cum_prev[:, None, :]
     path = jnp.logical_and(below, jnp.logical_not(below_prev)).astype(enc.w_ceil.dtype)
     path = path * y_mask.transpose(0, 2, 1) * enc.x_mask
 
@@ -201,9 +223,8 @@ def decode_window(
     # left halo clipped at the sequence start, hi is min(y_len, total)
     # relative to the window — expressed as per-row bounds so the fused
     # Pallas branch kernel can apply it in VMEM.
-    b = enc.m_p.shape[0]
-    lo = jnp.broadcast_to(jnp.clip(-t_offset, 0, window).astype(jnp.int32), (b,))
-    hi = jnp.clip(y_lengths.astype(jnp.int32) - t_offset, 0, window)
+    lo = jnp.clip(-t_off, 0, window).astype(jnp.int32)
+    hi = jnp.clip(y_lengths.astype(jnp.int32) - t_off, 0, window)
     audio = hifigan_generator(
         z * y_mask, params, hp, g=enc.g,
         level_precisions=vocoder_precision, t_mask=y_mask * arr_mask,

@@ -132,3 +132,41 @@ def test_growing_schedule_matches_fixed(runtime):
     all_sizes = [len(c.samples) for c in grown]
     assert offs == [int(np.sum(all_sizes[:i])) for i in range(len(all_sizes))]
     assert grown[-1].is_final
+
+
+def test_fused_head_matches_split_seeded(runtime):
+    """Seeded streaming defaults to the fused encode+window-0 head (one
+    device round trip to first audio). It must produce the same stream as
+    the split encode/window path — same windows, offsets, and samples."""
+    ids = FIXTURE_IDS * 4
+    fused = list(runtime.synthesize_stream_incremental(
+        ids, chunk_schedule=(8, 16, 32), seed=7))
+    split = list(runtime.synthesize_stream_incremental(
+        ids, chunk_schedule=(8, 16, 32), seed=7, fused_head=False))
+    assert [c.start_sample_index for c in fused] == [
+        c.start_sample_index for c in split]
+    assert [len(c.samples) for c in fused] == [len(c.samples) for c in split]
+    assert fused[-1].is_final and split[-1].is_final
+    a = np.concatenate([c.samples for c in fused])
+    b = np.concatenate([c.samples for c in split])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_head_single_window_stream(runtime):
+    """An utterance that fits in window 0 ends after the head: the
+    speculatively dispatched window 1 is discarded and the single chunk is
+    final with the exact utterance length."""
+    ref = runtime.synthesize(FIXTURE_IDS, seed=3)
+    chunks = list(runtime.synthesize_stream_incremental(
+        FIXTURE_IDS, chunk_frames=4096, seed=3))
+    assert len(chunks) == 1 and chunks[0].is_final
+    assert chunks[0].start_sample_index == 0
+    assert len(chunks[0].samples) == len(ref)
+
+
+def test_fused_head_rejects_injected_noise(runtime):
+    hp = runtime.hparams
+    dp = np.zeros((1, 2, len(FIXTURE_IDS)), np.float32)
+    with pytest.raises(ValueError, match="seeded-only"):
+        list(runtime.synthesize_stream_incremental(
+            FIXTURE_IDS, dp_noise=dp, fused_head=True))
