@@ -120,6 +120,9 @@ def main(argv=None):
                              "(tools/roofline.py) in the result JSON — "
                              "measures chip ceilings and per-stage programs, "
                              "adding a few compiles on first run")
+    parser.add_argument("--streams", type=int, default=8,
+                        help="concurrent streaming clients for the "
+                             "multi-stream serving row (0 = skip)")
     parser.add_argument("--quick", action="store_true", help="fast smoke (small sweep)")
     parser.add_argument("--platform", help="force a jax platform (e.g. cpu)")
     args = parser.parse_args(argv)
@@ -286,6 +289,68 @@ def main(argv=None):
             "total_ms_p50": round(_percentile(totals, 50), 1),
         }
 
+    # Concurrent-stream serving: N clients stream simultaneously through
+    # StreamingServer (solo fused TTFB per stream, steady-state windows
+    # batched across streams in one program per tick). Reports what each
+    # client experiences (TTFB) plus the aggregate realtime factor the chip
+    # sustains while everyone streams — the multi-tenant counterpart of the
+    # single-stream row above. tools/streaming_bench.py is the full protocol.
+    streaming_server_row = None
+    if args.streams and not args.quick:
+        import threading
+
+        from piper_tpu.engine.stream_server import StreamingServer
+
+        ids_long = (FIXTURE_IDS * 16)[:4096]
+        srv = StreamingServer(rt, max_sessions=max(16, args.streams))
+        rungs = [r for r in srv.row_rungs if r <= args.streams] or [
+            srv.row_rungs[0]]
+        srv.prewarm(phoneme_lengths=(len(ids_long),), row_rungs=rungs)
+        agg, ttfb_all, total_all = [], [], []
+        for rnd in range(2):
+            lock = threading.Lock()
+            ttfbs, totals, sample_counts, errs = [], [], [], []
+
+            def client(i):
+                try:
+                    t0c = time.perf_counter()
+                    first, n = None, 0
+                    for chunk in srv.submit(ids_long, seed=rnd * 100 + i):
+                        if first is None:
+                            first = time.perf_counter() - t0c
+                        n += len(chunk.samples)
+                    with lock:
+                        ttfbs.append(first * 1e3)
+                        totals.append((time.perf_counter() - t0c) * 1e3)
+                        sample_counts.append(n)
+                except Exception as e:  # noqa: BLE001 — report, don't crash bench
+                    with lock:
+                        errs.append(repr(e))
+
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(args.streams)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            if errs or not sample_counts:
+                streaming_server_row = {"error": errs[:3]}
+                break
+            agg.append(sum(sample_counts) / rt.sample_rate / wall)
+            ttfb_all.extend(ttfbs)
+            total_all.extend(totals)
+        srv.shutdown()
+        if streaming_server_row is None:
+            streaming_server_row = {
+                "streams": args.streams,
+                "aggregate_rtf": round(float(np.median(agg)), 1),
+                "ttfb_ms_p50": round(_percentile(ttfb_all, 50), 1),
+                "ttfb_ms_p95": round(_percentile(ttfb_all, 95), 1),
+                "total_ms_p50": round(_percentile(total_all, 50), 1),
+            }
+
     # Multi-speaker batched serving (the en_US-libritts-high-style config:
     # 900+ speaker embeddings, batched utterances with mixed speaker ids).
     # Part of the default sweep — it is one of the five BASELINE configs.
@@ -378,6 +443,7 @@ def main(argv=None):
         "batch_sweep": batch_sweep_rows,
         "pipeline": pipeline_row,
         "streaming": streaming_row,
+        "streaming_server": streaming_server_row,
         "multispeaker": multispeaker_row,
         "high": high_row,
         "roofline": roofline,

@@ -31,6 +31,7 @@ def test_bench_quick_schema(capsys):
     assert payload["vocoder_precision"] == "high"
     assert payload["flow_precision"] == "high"
     assert payload["output_dtype"] == "int16"
+    assert "streaming_server" in payload  # populated on full (non-quick) runs
     factors = [r["factor"] for r in payload["rows"]]
     assert factors == [1, 2]  # --quick trims the sweep
     for r in payload["rows"]:
