@@ -496,6 +496,44 @@ class PiperRuntime:
                     use_pallas=use_pallas))
                 return enc, audio0, total
 
+        def stream_head_batch_keyed(params, ids, lengths, seeds,
+                                    length_scales, noise_ws, sid,
+                                    noise_scales, *, window, halo):
+            # B streams' fused heads in ONE program: a burst of simultaneous
+            # stream arrivals would otherwise serialize B b=1 encode+window
+            # executions on the device (TTFB grows linearly with the burst).
+            # Row r's noise derivations are bit-identical to
+            # stream_head_keyed at seeds[r]: PRNGKey/fold_in are per-row,
+            # and jax.random.normal bits depend only on the element count —
+            # normal(k, (1, 2, P))[0] == normal(k, (2, P)). Unlike the b=1
+            # program, the returned audio is trimmed to the emitted region
+            # on device (only c0 frames cross the tunnel per row).
+            with jax.default_matmul_precision(prec):
+                bases = jax.vmap(jax.random.PRNGKey)(seeds)
+                dp_noise = jax.vmap(
+                    lambda k: jax.random.normal(
+                        jax.random.fold_in(k, 0), (2, ids.shape[1])))(bases)
+                enc = vits.encode(params, hp, ids, lengths, dp_noise,
+                                  length_scale=length_scales[:, None, None],
+                                  noise_w=noise_ws[:, None, None], sid=sid)
+                t_off = jnp.full((ids.shape[0],), -halo, jnp.int32)
+                base_keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, 1))(bases)
+                t_idx = t_off[:, None] + jnp.arange(window)[None, :]
+                main_noise = vits.per_row_frame_noise(
+                    base_keys, t_idx, hp.inter_channels)
+                totals = jnp.maximum(enc.y_total, 1).astype(jnp.int32)
+                audio0 = to_pcm(vits.decode_window(
+                    params, hp, enc, main_noise, t_off, window=window,
+                    total_frames=totals,
+                    noise_scale=noise_scales[:, None, None],
+                    vocoder_precision=voc_prec, flow_precision=flow_prec,
+                    use_pallas=use_pallas))
+                return (enc,
+                        audio0[:, halo * hp.hop_length
+                               : (window - halo) * hp.hop_length],
+                        totals)
+
         self._encode_keyed = jax.jit(encode_keyed)
         self._encode_injected = jax.jit(encode_injected)
         self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
@@ -506,6 +544,8 @@ class PiperRuntime:
         self._decode_window_injected = jax.jit(decode_window_injected)
         self._stream_head_keyed = jax.jit(stream_head_keyed,
                                           static_argnames=("window", "halo"))
+        self._stream_head_batch_keyed = jax.jit(
+            stream_head_batch_keyed, static_argnames=("window", "halo"))
         self._decode_window_batch_keyed = jax.jit(
             decode_window_batch_keyed, static_argnames=("window", "halo"))
 
@@ -886,6 +926,73 @@ class PiperRuntime:
             self.params, ids_j, lengths_j, seed_j, ls, nw, sid, ns,
             window=c0 + 2 * halo, halo=halo)
         return enc, audio0, total, seed_j, ns
+
+    def dispatch_stream_head_batch(
+        self,
+        ids_batch: Sequence[Sequence[int]],
+        *,
+        c0: int,
+        halo: int,
+        seeds: Optional[Sequence[Optional[int]]] = None,
+        noise_scales: Optional[Sequence[Optional[float]]] = None,
+        length_scales: Optional[Sequence[Optional[float]]] = None,
+        noise_ws: Optional[Sequence[Optional[float]]] = None,
+        speaker_ids: Optional[Sequence[Optional[int]]] = None,
+    ):
+        """Dispatch B streams' fused heads in ONE program (non-blocking).
+
+        The burst-arrival path of StreamingServer: B simultaneous new
+        streams encode + decode their first windows together instead of
+        serializing B b=1 head executions. Rows bucket at the largest
+        row's phoneme bucket; callers pad the ROW count to a prewarmed
+        rung by repeating a row. For bit-exactness vs a solo
+        dispatch_stream_head, every row must already be in that bucket
+        (the seeded duration-noise draw spans the BUCKET, not the row
+        length, so batching a row at a larger bucket than its solo one
+        samples a different realization — StreamingServer groups bursts
+        by bucket for exactly this reason). Returns (enc, audio0_dev (B, c0*hop),
+        totals_dev (B,), seed_vals, ns_vals): audio0 is trimmed to the
+        emitted region ON DEVICE (the b=1 program returns the full halo'd
+        window); seed_vals/ns_vals are the resolved host-side per-row
+        values the steady-state window dispatches reuse."""
+        hp = self.hparams
+        b = len(ids_batch)
+        if b == 0:
+            raise ValueError("empty batch")
+        rows = [list(r) for r in ids_batch]
+        for r in rows:
+            if not r:
+                raise ValueError("empty phoneme sequence")
+            bad = [i for i in r if not (0 <= i < hp.n_vocab)]
+            if bad:
+                raise ValueError(
+                    f"phoneme id(s) {bad[:5]} out of range [0, {hp.n_vocab})")
+        p_bucket = bucket_for(max(len(r) for r in rows),
+                              self.options.phoneme_buckets, "phoneme")
+        ids_np = np.stack(
+            [pad_to(np.asarray(r, np.int32), p_bucket) for r in rows])
+        lengths = np.asarray([len(r) for r in rows], np.int32)
+        scl = [self._scales(
+            None if noise_scales is None else noise_scales[i],
+            None if length_scales is None else length_scales[i],
+            None if noise_ws is None else noise_ws[i]) for i in range(b)]
+        ns_vals = [s[0] for s in scl]
+        if speaker_ids is not None:
+            speaker_ids = [0 if v is None else int(v) for v in speaker_ids]
+        sid = self._sid_array(speaker_ids, b, putter=self._put_repl)
+        seed_vals = [
+            self.options.seed if seeds is None or seeds[i] is None
+            else int(seeds[i]) for i in range(b)]
+        self._mark("stream_head_batch",
+                   (b, p_bucket, c0, halo, sid is not None))
+        enc, audio0, totals = self._stream_head_batch_keyed(
+            self.params, self._put_repl(ids_np), self._put_repl(lengths),
+            self._put_repl(np.asarray(seed_vals, np.uint32)),
+            self._put_repl(np.asarray([s[1] for s in scl], np.float32)),
+            self._put_repl(np.asarray([s[2] for s in scl], np.float32)),
+            sid, self._put_repl(np.asarray(ns_vals, np.float32)),
+            window=c0 + 2 * halo, halo=halo)
+        return enc, audio0, totals, seed_vals, ns_vals
 
     def dispatch_window_batch(
         self,

@@ -92,6 +92,11 @@ class StreamingServer:
     window additionally computes a receptive-field halo on each side, so
     small values overcompute). c0: the head window's emitted frames (TTFB).
     row_rungs: batch sizes the window program compiles for (rows pad up).
+    head_rungs: batch sizes the BATCHED head program compiles for — a burst
+    of simultaneous arrivals (same phoneme bucket) runs its fused heads in
+    one program instead of serializing b=1 executions, so burst TTFB stays
+    near solo TTFB. Defaults to row_rungs capped at 8 (heads are the
+    expensive compile; larger bursts split).
     """
 
     def __init__(
@@ -101,6 +106,7 @@ class StreamingServer:
         emit_frames: int = 256,
         c0: Optional[int] = None,
         row_rungs: Sequence[int] = (1, 2, 4, 8, 16, 32),
+        head_rungs: Optional[Sequence[int]] = None,
         max_sessions: int = 64,
         queue_chunks: int = 8,
         tick_wait_s: float = 0.002,
@@ -114,6 +120,10 @@ class StreamingServer:
         self.emit_frames = int(emit_frames)
         self.c0 = int(c0) if c0 is not None else max(32, 2048 // hp.hop_length)
         self.row_rungs = tuple(sorted(int(r) for r in row_rungs))
+        self.head_rungs = (tuple(sorted(int(r) for r in head_rungs))
+                           if head_rungs is not None
+                           else tuple(r for r in self.row_rungs if r <= 8)
+                           or (self.row_rungs[0],))
         self.max_sessions = int(max_sessions)
         self.queue_chunks = int(queue_chunks)
         self.tick_wait_s = float(tick_wait_s)
@@ -126,6 +136,7 @@ class StreamingServer:
         self._metrics = {
             "ticks": 0, "head_dispatches": 0, "window_dispatches": 0,
             "window_rows": 0, "padded_rows": 0, "sessions": 0,
+            "head_rows": 0, "padded_head_rows": 0,
         }
         self._worker = threading.Thread(
             target=self._run, name="piper-stream-server", daemon=True)
@@ -176,9 +187,10 @@ class StreamingServer:
         self,
         phoneme_lengths: Sequence[int] = (14, 56, 224),
         row_rungs: Optional[Sequence[int]] = None,
+        head_rungs: Optional[Sequence[int]] = None,
     ) -> dict:
-        """Compile the program grid — one head per phoneme bucket plus the
-        (bucket x rung) window ladder — ahead of traffic.
+        """Compile the program grid — solo + batched heads per phoneme
+        bucket plus the (bucket x rung) window ladder — ahead of traffic.
 
         Must run BEFORE serving traffic: it drives the device from the
         calling thread (the worker is idle with no open sessions), honoring
@@ -193,6 +205,8 @@ class StreamingServer:
                                f"({self._n_open} streams open)")
         t0 = time.perf_counter()
         rungs = tuple(row_rungs) if row_rungs is not None else self.row_rungs
+        h_rungs = (tuple(head_rungs) if head_rungs is not None
+                   else self.head_rungs)
         base = [i % self.rt.hparams.n_vocab for i in FIXTURE_PHONEME_IDS]
         programs = 0
         for length in phoneme_lengths:
@@ -201,6 +215,12 @@ class StreamingServer:
                 ids, c0=self.c0, halo=self.halo, seed=0)
             jax.device_get((audio0, total))
             programs += 1
+            for rung in (r for r in h_rungs if r > 1):
+                _, a0, tot, _, _ = self.rt.dispatch_stream_head_batch(
+                    [ids] * rung, c0=self.c0, halo=self.halo,
+                    seeds=[0] * rung)
+                jax.device_get((a0, tot))
+                programs += 1
             for rung in rungs:
                 encR = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs, axis=0), *([enc] * rung))
@@ -237,20 +257,81 @@ class StreamingServer:
             self._n_open -= 1
 
     def _dispatch_heads(self, sessions: List[_Session]) -> list:
+        """Dispatch new streams' fused heads — simultaneous arrivals in the
+        same phoneme bucket batch into one program (head_rungs ladder), a
+        lone arrival keeps the b=1 program."""
+        from piper_tpu.engine.bucketing import bucket_for
+
+        groups: dict = {}
         work = []
         for s in sessions:
             try:
-                enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
-                    s.ids, c0=self.c0, halo=self.halo, seed=s.seed,
-                    noise_scale=s.noise_scale, length_scale=s.length_scale,
-                    noise_w=s.noise_w, speaker_id=s.speaker_id)
+                bucket = bucket_for(len(s.ids),
+                                    self.rt.options.phoneme_buckets,
+                                    "phoneme") if s.ids else 0
             except Exception as e:  # noqa: BLE001 — deliver to the caller
                 self._fail(s, e)
                 continue
-            s.enc, s.seed_j, s.ns_j = enc, seed_j, ns
-            work.append(("head", s, (audio0, total)))
-            self._metrics["head_dispatches"] += 1
+            groups.setdefault(bucket, []).append(s)
+        for bucket in sorted(groups):
+            group = groups[bucket]
+            cap = self.head_rungs[-1]
+            for i in range(0, len(group), cap):
+                chunk = group[i : i + cap]
+                if len(chunk) == 1:
+                    work += self._dispatch_head_solo(chunk[0])
+                else:
+                    work += self._dispatch_head_group(chunk)
         return work
+
+    def _dispatch_head_solo(self, s: _Session) -> list:
+        try:
+            enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
+                s.ids, c0=self.c0, halo=self.halo, seed=s.seed,
+                noise_scale=s.noise_scale, length_scale=s.length_scale,
+                noise_w=s.noise_w, speaker_id=s.speaker_id)
+        except Exception as e:  # noqa: BLE001 — deliver to the caller
+            self._fail(s, e)
+            return []
+        s.enc, s.seed_j, s.ns_j = enc, seed_j, ns
+        self._metrics["head_dispatches"] += 1
+        self._metrics["head_rows"] += 1
+        return [("head", s, (audio0, total))]
+
+    def _dispatch_head_group(self, chunk: List[_Session]) -> list:
+        """One batched head program over a same-bucket burst. Rows pad to
+        the head rung by repeating row 0 (exact: padding rows are never
+        read back). A host-side validation error fails the WHOLE batch
+        call before dispatch, so fall back to solo heads — only the
+        offending stream(s) fail."""
+        import jax.numpy as jnp
+
+        rows = len(chunk)
+        rung = next((r for r in self.head_rungs if r >= rows),
+                    self.head_rungs[-1])
+        padded = chunk + [chunk[0]] * (rung - rows)
+        try:
+            enc, audio0, totals, seed_vals, ns_vals = (
+                self.rt.dispatch_stream_head_batch(
+                    [s.ids for s in padded], c0=self.c0, halo=self.halo,
+                    seeds=[s.seed for s in padded],
+                    noise_scales=[s.noise_scale for s in padded],
+                    length_scales=[s.length_scale for s in padded],
+                    noise_ws=[s.noise_w for s in padded],
+                    speaker_ids=[s.speaker_id for s in padded]))
+        except Exception:  # noqa: BLE001 — isolate the bad row(s)
+            work = []
+            for s in chunk:
+                work += self._dispatch_head_solo(s)
+            return work
+        for r, s in enumerate(chunk):
+            s.enc = jax.tree.map(lambda x, r=r: x[r : r + 1], enc)
+            s.seed_j = jnp.uint32(seed_vals[r])
+            s.ns_j = ns_vals[r]
+        self._metrics["head_dispatches"] += 1
+        self._metrics["head_rows"] += rows
+        self._metrics["padded_head_rows"] += rung - rows
+        return [("headb", tuple(chunk), (audio0, totals))]
 
     @staticmethod
     def _pad_enc(enc, p: int):
@@ -327,6 +408,20 @@ class StreamingServer:
             if not final:
                 s.pos = self.c0
                 self._active.append(s)
+            return
+        if kind == "headb":
+            audio0, totals = fetched
+            audio0 = self.rt._as_output(np.asarray(audio0))
+            for r, s in enumerate(target):
+                s.y_len = int(totals[r])
+                # batched head audio is pre-trimmed to c0 frames on device
+                samples = audio0[r]
+                final = s.y_len <= self.c0
+                self._emit(s, samples[: s.y_len * self.hop] if final
+                           else samples, final)
+                if not final:
+                    s.pos = self.c0
+                    self._active.append(s)
             return
         (audio,) = fetched
         audio = self.rt._as_output(np.asarray(audio))

@@ -101,3 +101,44 @@ def test_streaming_on_mesh(mesh_runtime):
     assert chunks[-1].is_final
     n = sum(len(c.samples) for c in chunks)
     assert n > 0
+
+
+def test_stream_server_on_mesh(mesh_runtime):
+    """Concurrent streams through StreamingServer on a mesh runtime match
+    their solo mesh decodes (the multi-stream scheduler is mesh-agnostic:
+    heads/windows ride the replicated dispatch paths)."""
+    import threading
+
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    srv = StreamingServer(mesh_runtime, emit_frames=16, c0=8,
+                          row_rungs=(1, 2, 4), max_sessions=8)
+    try:
+        cases = [(FIXTURE_IDS * 2, 61), (FIXTURE_IDS, 62)]
+        results = {}
+        errors = []
+
+        def run(i, ids, seed):
+            try:
+                chunks = list(srv.submit(ids, seed=seed))
+                assert chunks[-1].is_final
+                results[i] = np.concatenate([c.samples for c in chunks])
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=run, args=(i, ids, seed))
+                   for i, (ids, seed) in enumerate(cases)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        for i, (ids, seed) in enumerate(cases):
+            ref = np.concatenate([
+                c.samples
+                for c in mesh_runtime.synthesize_stream_incremental(
+                    ids, seed=seed)])
+            assert len(results[i]) == len(ref)
+            np.testing.assert_allclose(results[i], ref, atol=1e-5)
+    finally:
+        srv.shutdown()

@@ -123,6 +123,100 @@ def test_invalid_ids_fail_only_that_stream(server):
     _collect(server.submit(FIXTURE_IDS, seed=4))
 
 
+def _mk_session(ids, seed):
+    import queue
+
+    from piper_tpu.engine.stream_server import _Session
+
+    return _Session(sid=0, ids=list(ids), seed=seed, noise_scale=None,
+                    length_scale=None, noise_w=None, speaker_id=None,
+                    out=queue.Queue(maxsize=100))
+
+
+def test_burst_heads_batch_and_match_solo(tiny_runtime):
+    """Simultaneous same-bucket arrivals run ONE batched head program;
+    each row's first chunk equals the solo stream's audio — including a
+    shorter row sharing the bucket (the seeded duration-noise draw spans
+    the bucket, so same-bucket grouping is the exactness condition)."""
+    import jax
+
+    srv = StreamingServer(tiny_runtime, emit_frames=16, c0=8,
+                          row_rungs=(1, 2, 4), max_sessions=8)
+    try:
+        short = (FIXTURE_IDS * 2)[:17]  # bucket 32, same as 28 phonemes
+        cases = [(FIXTURE_IDS * 2, 31), (FIXTURE_IDS * 2, 32), (short, 33)]
+        sessions = [_mk_session(ids, seed) for ids, seed in cases]
+        with srv._lock:
+            srv._n_open += len(sessions)
+        work = srv._dispatch_heads(sessions)
+        assert [w[0] for w in work] == ["headb"]
+        m = srv.metrics()
+        assert m["head_dispatches"] == 1 and m["head_rows"] == 3
+        assert m["padded_head_rows"] == 1  # 3 rows pad to rung 4
+        srv._process("headb", work[0][1], jax.device_get(work[0][2]))
+        for (ids, seed), s in zip(cases, sessions):
+            chunk = s.out.get(timeout=30)
+            ref = _reference(tiny_runtime, ids, seed)
+            np.testing.assert_allclose(
+                chunk.samples, ref[: len(chunk.samples)], atol=1e-5)
+            if chunk.is_final:
+                assert len(chunk.samples) == len(ref)
+    finally:
+        srv.shutdown()
+
+
+def test_burst_mixed_buckets_split_into_groups(tiny_runtime):
+    """Arrivals from different phoneme buckets never share a head batch
+    (bucket-dependent noise would change a stream's audio)."""
+    srv = StreamingServer(tiny_runtime, emit_frames=16, c0=8,
+                          row_rungs=(1, 2, 4), max_sessions=8)
+    try:
+        cases = [(FIXTURE_IDS, 41), (FIXTURE_IDS * 2, 42),
+                 (FIXTURE_IDS * 2, 43)]  # buckets 16, 32, 32
+        sessions = [_mk_session(ids, seed) for ids, seed in cases]
+        with srv._lock:
+            srv._n_open += len(sessions)
+        work = srv._dispatch_heads(sessions)
+        kinds = sorted(w[0] for w in work)
+        assert kinds == ["head", "headb"]
+        import jax
+
+        for kind, target, handles in work:
+            srv._process(kind, target, jax.device_get(handles))
+        for (ids, seed), s in zip(cases, sessions):
+            chunk = s.out.get(timeout=30)
+            ref = _reference(tiny_runtime, ids, seed)
+            np.testing.assert_allclose(
+                chunk.samples, ref[: len(chunk.samples)], atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
+def test_bad_row_fails_only_that_stream_in_a_burst(tiny_runtime):
+    """A validation error inside a burst falls back to solo heads: the
+    good streams play, only the offending one fails."""
+    import jax
+
+    srv = StreamingServer(tiny_runtime, emit_frames=16, c0=8,
+                          row_rungs=(1, 2, 4), max_sessions=8)
+    try:
+        good = _mk_session(FIXTURE_IDS * 2, 51)
+        bad = _mk_session((FIXTURE_IDS * 2)[:-1] + [10 ** 9], 52)
+        with srv._lock:
+            srv._n_open += 2
+        work = srv._dispatch_heads([good, bad])
+        assert [w[0] for w in work] == ["head"]  # solo fallback, bad failed
+        assert isinstance(bad.out.get_nowait(), ValueError)
+        for kind, target, handles in work:
+            srv._process(kind, target, jax.device_get(handles))
+        ref = _reference(tiny_runtime, good.ids, 51)
+        chunk = good.out.get(timeout=30)
+        np.testing.assert_allclose(
+            chunk.samples, ref[: len(chunk.samples)], atol=1e-5)
+    finally:
+        srv.shutdown()
+
+
 def test_prewarm_covers_traffic_programs(tiny_runtime):
     srv = StreamingServer(tiny_runtime, emit_frames=16, c0=8,
                           row_rungs=(1, 2), max_sessions=4)

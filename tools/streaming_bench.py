@@ -11,10 +11,13 @@ Protocol: build the synthetic voice, prewarm the (bucket x rung) program
 grid, then for each round launch N client threads that each stream one
 utterance to completion; the workload is timed wall-to-wall from first
 submit to last final chunk. Compare runs only within one session (device
-drift — docs/BENCH.md).
+drift — docs/BENCH.md). `--ab-heads` additionally re-runs the identical
+workload with batched heads disabled (head_rungs=(1,)) in the SAME
+process, giving a drift-free A/B of the burst-TTFB batching.
 
 Usage:
     python3 tools/streaming_bench.py --streams 8 --rounds 3
+    python3 tools/streaming_bench.py --streams 8 --ab-heads
     python3 tools/streaming_bench.py --platform cpu --quality x_low --quick
 """
 
@@ -32,63 +35,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--streams", type=int, default=8)
-    ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--warmup-rounds", type=int, default=1,
-                    help="untimed rounds before measurement (absorbs the "
-                         "one-time concurrent-executable load — CLAUDE.md)")
-    ap.add_argument("--phonemes", type=int, default=224)
-    ap.add_argument("--emit-frames", type=int, default=256)
-    ap.add_argument("--c0", type=int, default=None)
-    ap.add_argument("--quality", default="medium")
-    ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
-    ap.add_argument("--precision", default=None)
-    ap.add_argument("--mode", default=None)
-    ap.add_argument("--vocoder-precision", default=None)
-    ap.add_argument("--flow-precision", default=None)
-    ap.add_argument("--output-dtype", default=None)
-    ap.add_argument("--model", default=None)
-    ap.add_argument("--config", default=None)
-    ap.add_argument("--quick", action="store_true",
-                    help="2 streams, 1 round, short utterance")
-    args = ap.parse_args(argv)
-    if args.quick:
-        args.streams, args.rounds, args.phonemes = 2, 1, 56
-        args.warmup_rounds = 0
-
-    if args.platform == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
-    from bench import get_runtime  # reuses defaults + synthetic voice cache
-    from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
+def run_config(rt, ids, args, head_rungs=None, label="batched_heads"):
     from piper_tpu.engine.stream_server import StreamingServer
 
-    # mirror bench.py's calibrated defaults when unset
-    for name, default in (("precision", "highest"), ("mode", "fused"),
-                          ("vocoder_precision", "high"),
-                          ("flow_precision", "high"),
-                          ("output_dtype", "int16")):
-        if getattr(args, name) is None:
-            setattr(args, name, default)
-    rt = get_runtime(args)
-    ids = (FIXTURE_IDS * (-(-args.phonemes // len(FIXTURE_IDS))))[
-        : args.phonemes]
     sr = rt.sample_rate
-
     srv = StreamingServer(
         rt, emit_frames=args.emit_frames,
         **({"c0": args.c0} if args.c0 is not None else {}),
+        **({"head_rungs": head_rungs} if head_rungs is not None else {}),
         max_sessions=max(64, args.streams),
     )
     cover = next((r for r in srv.row_rungs if r >= args.streams),
                  srv.row_rungs[-1])
     rungs = [r for r in srv.row_rungs if r <= cover]
+    h_rungs = [r for r in srv.head_rungs if r <= cover]
     t0 = time.perf_counter()
-    warm = srv.prewarm(phoneme_lengths=(args.phonemes,), row_rungs=rungs)
+    warm = srv.prewarm(phoneme_lengths=(args.phonemes,), row_rungs=rungs,
+                       head_rungs=h_rungs)
     prewarm_s = time.perf_counter() - t0
 
     rows = []
@@ -142,12 +105,13 @@ def main(argv=None):
             "ttfb_ms_p95": round(float(np.percentile(ttfbs, 95)), 1),
             "total_ms_p50": round(float(np.median(totals)), 1),
         })
-        print(json.dumps(rows[-1]))
+        print(json.dumps({"config": label, **rows[-1]}))
 
     m = srv.metrics()
     srv.shutdown()
-    summary = {
+    return {
         "metric": "streaming_server_aggregate_rtf",
+        "config": label,
         "value": (round(float(np.median([r["aggregate_rtf"] for r in rows])), 1)
                   if rows else 0.0),
         "unit": "x_realtime",
@@ -159,11 +123,77 @@ def main(argv=None):
         "prewarm_programs": warm.get("programs"),
         "ttfb_ms_p50": (round(float(np.median([r["ttfb_ms_p50"] for r in rows])), 1)
                         if rows else None),
+        "ttfb_ms_p95": (round(float(np.median([r["ttfb_ms_p95"] for r in rows])), 1)
+                        if rows else None),
         "window_rows": m["window_rows"],
         "window_dispatches": m["window_dispatches"],
         "padded_rows": m["padded_rows"],
+        "head_dispatches": m["head_dispatches"],
+        "head_rows": m["head_rows"],
+        "padded_head_rows": m["padded_head_rows"],
         "rows": rows,
     }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--warmup-rounds", type=int, default=1,
+                    help="untimed rounds before measurement (absorbs the "
+                         "one-time concurrent-executable load — CLAUDE.md)")
+    ap.add_argument("--phonemes", type=int, default=224)
+    ap.add_argument("--emit-frames", type=int, default=256)
+    ap.add_argument("--c0", type=int, default=None)
+    ap.add_argument("--head-rungs", default=None,
+                    help="comma-separated batched-head rung ladder "
+                         "(e.g. '1' = solo heads only)")
+    ap.add_argument("--ab-heads", action="store_true",
+                    help="after the main run, re-run the same workload with "
+                         "solo heads (head_rungs=1) in the same process — "
+                         "a drift-free A/B of burst-TTFB head batching")
+    ap.add_argument("--quality", default="medium")
+    ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
+    ap.add_argument("--precision", default=None)
+    ap.add_argument("--mode", default=None)
+    ap.add_argument("--vocoder-precision", default=None)
+    ap.add_argument("--flow-precision", default=None)
+    ap.add_argument("--output-dtype", default=None)
+    ap.add_argument("--model", default=None)
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--quick", action="store_true",
+                    help="2 streams, 1 round, short utterance")
+    args = ap.parse_args(argv)
+    if args.quick:
+        args.streams, args.rounds, args.phonemes = 2, 1, 56
+        args.warmup_rounds = 0
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from bench import get_runtime  # reuses defaults + synthetic voice cache
+    from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
+
+    # mirror bench.py's calibrated defaults when unset
+    for name, default in (("precision", "highest"), ("mode", "fused"),
+                          ("vocoder_precision", "high"),
+                          ("flow_precision", "high"),
+                          ("output_dtype", "int16")):
+        if getattr(args, name) is None:
+            setattr(args, name, default)
+    rt = get_runtime(args)
+    ids = (FIXTURE_IDS * (-(-args.phonemes // len(FIXTURE_IDS))))[
+        : args.phonemes]
+
+    rungs = ([int(r) for r in args.head_rungs.split(",")]
+             if args.head_rungs else None)
+    summary = run_config(rt, ids, args, head_rungs=rungs)
+    if args.ab_heads:
+        solo = run_config(rt, ids, args, head_rungs=[1], label="solo_heads")
+        summary = {"metric": summary["metric"], "value": summary["value"],
+                   "unit": summary["unit"], "ab": [summary, solo]}
     print(json.dumps(summary))
     return 0
 
