@@ -354,3 +354,72 @@ def test_fuse_mrf_flag_matches_unfused(monkeypatch, force):
         window=window, total_frames=jnp.int32(total), use_pallas=True,
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), atol=1e-5)
+
+
+def _rand_mrf_branches(rng, ch, dils=(1, 3, 5), kernels=(3, 7, 11)):
+    m = len(dils)
+    branches = []
+    for k in kernels:
+        w1 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b1 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        w2 = (rng.standard_normal((m, ch, ch, k)) / np.sqrt(ch * k)).astype(np.float32)
+        b2 = (rng.standard_normal((m, ch)) * 0.02).astype(np.float32)
+        branches.append((w1, b1, w2, b2, k, dils))
+    return branches
+
+
+@pytest.mark.parametrize("fold", [2, 4])
+@pytest.mark.parametrize("bnd", [None, [700, 900], [[37, 401], [0, 998]]])
+def test_folded_mrf_matches_torch(fold, bnd):
+    """Folded-layout MRF kernel (length axis folded into channels so the
+    GEMMs present M=F*C rows) vs torch — production vocoder stage shapes,
+    n NOT divisible by the fold, one-sided and two-sided bounds."""
+    from piper_tpu.ops.pallas.folded import pallas_resblock1_mrf_folded
+
+    rng = np.random.default_rng(7)
+    ch, n = 32, 998
+    x = rng.standard_normal((2, ch, n)).astype(np.float32) * 0.3
+    branches = _rand_mrf_branches(rng, ch)
+    bounds = None if bnd is None else np.asarray(bnd, np.int32)
+    got = pallas_resblock1_mrf_folded(
+        jnp.asarray(x),
+        [(jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
+          k, d) for (w1, b1, w2, b2, k, d) in branches],
+        fold=fold,
+        bounds=None if bounds is None else jnp.asarray(bounds),
+        tile=256, interpret=True,
+    )
+    want = _torch_mrf(x, branches, bounds, n)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_folded_mrf_matches_unfolded_kernel():
+    """Folded and unfolded MRF kernels must agree (same semantics, the
+    fold only changes the GEMM presentation)."""
+    from piper_tpu.ops.pallas.folded import pallas_resblock1_mrf_folded
+    from piper_tpu.ops.pallas.resblock import pallas_resblock1_mrf
+
+    rng = np.random.default_rng(8)
+    ch, n = 16, 640
+    x = rng.standard_normal((1, ch, n)).astype(np.float32) * 0.3
+    branches = [
+        (jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
+         k, d)
+        for (w1, b1, w2, b2, k, d) in _rand_mrf_branches(rng, ch)
+    ]
+    bounds = jnp.asarray(np.array([500], np.int32))
+    got = pallas_resblock1_mrf_folded(jnp.asarray(x), branches, fold=4,
+                                      bounds=bounds, tile=128, interpret=True)
+    want = pallas_resblock1_mrf(jnp.asarray(x), branches, bounds=bounds,
+                                tile=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fold_unfold_roundtrip():
+    from piper_tpu.ops.pallas.folded import fold_time_axis, unfold_time_axis
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 8, 37)).astype(np.float32)
+    for F in (1, 2, 4):
+        xr = unfold_time_axis(fold_time_axis(jnp.asarray(x), F), F, 37)
+        np.testing.assert_array_equal(np.asarray(xr), x)
