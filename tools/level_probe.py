@@ -9,6 +9,13 @@ narrow-M GEMM), the fused-MRF kernel, or the elementwise passes.
 
 Usage: PYTHONPATH=/root/repo python tools/level_probe.py [--level 3]
 Emits one JSON line per piece with ms/call (in-jit fori_loop timing).
+
+MEASUREMENT CAVEAT (found by tools/ct_probe.py): the "(+fold back)" pieces
+include a reshape/sum/repeat reducer that keeps the fori_loop shape-stable;
+XLA materializes it as real relayout traffic (~30 ms at up3 shapes between
+a transposed producer and consumer), so those rows OVERSTATE the piece.
+Read them only relative to each other; use ct_probe's isolated pieces for
+absolute conv_transpose cost.
 """
 
 from __future__ import annotations
