@@ -43,6 +43,7 @@ _LAZY = {
     "RuntimeOptions": ("piper_tpu.engine.runtime", "RuntimeOptions"),
     "ServingPipeline": ("piper_tpu.engine.pipeline", "ServingPipeline"),
     "BatchingServer": ("piper_tpu.engine.batcher", "BatchingServer"),
+    "MultiVoiceBatchingServer": ("piper_tpu.engine.batcher", "MultiVoiceBatchingServer"),
     "VoiceServer": ("piper_tpu.engine.server", "VoiceServer"),
 }
 

@@ -64,7 +64,9 @@ class BatchingServer:
                  max_wait_ms: float = 5.0, max_rows: int = 128,
                  fused: Optional[bool] = None,
                  max_pending: Optional[int] = None,
-                 deadline_ms: Optional[float] = None):
+                 deadline_ms: Optional[float] = None,
+                 cond: Optional[threading.Condition] = None,
+                 start_worker: bool = True):
         """`max_batch` is the group row count at the 128-phoneme bucket; via
         the phoneme budget below, shorter buckets form proportionally WIDER
         groups, up to `max_rows` rows. Callers sizing for device memory or
@@ -95,7 +97,13 @@ class BatchingServer:
         (rows x frames) grid turns real traffic into a compile storm
         (measured: EVERY group of a mixed 200-request burst compiled,
         0.5x aggregate; the same groups warm run at ~360x). Call
-        `prewarm()` after construction to compile the whole grid up front."""
+        `prewarm()` after construction to compile the whole grid up front.
+
+        `cond` / `start_worker` exist for MultiVoiceBatchingServer, which
+        multiplexes several per-voice servers onto ONE worker thread (all
+        device I/O must stay serial on one thread — tunneled-device rule):
+        the per-voice servers share one Condition and skip their own
+        worker."""
         self.rt = runtime
         self.max_batch = max_batch
         self.max_rows = max_rows
@@ -123,10 +131,13 @@ class BatchingServer:
         # bucket (requests beyond the ladder get key "overflow" and fail on
         # their own future at dispatch).
         self._queues: Dict[tuple, deque] = {}
-        self._cond = threading.Condition()
+        self._cond = cond if cond is not None else threading.Condition()
         self._closed = False
-        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
-        self._worker.start()
+        self._worker: Optional[threading.Thread] = None
+        if start_worker:
+            self._worker = threading.Thread(target=self._serve_loop,
+                                            daemon=True)
+            self._worker.start()
 
     def submit(
         self,
@@ -292,6 +303,34 @@ class BatchingServer:
         return {"programs": n, "seconds": _time.perf_counter() - t0,
                 "frames_per_phoneme": self._fpp}
 
+    def _pop_group_locked(self, key) -> List[_Request]:
+        """Pop up to the key's group limit from its queue with all metric
+        bookkeeping — called with self._cond held."""
+        q = self._queues[key]
+        limit = self._group_limit(key)
+        group = [q.popleft() for _ in range(min(len(q), limit))]
+        if not q:
+            del self._queues[key]
+        self._pending -= len(group)
+        now = time.perf_counter()
+        m = self._metrics
+        m["groups"] += 1
+        m["rows"] += len(group)
+        if self.fused and isinstance(key[1], int):
+            bp = self._pad_rows_for(key[1], len(group))
+            m["padded_rows"] += bp - len(group)
+        elif len(group) > 1:
+            ladder = getattr(self.rt, "batch_ladder",
+                             self.rt.options.batch_buckets)
+            bp = next((x for x in ladder if x >= len(group)),
+                      len(group))
+            m["padded_rows"] += bp - len(group)
+        for r in group:
+            w = (now - r.t_submit) * 1e3
+            m["wait_ms_sum"] += w
+            m["wait_ms_max"] = max(m["wait_ms_max"], w)
+        return group
+
     def _take_group(self, block: bool) -> Optional[List[_Request]]:
         """Pop up to the key's group limit of same-key requests, oldest key
         first.
@@ -319,28 +358,7 @@ class BatchingServer:
                     if remaining > 0:
                         self._cond.wait(timeout=remaining)
                         continue
-                group = [q.popleft() for _ in range(min(len(q), limit))]
-                if not q:
-                    del self._queues[key]
-                self._pending -= len(group)
-                now = time.perf_counter()
-                m = self._metrics
-                m["groups"] += 1
-                m["rows"] += len(group)
-                if self.fused and isinstance(key[1], int):
-                    bp = self._pad_rows_for(key[1], len(group))
-                    m["padded_rows"] += bp - len(group)
-                elif len(group) > 1:
-                    ladder = getattr(self.rt, "batch_ladder",
-                                     self.rt.options.batch_buckets)
-                    bp = next((x for x in ladder if x >= len(group)),
-                              len(group))
-                    m["padded_rows"] += bp - len(group)
-                for r in group:
-                    w = (now - r.t_submit) * 1e3
-                    m["wait_ms_sum"] += w
-                    m["wait_ms_max"] = max(m["wait_ms_max"], w)
-                return group
+                return self._pop_group_locked(key)
 
     def _shed_expired_locked(self) -> None:
         """Fail (and drop) queued requests older than the deadline — called
@@ -440,9 +458,157 @@ class BatchingServer:
                 return
             self._closed = True
             self._cond.notify_all()
-        self._worker.join(timeout=600)
+        if self._worker is not None:
+            self._worker.join(timeout=600)
 
     def __enter__(self) -> "BatchingServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class MultiVoiceBatchingServer:
+    """Continuous batching across SEVERAL resident voices on one chip.
+
+    N independent BatchingServers would run N worker threads, and concurrent
+    device transfers from multiple threads stall the tunneled device client
+    (docs/BENCH.md "hard-won constraints") — so this server keeps one
+    per-voice BatchingServer for its queues/admission/program-grid logic but
+    multiplexes them onto ONE worker: each tick serves the (voice, scales,
+    phoneme-bucket) queue holding the globally oldest request, depth-2
+    pipelined across voices (group i's bulk audio fetch overlaps group i+1's
+    dispatch, even when they belong to different voices).
+
+    The reference runs one voice per runtime instance
+    (PiperMetalRuntime.swift:44-50); multi-voice batched serving is a
+    TPU-native obligation of SURVEY §2.9 (one chip serves many voices'
+    traffic at batch throughput).
+    """
+
+    def __init__(self, runtimes: Dict[str, PiperRuntime], *,
+                 max_batch: int = 16, max_wait_ms: float = 5.0,
+                 max_rows: int = 128, fused: Optional[bool] = None,
+                 max_pending: Optional[int] = None,
+                 deadline_ms: Optional[float] = None):
+        """`runtimes` maps voice key -> loaded PiperRuntime (e.g. from
+        VoiceServer.runtime()). Admission control (`max_pending`,
+        `deadline_ms`) applies PER VOICE."""
+        if not runtimes:
+            raise ValueError("at least one voice runtime required")
+        self._cond = threading.Condition()
+        self._servers: Dict[str, BatchingServer] = {
+            key: BatchingServer(
+                rt, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                max_rows=max_rows, fused=fused, max_pending=max_pending,
+                deadline_ms=deadline_ms, cond=self._cond, start_worker=False)
+            for key, rt in runtimes.items()
+        }
+        self.max_wait_s = max_wait_ms / 1e3
+        self._closed = False
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+
+    @property
+    def voices(self) -> List[str]:
+        return list(self._servers)
+
+    def submit(self, voice: str, phoneme_ids: Sequence[int],
+               **kwargs) -> "Future[np.ndarray]":
+        """Queue one request for `voice`; same contract as
+        BatchingServer.submit (ServerOverloaded past the per-voice cap)."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        return self._servers[voice].submit(phoneme_ids, **kwargs)
+
+    def metrics(self) -> Dict[str, dict]:
+        return {key: s.metrics() for key, s in self._servers.items()}
+
+    def reset_metrics(self) -> None:
+        for s in self._servers.values():
+            s.reset_metrics()
+
+    def prewarm(self, **kwargs) -> Dict[str, dict]:
+        """Compile every voice's fused program grid ahead of traffic. Must
+        run BEFORE submitting (it drives the device from the calling thread
+        while the worker is idle — the one-thread device-I/O rule)."""
+        with self._cond:
+            if any(s._pending for s in self._servers.values()):
+                raise RuntimeError("prewarm must run before traffic")
+        return {key: s.prewarm(**kwargs)
+                for key, s in self._servers.items()}
+
+    # -- scheduling ------------------------------------------------------
+
+    def _take_group(self, block: bool):
+        """(server, group) for the globally oldest head request; None on
+        shutdown with drained queues; (None, []) when not blocking and
+        nothing is ready. Mirrors BatchingServer._take_group's batching
+        window across all voices."""
+        with self._cond:
+            while True:
+                best_srv, best_key, best_t = None, None, None
+                for s in self._servers.values():
+                    s._shed_expired_locked()
+                    key = s._oldest_key()
+                    if key is None:
+                        continue
+                    t = s._queues[key][0].t_submit
+                    if best_t is None or t < best_t:
+                        best_srv, best_key, best_t = s, key, t
+                if best_srv is None:
+                    if self._closed:
+                        return None
+                    if not block:
+                        return (None, [])
+                    self._cond.wait()
+                    continue
+                q = best_srv._queues[best_key]
+                limit = best_srv._group_limit(best_key)
+                if len(q) < limit and not self._closed and block:
+                    remaining = self.max_wait_s - (time.perf_counter() - best_t)
+                    if remaining > 0:
+                        self._cond.wait(timeout=remaining)
+                        continue
+                return best_srv, best_srv._pop_group_locked(best_key)
+
+    def _serve_loop(self) -> None:
+        # Depth-2 pipeline on ONE thread across all voices: the pending
+        # (server, group, outs, meta) fetch overlaps the next dispatch.
+        pending = None
+        while True:
+            took = self._take_group(block=pending is None)
+            if took is None:  # shutdown, all queues drained
+                if pending is not None:
+                    srv, group, outs, meta = pending
+                    srv._finish_group(group, outs, meta)
+                return
+            srv, group = took
+            if group:
+                dispatched = srv._dispatch_group(group)
+                if pending is not None:
+                    psrv, pgroup, pouts, pmeta = pending
+                    psrv._finish_group(pgroup, pouts, pmeta)
+                pending = None
+                if dispatched is not None:
+                    pgroup, pouts, pmeta = dispatched
+                    pending = (srv, pgroup, pouts, pmeta)
+            elif pending is not None:
+                psrv, pgroup, pouts, pmeta = pending
+                psrv._finish_group(pgroup, pouts, pmeta)
+                pending = None
+
+    def close(self) -> None:
+        with self._cond:
+            if self._closed:
+                return
+            self._closed = True
+            for s in self._servers.values():
+                s._closed = True
+            self._cond.notify_all()
+        self._worker.join(timeout=600)
+
+    def __enter__(self) -> "MultiVoiceBatchingServer":
         return self
 
     def __exit__(self, *exc) -> None:

@@ -93,6 +93,15 @@ class VoiceServer:
             self._pipelines[voice] = ServingPipeline(self.runtime(voice), **kwargs)
         return self._pipelines[voice]
 
+    def batching_server(self, voices: Sequence[str], **kwargs):
+        """A continuous batcher across the given voices (loaded on demand):
+        one worker thread multiplexes every voice's bucketed queues onto the
+        device (see MultiVoiceBatchingServer). The caller owns closing it."""
+        from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+        return MultiVoiceBatchingServer(
+            {v: self.runtime(v) for v in voices}, **kwargs)
+
     def close(self) -> None:
         for pipe in self._pipelines.values():
             pipe.close()

@@ -379,3 +379,107 @@ def test_metrics_snapshot(runtime):
     assert m["groups"] >= 1
     assert m["wait_ms_max"] >= m["wait_ms_mean"] >= 0.0
     assert m["queue_depth"] == 0
+
+
+# -- multi-voice batching -----------------------------------------------------
+
+
+class _TaggedStub(_StubRuntime):
+    """Stub whose fetched audio is filled with a per-voice tag value, and
+    which logs (tag, rows) into a shared cross-voice dispatch log."""
+
+    def __init__(self, tag: float, log):
+        super().__init__()
+        self.tag = tag
+        self.log = log
+        self.release.set()  # non-blocking by default
+
+    def dispatch_batch(self, ids_batch, **kw):
+        self.release.wait(timeout=60)
+        self.log.append((self.tag, len(ids_batch)))
+        return None, {"b": len(ids_batch)}
+
+    def fetch_batch(self, outs, meta):
+        return [np.full(8, self.tag, np.float32)] * meta["b"]
+
+
+def test_multivoice_single_worker_no_cross_talk():
+    """Requests to different voices resolve from THEIR voice's runtime,
+    all served by one worker thread."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log), "b": _TaggedStub(2.0, log)}
+    with MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=5) as srv:
+        assert sorted(srv.voices) == ["a", "b"]
+        futs = [(v, srv.submit(v, FIXTURE_IDS))
+                for v in ("a", "b", "a", "b", "b", "a")]
+        for v, f in futs:
+            audio = f.result(timeout=60)
+            assert audio.shape == (8,)
+            assert float(audio[0]) == (1.0 if v == "a" else 2.0)
+    m = srv.metrics()
+    assert m["a"]["rows"] == 3 and m["b"]["rows"] == 3
+    assert sum(b for _, b in log) == 6
+
+
+def test_multivoice_oldest_request_served_first():
+    """The multiplexer picks the voice holding the globally oldest head
+    request (fair across voices)."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log), "b": _TaggedStub(2.0, log)}
+    rts["a"].release.clear()  # block the first dispatch so queues build
+    with MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=1) as srv:
+        f_a = srv.submit("a", FIXTURE_IDS)
+        time.sleep(0.05)  # a's group is taken and blocks in dispatch
+        f_b1 = srv.submit("b", FIXTURE_IDS)
+        time.sleep(0.02)
+        f_a2 = srv.submit("a", FIXTURE_IDS)
+        rts["a"].release.set()
+        assert float(f_b1.result(timeout=60)[0]) == 2.0
+        assert float(f_a.result(timeout=60)[0]) == 1.0
+        assert float(f_a2.result(timeout=60)[0]) == 1.0
+    # First dispatched group is voice a's (oldest head), then b's (queued
+    # before a's second request).
+    assert [t for t, _ in log[:2]] == [1.0, 2.0]
+
+
+def test_multivoice_per_voice_admission():
+    """max_pending bounds each voice's queue independently: one voice's
+    backlog never sheds another voice's traffic."""
+    from piper_tpu.engine.batcher import (MultiVoiceBatchingServer,
+                                          ServerOverloaded)
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log), "b": _TaggedStub(2.0, log)}
+    rts["a"].release.clear()
+    rts["b"].release.clear()
+    srv = MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=1,
+                                   max_pending=2)
+    futs = []
+    try:
+        futs.append(srv.submit("a", FIXTURE_IDS))
+        time.sleep(0.05)  # worker takes a's group, blocks in dispatch
+        futs += [srv.submit("a", FIXTURE_IDS) for _ in range(2)]
+        with pytest.raises(ServerOverloaded):
+            for _ in range(8):
+                futs.append(srv.submit("a", FIXTURE_IDS))
+        # voice b is unaffected by a's backlog
+        futs.append(srv.submit("b", FIXTURE_IDS))
+    finally:
+        rts["a"].release.set()
+        rts["b"].release.set()
+        srv.close()
+    assert all(len(f.result(timeout=60)) == 8 for f in futs)
+    assert srv.metrics()["a"]["shed_overload"] >= 1
+    assert srv.metrics()["b"]["shed_overload"] == 0
+
+
+def test_multivoice_unknown_voice():
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    with MultiVoiceBatchingServer({"a": _TaggedStub(1.0, [])}) as srv:
+        with pytest.raises(KeyError):
+            srv.submit("nope", FIXTURE_IDS)

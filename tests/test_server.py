@@ -73,3 +73,25 @@ def test_server_pipeline(voices):
         audios = [f.result(timeout=300) for f in futs]
         assert all(len(a) > 0 for a in audios)
         assert server.pipeline(k) is pipe
+
+
+def test_multivoice_batching_server_real_voices(voices):
+    """Continuous batching across two resident voices on one worker: mixed
+    per-voice traffic resolves with finite audio and per-voice metrics."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    v1, v2, _ = voices
+    from piper_tpu.engine.runtime import PiperRuntime
+
+    rts = {"a": PiperRuntime(v1), "b": PiperRuntime(v2)}
+    with MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=30) as srv:
+        futs = []
+        for i in range(4):
+            futs.append(("a", srv.submit("a", FIXTURE_IDS)))
+            futs.append(("b", srv.submit("b", FIXTURE_IDS[: 6 + i])))
+        audios = [(v, f.result(timeout=600)) for v, f in futs]
+    for _, a in audios:
+        assert len(a) > 0 and np.isfinite(a).all()
+    m = srv.metrics()
+    assert m["a"]["rows"] == 4 and m["b"]["rows"] == 4
+    assert m["a"]["completed"] == 4 and m["b"]["completed"] == 4
