@@ -51,6 +51,12 @@ def main(argv=None):
     ap.add_argument("--deadline-ms", type=float, default=None,
                     help="shed queued requests older than this before dispatch")
     ap.add_argument("--quality", default="medium")
+    ap.add_argument("--voices", type=int, default=1,
+                    help=">1 serves the mix across N resident voices through "
+                         "MultiVoiceBatchingServer (requests pick a voice "
+                         "uniformly; same architecture, so the XLA program "
+                         "grid is shared — the cost being measured is the "
+                         "scheduler splitting traffic into per-voice groups)")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -66,6 +72,7 @@ def main(argv=None):
 
     import bench as bench_mod
     from piper_tpu.engine.batcher import (BatchingServer, DeadlineExceeded,
+                                          MultiVoiceBatchingServer,
                                           ServerOverloaded)
 
     rt_args = argparse.Namespace(
@@ -74,13 +81,21 @@ def main(argv=None):
         output_dtype="int16",
     )
     rt = bench_mod.get_runtime(rt_args)
+    runtimes = {"v0": rt}
+    for i in range(1, args.voices):
+        # Same synthetic checkpoint, separate runtime instances: identical
+        # shapes share the XLA program grid, while the scheduler still has
+        # to split traffic into per-voice groups — the multi-voice cost
+        # under study. (Distinct weights would measure the same thing
+        # slower to set up.)
+        runtimes[f"v{i}"] = bench_mod.get_runtime(rt_args)
 
     rng = np.random.default_rng(args.seed)
     factors = [f for f, _ in LENGTH_MIX]
     weights = np.asarray([w for _, w in LENGTH_MIX])
     weights = weights / weights.sum()
 
-    def run_traffic(server, duration, rng, rate):
+    def run_traffic(submit, duration, rng, rate):
         recs = []
         shed = {"overload": 0, "deadline": 0}
         t_start = time.perf_counter()
@@ -96,7 +111,7 @@ def main(argv=None):
             ids = (FIXTURE_IDS * f)[:4096]
             t_submit = time.perf_counter()
             try:
-                fut = server.submit(ids, noise_scale=None)
+                fut = submit(rng, ids)
             except ServerOverloaded:
                 shed["overload"] += 1
                 next_at += rng.exponential(1.0 / rate)
@@ -118,10 +133,42 @@ def main(argv=None):
             out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
         return out, audio_s, time.perf_counter() - t_start, shed
 
-    with BatchingServer(rt, max_batch=args.max_batch,
-                        max_wait_ms=args.max_wait_ms,
-                        max_pending=args.max_pending,
-                        deadline_ms=args.deadline_ms) as server:
+    if args.voices > 1:
+        server = MultiVoiceBatchingServer(
+            runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_pending=args.max_pending, deadline_ms=args.deadline_ms)
+        voice_keys = list(runtimes)
+
+        def submit(rng, ids):
+            return server.submit(voice_keys[int(rng.integers(len(voice_keys)))],
+                                 ids, noise_scale=None)
+
+        def merged_metrics():
+            per = server.metrics()
+            m = {k: 0 for k in ("groups", "rows", "padded_rows",
+                                "shed_overload", "shed_deadline")}
+            wait_sum = wait_max = 0.0
+            for v in per.values():
+                for k in m:
+                    m[k] += v[k]
+                wait_sum += v["wait_ms_mean"] * v["rows"]
+                wait_max = max(wait_max, v["wait_ms_max"])
+            m["wait_ms_mean"] = wait_sum / m["rows"] if m["rows"] else 0.0
+            m["wait_ms_max"] = wait_max
+            m["rows_per_group"] = m["rows"] / m["groups"] if m["groups"] else 0.0
+            m["per_voice_rows"] = {k: v["rows"] for k, v in per.items()}
+            return m
+    else:
+        server = BatchingServer(rt, max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms,
+                                max_pending=args.max_pending,
+                                deadline_ms=args.deadline_ms)
+
+        def submit(rng, ids):
+            return server.submit(ids, noise_scale=None)
+
+        merged_metrics = server.metrics
+    with server:
         # Prewarm the server's ENTIRE fused program grid deterministically
         # (each phoneme bucket of the mix x its <=3 row rungs) — traffic-shaped warmup
         # is not enough: any (rows, frames) shape first seen mid-traffic is
@@ -133,23 +180,29 @@ def main(argv=None):
                        rt.options.phoneme_buckets, "phoneme")
             for f in factors})
         warm = server.prewarm(p_buckets=p_buckets)
-        print(f"[serving_sim] prewarmed {warm['programs']} grid programs in "
-              f"{warm['seconds']:.0f}s (fpp {warm['frames_per_phoneme']:.2f})",
+        if args.voices > 1:
+            programs = sum(w["programs"] for w in warm.values())
+            secs = sum(w["seconds"] for w in warm.values())
+            fpp = next(iter(warm.values()))["frames_per_phoneme"]
+        else:
+            programs, secs, fpp = (warm["programs"], warm["seconds"],
+                                   warm["frames_per_phoneme"])
+        print(f"[serving_sim] prewarmed {programs} grid programs in "
+              f"{secs:.0f}s (fpp {fpp:.2f})",
               file=sys.stderr)
         rates = ([float(r) for r in args.rates.split(",")] if args.rates
                  else [args.rate])
         # Short warmup traffic pass (steady-state queues, executable
         # instances loaded), then one measured pass per rate.
-        run_traffic(server, min(args.duration, 10.0),
+        run_traffic(submit, min(args.duration, 10.0),
                     np.random.default_rng(args.seed + 1), rates[0])
         for rate in rates:
             # Each pass reports its own counters, not the warmup's or the
             # previous rates' (the server is shared across the sweep).
             server.reset_metrics()
             results, audio_s, wall, shed = run_traffic(
-                server, args.duration, np.random.default_rng(args.seed), rate)
-            server_metrics = server.metrics()
-            report(args, rate, results, audio_s, wall, shed, server_metrics,
+                submit, args.duration, np.random.default_rng(args.seed), rate)
+            report(args, rate, results, audio_s, wall, shed, merged_metrics(),
                    factors)
 
 
@@ -194,7 +247,10 @@ def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
             "wait_ms_max": round(server_metrics["wait_ms_max"], 1),
             "shed_overload": server_metrics["shed_overload"],
             "shed_deadline": server_metrics["shed_deadline"],
+            **({"per_voice_rows": server_metrics["per_voice_rows"]}
+               if "per_voice_rows" in server_metrics else {}),
         },
+        **({"voices": args.voices} if args.voices > 1 else {}),
     }), flush=True)
 
 
