@@ -92,6 +92,23 @@ def _phoneme_ids_for(args, rt: PiperRuntime) -> List[int]:
     raise SystemExit("pass --text, --ipa, or --phoneme-ids (or use the REPL)")
 
 
+def _sentence_ids_for(args, rt: PiperRuntime) -> List[List[int]]:
+    """Phoneme ids per sentence: --text splits into sentences (a paragraph
+    becomes one batched decode with --sentence-silence gaps); --ipa /
+    --phoneme-ids and --no-sentence-split stay single-utterance."""
+    if args.text and not getattr(args, "no_sentence_split", False):
+        from piper_tpu.core.text import split_sentences
+
+        sents = split_sentences(args.text)
+        if len(sents) > 1:
+            from piper_tpu.phonemize import ESpeakPhonemizer
+
+            voice = rt.config.espeak.voice if rt.config.espeak else "en"
+            ph = ESpeakPhonemizer(voice, rt.config.phoneme_id_map)
+            return [ph.phoneme_ids(s) for s in sents]
+    return [_phoneme_ids_for(args, rt)]
+
+
 def _synth_args(args) -> dict:
     out = {}
     if args.noise_scale is not None:
@@ -115,8 +132,36 @@ def run_oneshot(args) -> None:
         stats = rt.prewarm()
         print(f"prewarmed {stats['programs']} programs in {stats['seconds']:.1f}s",
               file=sys.stderr)
-    ids = _phoneme_ids_for(args, rt)
+    ids_list = _sentence_ids_for(args, rt)
+    ids = ids_list[0]
+    gap = np.zeros(int(round(args.sentence_silence * rt.sample_rate)),
+                   np.float32)
     out = args.output or "out.wav"
+    if len(ids_list) > 1 and not args.stream:
+        # A paragraph's sentences form ONE batched decode (the TPU-native
+        # shape for long text), joined with sentence-silence gaps.
+        t0 = time.perf_counter()
+        audios = rt.synthesize_batch(ids_list, **_synth_args(args))
+        wall_ms = (time.perf_counter() - t0) * 1e3
+        parts = []
+        for i, a in enumerate(audios):
+            if i:
+                parts.append(gap)
+            parts.append(np.asarray(a, np.float32))
+        audio = np.concatenate(parts)
+        write_wav(out, audio, rt.sample_rate)
+        secs = len(audio) / rt.sample_rate
+        print(
+            f"wrote {out}: {len(ids_list)} sentences, {len(audio)} samples "
+            f"({secs:.2f}s) in {wall_ms:.1f} ms "
+            f"(RTF {secs * 1e3 / max(wall_ms, 1e-9):.1f}x, batched)"
+        )
+        if args.play:
+            _play(str(out))
+        return
+    if args.stream and len(ids_list) > 1:
+        run_stream_sentences(args, rt, ids_list, gap, out)
+        return
     if args.stream:
         # Incremental decode: audio reaches the file (and, with --play, the
         # player's stdin — playback starts after the FIRST chunk, the analog
@@ -167,6 +212,52 @@ def run_oneshot(args) -> None:
         )
         if args.play:
             _play(str(out))
+
+
+def run_stream_sentences(args, rt: PiperRuntime, ids_list, gap, out) -> None:
+    """--stream over multi-sentence --text: stream each sentence's
+    incremental decode in order, writing sentence-silence gaps between
+    (playback — when available — starts after sentence 1's first chunk)."""
+    from piper_tpu.utils.wav import WavWriter
+
+    player = None
+    if args.play:
+        from piper_tpu.utils.playback import StreamingPlayer
+
+        try:
+            player = StreamingPlayer(rt.sample_rate)
+        except RuntimeError as e:
+            print(f"{e}; will play the finished file instead", file=sys.stderr)
+    t0 = time.perf_counter()
+    first_ms = None
+    n = 0
+    try:
+        with WavWriter(out, rt.sample_rate) as w:
+            for i, ids in enumerate(ids_list):
+                if i and len(gap):
+                    w.append_float32(gap)
+                    if player is not None:
+                        player.play(gap)
+                    n += len(gap)
+                for chunk in rt.synthesize_stream(ids, incremental=True,
+                                                  **_synth_args(args)):
+                    if first_ms is None:
+                        first_ms = (time.perf_counter() - t0) * 1e3
+                    w.append_float32(chunk.samples)
+                    if player is not None:
+                        player.play(chunk.samples)
+                    n += len(chunk.samples)
+            wall_ms = (time.perf_counter() - t0) * 1e3
+    finally:
+        if player is not None:
+            player.close()
+    print(
+        f"wrote {out}: {len(ids_list)} sentences, {n} samples "
+        f"({n / rt.sample_rate:.2f}s) streamed in {wall_ms:.1f} ms "
+        f"(first audio after {first_ms:.1f} ms)"
+    )
+    if args.play and player is None:
+        _play(str(out))
 
 
 def run_repl(args) -> None:
@@ -496,6 +587,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--play", action="store_true", help="play the output WAV")
     p.add_argument("--stream", action="store_true",
                    help="incremental windowed decode (first audio before completion)")
+    p.add_argument("--sentence-silence", type=float, default=0.2,
+                   metavar="SEC",
+                   help="seconds of silence between sentences when --text "
+                        "splits into several (default 0.2, like upstream "
+                        "piper)")
+    p.add_argument("--no-sentence-split", action="store_true",
+                   help="synthesize --text as one utterance instead of "
+                        "splitting sentences into a batched decode")
     p.add_argument("--profile-trace", metavar="DIR",
                    help="capture a jax.profiler/XLA trace of the run into DIR "
                         "(view with TensorBoard)")
