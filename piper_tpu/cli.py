@@ -278,12 +278,33 @@ def run_repl(args) -> None:
                 from piper_tpu.phonemize import ESpeakPhonemizer
 
                 phonemizer = ESpeakPhonemizer(voice, rt.config.phoneme_id_map)
-            ids = phonemizer.phoneme_ids(line)
-            audio = rt.synthesize(ids, **_synth_args(args))
+            from piper_tpu.core.text import split_sentences
+
+            sents = ([line] if getattr(args, "no_sentence_split", False)
+                     else split_sentences(line) or [line])
             out = args.output or f"repl_{n:03d}.wav"
-            write_wav(out, audio, rt.sample_rate)
-            t = rt.last_run_timings
-            print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, RTF {t.rtf:.1f}x)")
+            if len(sents) > 1:
+                audios = rt.synthesize_batch(
+                    [phonemizer.phoneme_ids(s) for s in sents],
+                    **_synth_args(args))
+                gap = np.zeros(int(round(args.sentence_silence
+                                         * rt.sample_rate)), np.float32)
+                parts = []
+                for i, a in enumerate(audios):
+                    if i:
+                        parts.append(gap)
+                    parts.append(np.asarray(a, np.float32))
+                audio = np.concatenate(parts)
+                write_wav(out, audio, rt.sample_rate)
+                print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, "
+                      f"{len(sents)} sentences, batched)")
+            else:
+                ids = phonemizer.phoneme_ids(line)
+                audio = rt.synthesize(ids, **_synth_args(args))
+                write_wav(out, audio, rt.sample_rate)
+                t = rt.last_run_timings
+                print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, "
+                      f"RTF {t.rtf:.1f}x)")
             n += 1
         except Exception as e:  # noqa: BLE001 — REPL keeps going
             print(f"error: {e}", file=sys.stderr)
