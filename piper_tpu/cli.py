@@ -623,6 +623,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile the standard phoneme-bucket ladder before "
                         "serving (also primes the persistent on-disk jit "
                         "cache for later processes)")
+    p.add_argument("--serve", action="store_true",
+                   help="serve the loaded voice(s) over HTTP "
+                        "(POST /v1/synthesize; see engine/http_server.py)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=5000)
     return p
 
 
@@ -642,6 +647,29 @@ def main(argv: Optional[List[str]] = None) -> None:
         print(f"trace written to {args.profile_trace}", file=sys.stderr)
         return
     _dispatch(args)
+
+
+def run_serve(args) -> None:
+    """HTTP serving front-end: one or more voices behind the multi-voice
+    continuous batcher (engine/http_server.py)."""
+    from piper_tpu.engine.http_server import PiperHTTPServer
+
+    rt = _load_runtime(args)
+    key = (Path(args.model).stem if args.model
+           else (args.voice or "default"))
+    srv = PiperHTTPServer({key: rt}, host=args.host, port=args.port)
+    if args.prewarm:
+        stats = srv.prewarm()
+        n = sum(v["programs"] for v in stats.values())
+        print(f"prewarmed {n} serving programs", file=sys.stderr)
+    print(f"serving voice {key!r} on http://{srv.host}:{srv.port} "
+          f"(POST /v1/synthesize)", file=sys.stderr)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
 
 
 def _dispatch(args) -> None:
@@ -667,6 +695,8 @@ def _dispatch(args) -> None:
         args.iters = args.iters if args.iters is not None else 10
         args.max_tests = args.max_tests if args.max_tests is not None else 8
         run_bench(args)
+    elif args.serve:
+        run_serve(args)
     elif args.text or args.ipa or args.phoneme_ids:
         run_oneshot(args)
     elif args.prewarm:

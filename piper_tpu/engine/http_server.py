@@ -1,0 +1,228 @@
+"""HTTP serving API over the multi-voice continuous batcher (stdlib only).
+
+The reference is a CLI/library; a production TTS deployment needs a network
+surface. This module exposes the batched serving stack over plain HTTP with
+no third-party dependencies (http.server), keeping the device discipline
+intact: handler threads only enqueue requests and block on futures — ALL
+device I/O stays on the MultiVoiceBatchingServer's single worker thread.
+
+Endpoints (JSON in, WAV or JSON out):
+
+  POST /v1/synthesize   {"voice": "...", "phoneme_ids": [...]} or
+                        {"ipa": "..."} or {"text": "..."} (text needs
+                        espeak-ng; sentences batch with "sentence_silence"
+                        seconds of gap, default 0.2). Optional
+                        noise_scale / length_scale / noise_w / speaker_id.
+                        Returns audio/wav (or audio/x-raw-int16 with
+                        "format": "pcm").
+  GET  /v1/voices       voice keys + sample rate / speaker count.
+  GET  /v1/metrics      per-voice serving metrics snapshot.
+  GET  /healthz         liveness.
+
+Errors: 400 malformed request, 404 unknown voice/route, 429 admission
+shed (ServerOverloaded / DeadlineExceeded), 500 synthesis failure.
+
+There is deliberately NO chunked-streaming endpoint here: low-latency
+streaming needs the StreamingServer's own device worker, and running it
+concurrently with the batcher would put two threads on the tunneled
+device (the stall documented in docs/BENCH.md). A deployment wanting
+streaming should run a dedicated StreamingServer process.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from piper_tpu.engine.batcher import (DeadlineExceeded,
+                                      MultiVoiceBatchingServer,
+                                      ServerOverloaded)
+from piper_tpu.engine.runtime import PiperRuntime
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV in memory (same layout utils/wav.py writes)."""
+    pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
+    data = (pcm * 32767.0).astype("<i2").tobytes()
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 36 + len(data)))
+    buf.write(b"WAVEfmt ")
+    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16))
+    buf.write(b"data")
+    buf.write(struct.pack("<I", len(data)))
+    buf.write(data)
+    return buf.getvalue()
+
+
+class PiperHTTPServer:
+    """Serve one or more loaded voices over HTTP.
+
+    `runtimes` maps voice key -> PiperRuntime; the first key is the default
+    voice. Batcher kwargs (max_batch, max_pending, deadline_ms, ...) pass
+    through to MultiVoiceBatchingServer."""
+
+    def __init__(self, runtimes: Dict[str, PiperRuntime], *,
+                 host: str = "127.0.0.1", port: int = 0,
+                 **batcher_kwargs):
+        if not runtimes:
+            raise ValueError("at least one voice required")
+        self.runtimes = dict(runtimes)
+        self.default_voice = next(iter(self.runtimes))
+        self.server = MultiVoiceBatchingServer(self.runtimes,
+                                               **batcher_kwargs)
+        self._phonemizers: Dict[str, object] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json") -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code: int, obj) -> None:
+                self._send(code, json.dumps(obj).encode())
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send_json(200, {"ok": True})
+                elif self.path == "/v1/voices":
+                    self._send_json(200, {
+                        k: {"sample_rate": rt.sample_rate,
+                            "num_speakers": rt.hparams.n_speakers,
+                            "phonemes": rt.hparams.n_vocab}
+                        for k, rt in outer.runtimes.items()})
+                elif self.path == "/v1/metrics":
+                    self._send_json(200, outer.server.metrics())
+                else:
+                    self._send_json(404, {"error": "unknown route"})
+
+            def do_POST(self):
+                if self.path != "/v1/synthesize":
+                    self._send_json(404, {"error": "unknown route"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(req, dict):
+                        raise ValueError("body must be a JSON object")
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._send_json(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    audio, rt = outer._synthesize(req)
+                except KeyError as e:
+                    self._send_json(404, {"error": str(e.args[0])})
+                    return
+                except (ServerOverloaded, DeadlineExceeded) as e:
+                    self._send_json(429, {"error": str(e)})
+                    return
+                except ValueError as e:
+                    self._send_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001 — surface as 500
+                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                if req.get("format") == "pcm":
+                    pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2")
+                    self._send(200, pcm.tobytes(), "audio/x-raw-int16")
+                else:
+                    self._send(200, _wav_bytes(audio, rt.sample_rate),
+                               "audio/wav")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+
+    # -- request handling ------------------------------------------------
+
+    def _ids_for(self, req: dict, rt: PiperRuntime):
+        """One id-list (single utterance) or a list of them (sentences)."""
+        if "phoneme_ids" in req:
+            ids = req["phoneme_ids"]
+            if (not isinstance(ids, list) or not ids
+                    or not all(isinstance(i, int) for i in ids)):
+                raise ValueError("phoneme_ids must be a non-empty int list")
+            return [ids]
+        if "ipa" in req:
+            from piper_tpu.core.phonemes import ipa_to_ids
+
+            return [ipa_to_ids(str(req["ipa"]), rt.config.phoneme_id_map)]
+        if "text" in req:
+            from piper_tpu.core.text import split_sentences
+            from piper_tpu.phonemize import ESpeakPhonemizer
+
+            key = id(rt)
+            if key not in self._phonemizers:
+                voice = rt.config.espeak.voice if rt.config.espeak else "en"
+                self._phonemizers[key] = ESpeakPhonemizer(
+                    voice, rt.config.phoneme_id_map)
+            ph = self._phonemizers[key]
+            sents = split_sentences(str(req["text"]))
+            if not sents:
+                raise ValueError("empty text")
+            return [ph.phoneme_ids(s) for s in sents]
+        raise ValueError("pass phoneme_ids, ipa, or text")
+
+    def _synthesize(self, req: dict):
+        voice = req.get("voice", self.default_voice)
+        if voice not in self.runtimes:
+            raise KeyError(f"unknown voice {voice!r}")
+        rt = self.runtimes[voice]
+        kwargs = {k: req[k] for k in
+                  ("noise_scale", "length_scale", "noise_w", "speaker_id")
+                  if req.get(k) is not None}
+        ids_list = self._ids_for(req, rt)
+        futs = [self.server.submit(voice, ids, **kwargs) for ids in ids_list]
+        audios = [f.result(timeout=600) for f in futs]
+        if len(audios) == 1:
+            return np.asarray(audios[0], np.float32), rt
+        gap_s = float(req.get("sentence_silence", 0.2))
+        gap = np.zeros(int(round(gap_s * rt.sample_rate)), np.float32)
+        parts = []
+        for i, a in enumerate(audios):
+            if i:
+                parts.append(gap)
+            parts.append(np.asarray(a, np.float32))
+        return np.concatenate(parts), rt
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def prewarm(self, **kwargs):
+        return self.server.prewarm(**kwargs)
+
+    def start(self) -> None:
+        """Serve in a background thread (handlers never touch the device)."""
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        self.server.close()
+
+    def __enter__(self) -> "PiperHTTPServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -1,0 +1,129 @@
+"""HTTP serving API tests (stdlib client against an ephemeral-port server)."""
+
+import http.client
+import json
+import stat
+import struct
+
+import numpy as np
+import pytest
+
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
+from piper_tpu.engine.http_server import PiperHTTPServer, _wav_bytes
+from piper_tpu.engine.runtime import PiperRuntime
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    d = tmp_path_factory.mktemp("http_voices")
+    m1, _ = make_synthetic_voice(d / "a", quality="test", seed=1,
+                                 voice_name="alpha")
+    m2, _ = make_synthetic_voice(d / "b", quality="test", seed=2,
+                                 voice_name="beta")
+    srv = PiperHTTPServer(
+        {"alpha": PiperRuntime(m1), "beta": PiperRuntime(m2)},
+        port=0, max_batch=4, max_wait_ms=10)
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def _request(server, method, path, body=None):
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=600)
+    try:
+        conn.request(method, path,
+                     body=json.dumps(body).encode() if body is not None else None,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        return resp.status, resp.getheader("Content-Type"), data
+    finally:
+        conn.close()
+
+
+def test_healthz_and_voices(server):
+    st, _, data = _request(server, "GET", "/healthz")
+    assert st == 200 and json.loads(data)["ok"]
+    st, _, data = _request(server, "GET", "/v1/voices")
+    voices = json.loads(data)
+    assert set(voices) == {"alpha", "beta"}
+    assert voices["alpha"]["sample_rate"] > 0
+
+
+def test_synthesize_wav(server):
+    st, ctype, data = _request(server, "POST", "/v1/synthesize",
+                               {"phoneme_ids": list(FIXTURE_IDS)})
+    assert st == 200 and ctype == "audio/wav"
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    n = struct.unpack("<I", data[40:44])[0]
+    assert n > 0 and len(data) == 44 + n
+
+
+def test_synthesize_pcm_and_voice_routing(server):
+    st, ctype, data = _request(
+        server, "POST", "/v1/synthesize",
+        {"voice": "beta", "phoneme_ids": list(FIXTURE_IDS), "format": "pcm"})
+    assert st == 200 and ctype == "audio/x-raw-int16"
+    pcm = np.frombuffer(data, "<i2")
+    assert len(pcm) > 0 and np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_synthesize_ipa(server):
+    st, ctype, data = _request(server, "POST", "/v1/synthesize",
+                               {"ipa": "ab"})
+    assert st == 200 and ctype == "audio/wav"
+
+
+def test_synthesize_text_multi_sentence(server, tmp_path, monkeypatch):
+    script = tmp_path / "espeak-ng"
+    script.write_text("#!/bin/sh\necho 'ab'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr("piper_tpu.phonemize.find_espeak", lambda: str(script))
+    st, _, one = _request(server, "POST", "/v1/synthesize",
+                          {"text": "Hi there.", "format": "pcm"})
+    assert st == 200
+    st, _, two = _request(
+        server, "POST", "/v1/synthesize",
+        {"text": "Hi there. Hi there.", "format": "pcm",
+         "sentence_silence": 0.5})
+    assert st == 200
+    rt = server.runtimes["alpha"]
+    # two sentences + a 0.5 s gap: strictly longer than twice one sentence
+    assert len(two) >= 2 * len(one) + int(0.5 * rt.sample_rate) * 2 - 4
+
+
+def test_errors(server):
+    st, _, data = _request(server, "POST", "/v1/synthesize",
+                           {"voice": "nope", "phoneme_ids": [1, 2]})
+    assert st == 404
+    st, _, data = _request(server, "POST", "/v1/synthesize", {})
+    assert st == 400
+    st, _, data = _request(server, "POST", "/v1/synthesize",
+                           {"phoneme_ids": "not-a-list"})
+    assert st == 400
+    st, _, data = _request(server, "GET", "/v1/nope")
+    assert st == 404
+    st, _, data = _request(server, "POST", "/v1/synthesize",
+                           {"phoneme_ids": [999999]})
+    assert st in (400, 500)  # out-of-vocab rejected
+
+
+def test_metrics_counts(server):
+    st, _, data = _request(server, "GET", "/v1/metrics")
+    assert st == 200
+    m = json.loads(data)
+    assert set(m) == {"alpha", "beta"}
+    assert m["alpha"]["completed"] >= 1
+
+
+def test_wav_bytes_roundtrip(tmp_path):
+    audio = np.sin(np.linspace(0, 20, 500)).astype(np.float32) * 0.5
+    blob = _wav_bytes(audio, 22050)
+    p = tmp_path / "t.wav"
+    p.write_bytes(blob)
+    from piper_tpu.utils.wav import read_wav
+
+    back, sr = read_wav(str(p))
+    assert sr == 22050
+    np.testing.assert_allclose(back, audio, atol=1e-4)
