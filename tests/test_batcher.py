@@ -483,3 +483,36 @@ def test_multivoice_unknown_voice():
     with MultiVoiceBatchingServer({"a": _TaggedStub(1.0, [])}) as srv:
         with pytest.raises(KeyError):
             srv.submit("nope", FIXTURE_IDS)
+
+
+def test_multivoice_concurrent_submitters_stress():
+    """Thread-safety under load: many submitter threads, three voices, one
+    worker — every request completes exactly once with its voice's audio,
+    and the counters reconcile."""
+    import threading as _t
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    log: list = []
+    rts = {f"v{i}": _TaggedStub(float(i + 1), log) for i in range(3)}
+    results: list = []
+    lock = _t.Lock()
+    with MultiVoiceBatchingServer(rts, max_batch=8, max_wait_ms=2) as srv:
+        def client(seed):
+            rng = np.random.default_rng(seed)
+            for _ in range(100):
+                v = int(rng.integers(3))
+                fut = srv.submit(f"v{v}", FIXTURE_IDS[: int(rng.integers(4, 14))])
+                audio = fut.result(timeout=60)
+                with lock:
+                    results.append((v, float(audio[0])))
+        threads = [_t.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        m = srv.metrics()
+    assert len(results) == 800
+    assert all(tag == v + 1 for v, tag in results)
+    total_rows = sum(m[f"v{i}"]["rows"] for i in range(3))
+    total_done = sum(m[f"v{i}"]["completed"] for i in range(3))
+    assert total_rows == 800 and total_done == 800
