@@ -79,7 +79,11 @@ def test_measured_report_on_cpu(tiny_voice):
     assert "encode(enc+dp)" in names and "flow" in names and "vocoder" in names
     assert any(n.startswith("vocoder.up") for n in names)
     for s in rep["stages"]:
-        assert s["ms"] > 0
+        # ms is rounded to 3 decimals in the report; a sub-µs stage on a
+        # tiny voice can legitimately round to 0.0 (seen once under a
+        # fully loaded box), so the positivity check lives on the
+        # unrounded rates below.
+        assert s["ms"] >= 0
         assert s["tf_s"] > 0
         assert s["bound"] in ("compute", "memory")
     assert rep["total_gflops_per_synthesis"] > 0
