@@ -183,6 +183,12 @@ def _enable_persistent_jit_cache() -> None:
         pass
 
 
+
+def _seed_u32(seed) -> int:
+    """Any Python int -> uint32 range. Negative seeds (legal caller input)
+    wrap mod 2**32 like C casts; numpy 2 raises OverflowError otherwise."""
+    return int(seed) & 0xFFFFFFFF
+
 class PiperRuntime:
     """Loads a Piper voice checkpoint and synthesizes speech on TPU/CPU."""
 
@@ -761,7 +767,7 @@ class PiperRuntime:
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array([speaker_id] if speaker_id is not None else None,
                               1, putter=self._put_repl)
-        base_seed = self.options.seed if seed is None else int(seed)
+        base_seed = _seed_u32(self.options.seed if seed is None else seed)
         seed_j = jnp.uint32(base_seed)
 
         halo = receptive_field_frames(hp) if halo_frames is None else int(halo_frames)
@@ -920,7 +926,7 @@ class PiperRuntime:
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array([speaker_id] if speaker_id is not None else None,
                               1, putter=self._put_repl)
-        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         self._mark("stream_head", (p_bucket, c0, halo, sid is not None))
         enc, audio0, total = self._stream_head_keyed(
             self.params, ids_j, lengths_j, seed_j, ls, nw, sid, ns,
@@ -981,8 +987,8 @@ class PiperRuntime:
             speaker_ids = [0 if v is None else int(v) for v in speaker_ids]
         sid = self._sid_array(speaker_ids, b, putter=self._put_repl)
         seed_vals = [
-            self.options.seed if seeds is None or seeds[i] is None
-            else int(seeds[i]) for i in range(b)]
+            _seed_u32(self.options.seed if seeds is None or seeds[i] is None
+                      else seeds[i]) for i in range(b)]
         self._mark("stream_head_batch",
                    (b, p_bucket, c0, halo, sid is not None))
         enc, audio0, totals = self._stream_head_batch_keyed(
@@ -1057,7 +1063,7 @@ class PiperRuntime:
         lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
         sid = self._sid_array([speaker_id] if speaker_id is not None else None, 1)
-        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         budget = max(32, len(ids) * self.options.fused_frames_per_phoneme)
         try:
             f_bucket = bucket_for(budget, self.options.frame_buckets, "frame")
@@ -1191,7 +1197,7 @@ class PiperRuntime:
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         sid = self._sid_array(sids, bp)
-        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         ids_j = self._put_batch(ids)
         lengths_j = self._put_batch(lengths)
         t_start = time.perf_counter()
@@ -1247,7 +1253,7 @@ class PiperRuntime:
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         sid = self._sid_array(sids, bp)
-        seed_j = jnp.uint32(self.options.seed if seed is None else int(seed))
+        seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         # Budget from the longest REAL row (dummy rows copy row 0, so they
         # cannot need more frames than it) — or pinned by the caller for a
         # stable program grid.
@@ -1503,7 +1509,7 @@ class PiperRuntime:
             speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         putter = self._put_repl if injected else self._put_batch
         sid = self._sid_array(speaker_ids, bp, putter=putter)
-        base_seed = self.options.seed if seed is None else int(seed)
+        base_seed = _seed_u32(self.options.seed if seed is None else seed)
         seed_j = jnp.uint32(base_seed)
 
         ids_j = putter(ids)

@@ -254,3 +254,18 @@ def test_roofline_dp_flows_matches_reverse_pass():
     # dp_n_flows=2 case: pre + convs + 1 ConvFlow => removing that one
     # ConvFlow's cost leaves the pre+convs part, which must be positive.
     assert c2.flops - per_flow > 0
+
+
+def test_negative_seed_wraps_not_raises(tiny_runtime):
+    """Negative integer seeds are legal caller input and must wrap mod 2**32
+    (numpy 2 raises OverflowError on uint32(-1) otherwise). Wrapped seeds
+    are also deterministic: -1 and 2**32 - 1 are the same stream."""
+    import numpy as np
+
+    a = tiny_runtime.synthesize(FIXTURE_IDS, seed=-1)
+    b = tiny_runtime.synthesize(FIXTURE_IDS, seed=(1 << 32) - 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # streaming + batched head paths accept negatives too
+    chunks = list(tiny_runtime.synthesize_stream(FIXTURE_IDS,
+                                                 incremental=True, seed=-1000))
+    assert chunks and chunks[-1].is_final
