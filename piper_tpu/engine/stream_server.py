@@ -90,7 +90,12 @@ class StreamingServer:
 
     emit_frames: frames of audio emitted per steady-state window (every
     window additionally computes a receptive-field halo on each side, so
-    small values overcompute). c0: the head window's emitted frames (TTFB).
+    small values overcompute — measured on the dev chip at 8 streams the
+    halo tax puts 256-frame windows at 55-62x aggregate vs 80x for
+    512/768, docs/BENCH.md "emit-frames sweep"; default 512). TTFB is set
+    by c0, not emit_frames; per-chunk cadence is emit_frames*hop samples,
+    so latency-sensitive consumers can lower it. c0: the head window's
+    emitted frames (TTFB).
     row_rungs: batch sizes the window program compiles for (rows pad up).
     head_rungs: batch sizes the BATCHED head program compiles for — a burst
     of simultaneous arrivals (same phoneme bucket) runs its fused heads in
@@ -103,7 +108,7 @@ class StreamingServer:
         self,
         runtime,
         *,
-        emit_frames: int = 256,
+        emit_frames: int = 512,
         c0: Optional[int] = None,
         row_rungs: Sequence[int] = (1, 2, 4, 8, 16, 32),
         head_rungs: Optional[Sequence[int]] = None,
