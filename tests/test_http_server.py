@@ -127,3 +127,16 @@ def test_wav_bytes_roundtrip(tmp_path):
     back, sr = read_wav(str(p))
     assert sr == 22050
     np.testing.assert_allclose(back, audio, atol=1e-4)
+
+
+def test_admission_shed_maps_to_429(tmp_path_factory):
+    d = tmp_path_factory.mktemp("http_shed")
+    m, _ = make_synthetic_voice(d, quality="test", seed=3)
+    # max_pending=0: every request sheds at the door -> HTTP 429
+    with PiperHTTPServer({"v": PiperRuntime(m)}, port=0,
+                         max_pending=0) as srv:
+        srv.start()
+        st, _, data = _request(srv, "POST", "/v1/synthesize",
+                               {"phoneme_ids": list(FIXTURE_IDS)})
+        assert st == 429
+        assert "pending" in json.loads(data)["error"]

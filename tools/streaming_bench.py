@@ -40,7 +40,9 @@ def run_config(rt, ids, args, head_rungs=None, label="batched_heads"):
 
     sr = rt.sample_rate
     srv = StreamingServer(
-        rt, emit_frames=args.emit_frames,
+        rt,
+        **({"emit_frames": args.emit_frames}
+           if args.emit_frames is not None else {}),
         **({"c0": args.c0} if args.c0 is not None else {}),
         **({"head_rungs": head_rungs} if head_rungs is not None else {}),
         max_sessions=max(64, args.streams),
@@ -117,7 +119,7 @@ def run_config(rt, ids, args, head_rungs=None, label="batched_heads"):
         "unit": "x_realtime",
         "streams": args.streams,
         "phonemes": args.phonemes,
-        "emit_frames": args.emit_frames,
+        "emit_frames": srv.emit_frames,
         "quality": args.quality,
         "prewarm_s": round(prewarm_s, 1),
         "prewarm_programs": warm.get("programs"),
@@ -143,7 +145,8 @@ def main(argv=None):
                     help="untimed rounds before measurement (absorbs the "
                          "one-time concurrent-executable load — CLAUDE.md)")
     ap.add_argument("--phonemes", type=int, default=224)
-    ap.add_argument("--emit-frames", type=int, default=256)
+    ap.add_argument("--emit-frames", type=int, default=None,
+                help="steady-state window frames (default: the server's default, 512)")
     ap.add_argument("--c0", type=int, default=None)
     ap.add_argument("--head-rungs", default=None,
                     help="comma-separated batched-head rung ladder "
