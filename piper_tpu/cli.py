@@ -122,6 +122,16 @@ def _synth_args(args) -> dict:
     return out
 
 
+def _batch_synth_args(args, n_rows: int) -> dict:
+    """_synth_args translated for synthesize_batch, which takes
+    speaker_ids (one per row) instead of a scalar speaker_id."""
+    out = _synth_args(args)
+    sid = out.pop("speaker_id", None)
+    if sid is not None:
+        out["speaker_ids"] = [sid] * n_rows
+    return out
+
+
 def run_oneshot(args) -> None:
     import time
 
@@ -132,23 +142,22 @@ def run_oneshot(args) -> None:
         stats = rt.prewarm()
         print(f"prewarmed {stats['programs']} programs in {stats['seconds']:.1f}s",
               file=sys.stderr)
+    if args.sentence_silence < 0:
+        raise SystemExit("--sentence-silence must be >= 0")
     ids_list = _sentence_ids_for(args, rt)
     ids = ids_list[0]
-    gap = np.zeros(int(round(args.sentence_silence * rt.sample_rate)),
-                   np.float32)
+    gap_samples = int(round(args.sentence_silence * rt.sample_rate))
     out = args.output or "out.wav"
     if len(ids_list) > 1 and not args.stream:
         # A paragraph's sentences form ONE batched decode (the TPU-native
         # shape for long text), joined with sentence-silence gaps.
+        from piper_tpu.core.audio import join_with_silence
+
         t0 = time.perf_counter()
-        audios = rt.synthesize_batch(ids_list, **_synth_args(args))
+        audios = rt.synthesize_batch(ids_list, **_batch_synth_args(
+            args, len(ids_list)))
         wall_ms = (time.perf_counter() - t0) * 1e3
-        parts = []
-        for i, a in enumerate(audios):
-            if i:
-                parts.append(gap)
-            parts.append(np.asarray(a, np.float32))
-        audio = np.concatenate(parts)
+        audio = join_with_silence(audios, gap_samples)
         write_wav(out, audio, rt.sample_rate)
         secs = len(audio) / rt.sample_rate
         print(
@@ -160,7 +169,8 @@ def run_oneshot(args) -> None:
             _play(str(out))
         return
     if args.stream and len(ids_list) > 1:
-        run_stream_sentences(args, rt, ids_list, gap, out)
+        run_stream_sentences(args, rt, ids_list,
+                             np.zeros(gap_samples, np.float32), out)
         return
     if args.stream:
         # Incremental decode: audio reaches the file (and, with --play, the
@@ -284,17 +294,15 @@ def run_repl(args) -> None:
                      else split_sentences(line) or [line])
             out = args.output or f"repl_{n:03d}.wav"
             if len(sents) > 1:
+                from piper_tpu.core.audio import join_with_silence
+
                 audios = rt.synthesize_batch(
                     [phonemizer.phoneme_ids(s) for s in sents],
-                    **_synth_args(args))
-                gap = np.zeros(int(round(args.sentence_silence
-                                         * rt.sample_rate)), np.float32)
-                parts = []
-                for i, a in enumerate(audios):
-                    if i:
-                        parts.append(gap)
-                    parts.append(np.asarray(a, np.float32))
-                audio = np.concatenate(parts)
+                    **_batch_synth_args(args, len(sents)))
+                audio = join_with_silence(
+                    audios,
+                    int(round(max(args.sentence_silence, 0.0)
+                              * rt.sample_rate)))
                 write_wav(out, audio, rt.sample_rate)
                 print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, "
                       f"{len(sents)} sentences, batched)")

@@ -40,3 +40,20 @@ def float_to_int16(samples: np.ndarray) -> np.ndarray:
         return arr
     scaled = np.clip(arr.astype(np.float32), -1.0, 1.0) * 32767.0
     return scaled.astype(np.int16)
+
+
+def join_with_silence(audios, gap_samples: int) -> np.ndarray:
+    """Concatenate float32 audio arrays with `gap_samples` of silence
+    between consecutive parts (one join helper so the CLI, REPL, and HTTP
+    sentence paths cannot drift)."""
+    gap_samples = int(gap_samples)
+    if gap_samples < 0:
+        raise ValueError(f"sentence_silence must be >= 0 (gap of "
+                         f"{gap_samples} samples requested)")
+    gap = np.zeros(gap_samples, np.float32)
+    parts = []
+    for i, a in enumerate(audios):
+        if i and gap_samples:
+            parts.append(gap)
+        parts.append(np.asarray(a, np.float32))
+    return np.concatenate(parts) if parts else np.zeros(0, np.float32)

@@ -40,7 +40,8 @@ _TERMINATOR = re.compile(
 def _is_abbreviation(prefix: str) -> bool:
     """Does `prefix` (text up to and including a '.') end in an
     abbreviation or an initial?"""
-    word = prefix.rstrip(".").rsplit(None, 1)[-1] if prefix.strip() else ""
+    parts = prefix.rstrip(".").rsplit(None, 1)
+    word = parts[-1] if parts else ""  # '.'/whitespace-only prefix -> no word
     word = word.lstrip("('\"“‘[")
     if not word:
         return False

@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import io
 import json
-import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -47,18 +46,13 @@ from piper_tpu.engine.runtime import PiperRuntime
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
-    """Mono 16-bit PCM WAV in memory (same layout utils/wav.py writes)."""
-    pcm = np.clip(np.asarray(audio, np.float32), -1.0, 1.0)
-    data = (pcm * 32767.0).astype("<i2").tobytes()
+    """Mono 16-bit PCM WAV in memory (the one WavWriter serializer, over a
+    BytesIO, so the on-disk and over-the-wire formats cannot drift)."""
+    from piper_tpu.utils.wav import WavWriter
+
     buf = io.BytesIO()
-    buf.write(b"RIFF")
-    buf.write(struct.pack("<I", 36 + len(data)))
-    buf.write(b"WAVEfmt ")
-    buf.write(struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                          sample_rate * 2, 2, 16))
-    buf.write(b"data")
-    buf.write(struct.pack("<I", len(data)))
-    buf.write(data)
+    with WavWriter(buf, sample_rate) as w:
+        w.append_float32(np.asarray(audio, np.float32))
     return buf.getvalue()
 
 
@@ -82,6 +76,11 @@ class PiperHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # Socket timeout: a client that stalls mid-body (or lies about
+            # Content-Length) times out instead of pinning a handler
+            # thread forever.
+            timeout = 60
+
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
@@ -116,6 +115,13 @@ class PiperHTTPServer:
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    # Never trust the client's length: negative reads to
+                    # EOF, oversized blocks until timeout.
+                    if n < 0:
+                        raise ValueError("negative Content-Length")
+                    if n > 16 << 20:
+                        self._send_json(413, {"error": "body too large"})
+                        return
                     req = json.loads(self.rfile.read(n) or b"{}")
                     if not isinstance(req, dict):
                         raise ValueError("body must be a JSON object")
@@ -147,6 +153,7 @@ class PiperHTTPServer:
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
+        self._serving = False
 
     # -- request handling ------------------------------------------------
 
@@ -191,14 +198,12 @@ class PiperHTTPServer:
         audios = [f.result(timeout=600) for f in futs]
         if len(audios) == 1:
             return np.asarray(audios[0], np.float32), rt
+        from piper_tpu.core.audio import join_with_silence
+
         gap_s = float(req.get("sentence_silence", 0.2))
-        gap = np.zeros(int(round(gap_s * rt.sample_rate)), np.float32)
-        parts = []
-        for i, a in enumerate(audios):
-            if i:
-                parts.append(gap)
-            parts.append(np.asarray(a, np.float32))
-        return np.concatenate(parts), rt
+        # join_with_silence raises ValueError on negative -> HTTP 400.
+        return join_with_silence(
+            audios, int(round(gap_s * rt.sample_rate))), rt
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -207,15 +212,21 @@ class PiperHTTPServer:
 
     def start(self) -> None:
         """Serve in a background thread (handlers never touch the device)."""
+        self._serving = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
 
     def serve_forever(self) -> None:
+        self._serving = True
         self.httpd.serve_forever()
 
     def close(self) -> None:
-        self.httpd.shutdown()
+        # shutdown() waits on an event only serve_forever() sets — calling
+        # it when serve_forever never ran deadlocks forever (e.g. `with`
+        # body raising before start()), so only signal a running loop.
+        if self._serving:
+            self.httpd.shutdown()
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=30)

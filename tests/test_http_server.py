@@ -140,3 +140,48 @@ def test_admission_shed_maps_to_429(tmp_path_factory):
                                {"phoneme_ids": list(FIXTURE_IDS)})
         assert st == 429
         assert "pending" in json.loads(data)["error"]
+
+
+def test_close_without_start_does_not_hang(tmp_path_factory):
+    """Review finding: httpd.shutdown() deadlocks when serve_forever never
+    ran; close() must return promptly for a constructed-but-never-started
+    server (e.g. a `with` body failing before start())."""
+    import threading
+
+    d = tmp_path_factory.mktemp("http_nostart")
+    m, _ = make_synthetic_voice(d, quality="test", seed=5)
+    srv = PiperHTTPServer({"v": PiperRuntime(m)}, port=0)
+    done = threading.Event()
+
+    def closer():
+        srv.close()
+        done.set()
+
+    t = threading.Thread(target=closer, daemon=True)
+    t.start()
+    assert done.wait(timeout=30), "close() hung without serve_forever"
+
+
+def test_bad_content_length_and_negative_silence(server, tmp_path,
+                                                 monkeypatch):
+    # negative Content-Length -> 400 (never read-to-EOF)
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=60)
+    try:
+        conn.putrequest("POST", "/v1/synthesize")
+        conn.putheader("Content-Length", "-1")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+    finally:
+        conn.close()
+    # negative sentence_silence -> 400 with a clear message
+    script = tmp_path / "espeak-ng"
+    script.write_text("#!/bin/sh\necho 'ab'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr("piper_tpu.phonemize.find_espeak", lambda: str(script))
+    st, _, data = _request(server, "POST", "/v1/synthesize",
+                           {"text": "One two. Three four.",
+                            "sentence_silence": -1})
+    assert st == 400
+    assert "sentence_silence" in json.loads(data)["error"]

@@ -95,3 +95,45 @@ def test_cli_multi_sentence_stream(voice, tmp_path, fake_espeak, capsys):
     audio, sr = _read_wav(str(out))
     assert len(audio) > int(0.1 * sr)
     assert np.isfinite(audio).all()
+
+
+@pytest.mark.parametrize("text,want", [
+    # terminator-led / dots-only prefixes must not crash (review finding)
+    (". Hello there. Bye.", [".", "Hello there.", "Bye."]),
+    ("... so it begins. Done.", ["... so it begins.", "Done."]),
+    ("...", ["..."]),
+])
+def test_split_sentences_degenerate_prefixes(text, want):
+    assert split_sentences(text) == want
+
+
+def test_join_with_silence_rejects_negative():
+    from piper_tpu.core.audio import join_with_silence
+
+    with pytest.raises(ValueError):
+        join_with_silence([np.zeros(4, np.float32)] * 2, -10)
+    out = join_with_silence([np.ones(2, np.float32), np.ones(3, np.float32)], 5)
+    assert len(out) == 10 and (out[2:7] == 0).all()
+
+
+def test_cli_multi_sentence_speaker_id(tmp_path, fake_espeak, capsys):
+    """--speaker-id must reach the batched sentence path as per-row
+    speaker_ids (review finding: synthesize_batch has no speaker_id kwarg)."""
+    from piper_tpu import cli
+    from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+    model, _ = make_synthetic_voice(tmp_path / "ms", quality="test", seed=4,
+                                    n_speakers=3, gin_channels=16)
+    out = tmp_path / "ms.wav"
+    cli.main(["--model", str(model), "--text", "First one. Second one!",
+              "--speaker-id", "2", "-o", str(out)])
+    assert "2 sentences" in capsys.readouterr().out
+
+
+def test_cli_negative_sentence_silence_is_usage_error(tmp_path, fake_espeak,
+                                                      voice):
+    from piper_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(voice), "--text", "A one. B two.",
+                  "--sentence-silence", "-0.1", "-o", str(tmp_path / "x.wav")])
