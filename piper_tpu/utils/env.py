@@ -15,6 +15,7 @@ SURVEY.md §5.6) — read in one place so the full list is discoverable.
 | PIPER_TPU_NO_PALLAS     | =1 disables the fused Pallas kernels (XLA lowering) |
 | PIPER_TPU_FUSE_MRF      | =1/=0 force whole-MRF fusion on/off (default: ch<=32 levels only) |
 | PIPER_TPU_NO_JIT_CACHE  | =1 disables the persistent on-disk XLA jit cache    |
+| PIPER_TPU_PALLAS_INTERPRET | =1 runs Pallas kernels in interpreter mode (CPU CI exercises the exact kernel plumbing) |
 """
 
 from __future__ import annotations
