@@ -307,7 +307,12 @@ def main(argv=None):
             srv.row_rungs[0]]
         srv.prewarm(phoneme_lengths=(len(ids_long),), row_rungs=rungs)
         agg, ttfb_all, total_all = [], [], []
-        for rnd in range(2):
+        # Round -1 is an untimed warmup: the FIRST time several executions
+        # are ever in flight the device loads a second executable instance
+        # (~25 s one-time — docs/BENCH.md), which otherwise lands in the
+        # measured TTFB tail (observed: p95 4.9 s on a round-0-included run
+        # vs ~200 ms warm).
+        for rnd in range(-1, 2):
             lock = threading.Lock()
             ttfbs, totals, sample_counts, errs = [], [], [], []
 
@@ -338,6 +343,8 @@ def main(argv=None):
             if errs or not sample_counts:
                 streaming_server_row = {"error": errs[:3]}
                 break
+            if rnd < 0:
+                continue  # warmup round: absorb, don't report
             agg.append(sum(sample_counts) / rt.sample_rate / wall)
             ttfb_all.extend(ttfbs)
             total_all.extend(totals)
