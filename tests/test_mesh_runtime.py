@@ -142,3 +142,27 @@ def test_stream_server_on_mesh(mesh_runtime):
             np.testing.assert_allclose(results[i], ref, atol=1e-5)
     finally:
         srv.shutdown()
+
+
+@pytest.mark.slow
+def test_multivoice_batching_over_mesh(tiny_voice, mesh):
+    """Two mesh runtimes (same dp mesh, independently replicated params)
+    behind one MultiVoiceBatchingServer: multi-voice continuous batching and
+    dp sharding compose — still one worker thread owning all device I/O."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    rts = {
+        "a": PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"),
+                          mesh=mesh),
+        "b": PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"),
+                          mesh=mesh),
+    }
+    with MultiVoiceBatchingServer(rts, max_batch=8, max_wait_ms=30) as srv:
+        futs = []
+        for i in range(6):
+            futs.append(srv.submit("a" if i % 2 else "b",
+                                   FIXTURE_IDS[: 6 + i]))
+        audios = [f.result(timeout=600) for f in futs]
+    assert all(len(a) > 0 and np.isfinite(a).all() for a in audios)
+    m = srv.metrics()
+    assert m["a"]["rows"] == 3 and m["b"]["rows"] == 3
