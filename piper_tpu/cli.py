@@ -659,19 +659,30 @@ def main(argv: Optional[List[str]] = None) -> None:
 
 def run_serve(args) -> None:
     """HTTP serving front-end: one or more voices behind the multi-voice
-    continuous batcher (engine/http_server.py)."""
+    continuous batcher (engine/http_server.py). `--model` takes a comma
+    list in serve mode (each .onnx pairs with its sibling .onnx.json), so
+    one process serves several voices."""
     from piper_tpu.engine.http_server import PiperHTTPServer
 
-    rt = _load_runtime(args)
-    key = (Path(args.model).stem if args.model
-           else (args.voice or "default"))
-    srv = PiperHTTPServer({key: rt}, host=args.host, port=args.port)
+    runtimes = {}
+    if args.model and "," in str(args.model):
+        for path in str(args.model).split(","):
+            path = path.strip()
+            runtimes[Path(path).stem] = PiperRuntime(path, None,
+                                                     _cli_options(args))
+    else:
+        rt = _load_runtime(args)
+        key = (Path(args.model).stem if args.model
+               else (args.voice or "default"))
+        runtimes[key] = rt
+    srv = PiperHTTPServer(runtimes, host=args.host, port=args.port)
     if args.prewarm:
         stats = srv.prewarm()
         n = sum(v["programs"] for v in stats.values())
         print(f"prewarmed {n} serving programs", file=sys.stderr)
-    print(f"serving voice {key!r} on http://{srv.host}:{srv.port} "
-          f"(POST /v1/synthesize)", file=sys.stderr)
+    print(f"serving voice(s) {sorted(runtimes)} on "
+          f"http://{srv.host}:{srv.port} (POST /v1/synthesize)",
+          file=sys.stderr)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -212,3 +212,47 @@ def test_http_concurrent_clients_soak(server):
     for t in threads:
         t.join()
     assert not errors, errors[:3]
+
+
+@pytest.mark.slow
+def test_cli_serve_multiple_models(tmp_path_factory):
+    """`piper --serve --model a.onnx,b.onnx` hosts both voices in one
+    process (subprocess test: parse the bound port from stderr, hit
+    /v1/voices, shut down)."""
+    import os
+    import re
+    import subprocess
+    import sys
+    import time as _time
+
+    d = tmp_path_factory.mktemp("serve_cli")
+    m1, _ = make_synthetic_voice(d / "a", quality="test", seed=1,
+                                 voice_name="serve-a")
+    m2, _ = make_synthetic_voice(d / "b", quality="test", seed=2,
+                                 voice_name="serve-b")
+    env = dict(os.environ, PIPER_TPU_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "piper_tpu.cli", "--serve", "--port", "0",
+         "--model", f"{m1},{m2}"],
+        stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        port = None
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            line = proc.stderr.readline()
+            m = re.search(r"http://[\d.]+:(\d+)", line or "")
+            if m:
+                port = int(m.group(1))
+                break
+            if proc.poll() is not None:
+                raise AssertionError("serve process exited early")
+        assert port, "no serving banner seen"
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/v1/voices")
+        resp = conn.getresponse()
+        voices = json.loads(resp.read())
+        conn.close()
+        assert set(voices) == {m1.stem, m2.stem}
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
