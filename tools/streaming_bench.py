@@ -84,8 +84,15 @@ def run_config(rt, ids, args, head_rungs=None, label="batched_heads"):
         t_round = time.perf_counter()
         threads = [threading.Thread(target=client, args=(i,))
                    for i in range(args.streams)]
+        rng_arr = np.random.default_rng(abs(rnd) + 1)
         for t in threads:
             t.start()
+            if args.arrival_rate:
+                # Poisson arrivals instead of a simultaneous burst: each
+                # stream opens after an exponential gap, so TTFB reflects a
+                # lone arrival joining live steady-state traffic (the burst
+                # default measures the adversarial all-at-once case).
+                time.sleep(float(rng_arr.exponential(1.0 / args.arrival_rate)))
         for t in threads:
             t.join()
         wall = time.perf_counter() - t_round
@@ -120,6 +127,7 @@ def run_config(rt, ids, args, head_rungs=None, label="batched_heads"):
         "streams": args.streams,
         "phonemes": args.phonemes,
         "emit_frames": srv.emit_frames,
+        "arrival_rate": args.arrival_rate,
         "quality": args.quality,
         "prewarm_s": round(prewarm_s, 1),
         "prewarm_programs": warm.get("programs"),
@@ -148,6 +156,10 @@ def main(argv=None):
     ap.add_argument("--emit-frames", type=int, default=None,
                 help="steady-state window frames (default: the server's default, 512)")
     ap.add_argument("--c0", type=int, default=None)
+    ap.add_argument("--arrival-rate", type=float, default=0.0,
+                    help="streams/second Poisson arrivals (0 = the default "
+                         "simultaneous burst); measures the lone-arrival "
+                         "TTFB the burst case cannot")
     ap.add_argument("--head-rungs", default=None,
                     help="comma-separated batched-head rung ladder "
                          "(e.g. '1' = solo heads only)")
