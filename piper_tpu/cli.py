@@ -661,9 +661,30 @@ def run_serve(args) -> None:
     """HTTP serving front-end: one or more voices behind the multi-voice
     continuous batcher (engine/http_server.py). `--model` takes a comma
     list in serve mode (each .onnx pairs with its sibling .onnx.json), so
-    one process serves several voices."""
+    one process serves several voices. With --stream, serve the chunked
+    low-latency endpoint instead (one voice per process — the streaming
+    worker must own the device alone)."""
     from piper_tpu.engine.http_server import PiperHTTPServer
 
+    if args.stream:
+        from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+
+        if args.model and "," in str(args.model):
+            raise SystemExit("--serve --stream hosts ONE voice per process "
+                             "(the streaming worker owns the device)")
+        rt = _load_runtime(args)
+        srv = PiperStreamingHTTPServer(rt, host=args.host, port=args.port)
+        if args.prewarm:
+            srv.prewarm()
+        print(f"streaming on http://{srv.host}:{srv.port} "
+              f"(POST /v1/stream, chunked)", file=sys.stderr)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.close()
+        return
     runtimes = {}
     if args.model and "," in str(args.model):
         for path in str(args.model).split(","):

@@ -22,11 +22,12 @@ Endpoints (JSON in, WAV or JSON out):
 Errors: 400 malformed request, 404 unknown voice/route, 429 admission
 shed (ServerOverloaded / DeadlineExceeded), 500 synthesis failure.
 
-There is deliberately NO chunked-streaming endpoint here: low-latency
-streaming needs the StreamingServer's own device worker, and running it
-concurrently with the batcher would put two threads on the tunneled
-device (the stall documented in docs/BENCH.md). A deployment wanting
-streaming should run a dedicated StreamingServer process.
+There is deliberately NO chunked-streaming endpoint on PiperHTTPServer:
+low-latency streaming needs the StreamingServer's own device worker, and
+running it concurrently with the batcher would put two threads on the
+tunneled device (the stall documented in docs/BENCH.md). Streaming
+deployments run PiperStreamingHTTPServer (below) as its own process —
+chunked `POST /v1/stream`, one voice per process, CLI `--serve --stream`.
 """
 
 from __future__ import annotations
@@ -43,6 +44,54 @@ from piper_tpu.engine.batcher import (DeadlineExceeded,
                                       MultiVoiceBatchingServer,
                                       ServerOverloaded)
 from piper_tpu.engine.runtime import PiperRuntime
+
+
+def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
+    """One id-list (single utterance) or a list of them (sentences)."""
+    if "phoneme_ids" in req:
+        ids = req["phoneme_ids"]
+        if (not isinstance(ids, list) or not ids
+                or not all(isinstance(i, int) for i in ids)):
+            raise ValueError("phoneme_ids must be a non-empty int list")
+        return [ids]
+    if "ipa" in req:
+        from piper_tpu.core.phonemes import ipa_to_ids
+
+        return [ipa_to_ids(str(req["ipa"]), rt.config.phoneme_id_map)]
+    if "text" in req:
+        from piper_tpu.core.text import split_sentences
+        from piper_tpu.phonemize import ESpeakPhonemizer
+
+        key = id(rt)
+        if key not in phonemizers:
+            voice = rt.config.espeak.voice if rt.config.espeak else "en"
+            phonemizers[key] = ESpeakPhonemizer(voice,
+                                                rt.config.phoneme_id_map)
+        ph = phonemizers[key]
+        sents = split_sentences(str(req["text"]))
+        if not sents:
+            raise ValueError("empty text")
+        return [ph.phoneme_ids(s) for s in sents]
+    raise ValueError("pass phoneme_ids, ipa, or text")
+
+
+def _read_json_body(handler) -> Optional[dict]:
+    """Parse a bounded JSON object body; sends the error response and
+    returns None on failure (the Content-Length is never trusted)."""
+    try:
+        n = int(handler.headers.get("Content-Length", 0))
+        if n < 0:
+            raise ValueError("negative Content-Length")
+        if n > 16 << 20:
+            handler._send_json(413, {"error": "body too large"})
+            return None
+        req = json.loads(handler.rfile.read(n) or b"{}")
+        if not isinstance(req, dict):
+            raise ValueError("body must be a JSON object")
+        return req
+    except (ValueError, json.JSONDecodeError) as e:
+        handler._send_json(400, {"error": f"bad request: {e}"})
+        return None
 
 
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
@@ -113,20 +162,8 @@ class PiperHTTPServer:
                 if self.path != "/v1/synthesize":
                     self._send_json(404, {"error": "unknown route"})
                     return
-                try:
-                    n = int(self.headers.get("Content-Length", 0))
-                    # Never trust the client's length: negative reads to
-                    # EOF, oversized blocks until timeout.
-                    if n < 0:
-                        raise ValueError("negative Content-Length")
-                    if n > 16 << 20:
-                        self._send_json(413, {"error": "body too large"})
-                        return
-                    req = json.loads(self.rfile.read(n) or b"{}")
-                    if not isinstance(req, dict):
-                        raise ValueError("body must be a JSON object")
-                except (ValueError, json.JSONDecodeError) as e:
-                    self._send_json(400, {"error": f"bad request: {e}"})
+                req = _read_json_body(self)
+                if req is None:
                     return
                 try:
                     audio, rt = outer._synthesize(req)
@@ -158,32 +195,7 @@ class PiperHTTPServer:
     # -- request handling ------------------------------------------------
 
     def _ids_for(self, req: dict, rt: PiperRuntime):
-        """One id-list (single utterance) or a list of them (sentences)."""
-        if "phoneme_ids" in req:
-            ids = req["phoneme_ids"]
-            if (not isinstance(ids, list) or not ids
-                    or not all(isinstance(i, int) for i in ids)):
-                raise ValueError("phoneme_ids must be a non-empty int list")
-            return [ids]
-        if "ipa" in req:
-            from piper_tpu.core.phonemes import ipa_to_ids
-
-            return [ipa_to_ids(str(req["ipa"]), rt.config.phoneme_id_map)]
-        if "text" in req:
-            from piper_tpu.core.text import split_sentences
-            from piper_tpu.phonemize import ESpeakPhonemizer
-
-            key = id(rt)
-            if key not in self._phonemizers:
-                voice = rt.config.espeak.voice if rt.config.espeak else "en"
-                self._phonemizers[key] = ESpeakPhonemizer(
-                    voice, rt.config.phoneme_id_map)
-            ph = self._phonemizers[key]
-            sents = split_sentences(str(req["text"]))
-            if not sents:
-                raise ValueError("empty text")
-            return [ph.phoneme_ids(s) for s in sents]
-        raise ValueError("pass phoneme_ids, ipa, or text")
+        return _ids_for_request(req, rt, self._phonemizers)
 
     def _synthesize(self, req: dict):
         voice = req.get("voice", self.default_voice)
@@ -233,6 +245,144 @@ class PiperHTTPServer:
         self.server.close()
 
     def __enter__(self) -> "PiperHTTPServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class PiperStreamingHTTPServer:
+    """Low-latency chunked streaming over HTTP for ONE voice.
+
+    A separate server class — and a separate deployment PROCESS — from
+    PiperHTTPServer: the StreamingServer owns its device worker thread, and
+    running it alongside the batcher would put two threads on the tunneled
+    device (the stall documented in docs/BENCH.md). One voice per process
+    for the same reason.
+
+    POST /v1/stream  {phoneme_ids|ipa|text, seed?, noise_scale?,
+                      length_scale?, noise_w?, speaker_id?,
+                      sentence_silence?}
+      -> HTTP/1.1 Transfer-Encoding: chunked, audio/x-raw-int16 — one HTTP
+         chunk per decoded window, the first after ~TTFB (60-110 ms lone-
+         arrival on the dev chip), concurrent requests batch their
+         steady-state windows on the chip. X-Sample-Rate carries the rate.
+    GET /healthz, /v1/metrics.
+
+    Mid-stream synthesis failures truncate the chunked body (the client
+    sees an incomplete stream); validation failures are JSON errors before
+    any audio byte is sent.
+    """
+
+    def __init__(self, runtime: PiperRuntime, *, host: str = "127.0.0.1",
+                 port: int = 0, **stream_kwargs):
+        from piper_tpu.core.audio import float_to_int16
+        from piper_tpu.engine.stream_server import StreamingServer
+
+        self.rt = runtime
+        self.server = StreamingServer(runtime, **stream_kwargs)
+        self._phonemizers: Dict[int, object] = {}
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+            timeout = 60
+
+            def log_message(self, fmt, *args):
+                pass
+
+            def _send(self, code: int, body: bytes,
+                      ctype: str = "application/json") -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, code: int, obj) -> None:
+                self._send(code, json.dumps(obj).encode())
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send_json(200, {"ok": True})
+                elif self.path == "/v1/metrics":
+                    self._send_json(200, outer.server.metrics())
+                else:
+                    self._send_json(404, {"error": "unknown route"})
+
+            def do_POST(self):
+                if self.path != "/v1/stream":
+                    self._send_json(404, {"error": "unknown route"})
+                    return
+                req = _read_json_body(self)
+                if req is None:
+                    return
+                try:
+                    ids_list = _ids_for_request(req, outer.rt,
+                                                outer._phonemizers)
+                    gap_s = float(req.get("sentence_silence", 0.2))
+                    if gap_s < 0:
+                        raise ValueError("sentence_silence must be >= 0")
+                    gap_pcm = float_to_int16(
+                        np.zeros(int(round(gap_s * outer.rt.sample_rate)),
+                                 np.float32)).tobytes()
+                    kwargs = {k: req[k] for k in
+                              ("seed", "noise_scale", "length_scale",
+                               "noise_w", "speaker_id")
+                              if req.get(k) is not None}
+                except ValueError as e:
+                    self._send_json(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/x-raw-int16")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("X-Sample-Rate", str(outer.rt.sample_rate))
+                self.end_headers()
+
+                def wchunk(b: bytes) -> None:
+                    if b:
+                        self.wfile.write(f"{len(b):X}\r\n".encode())
+                        self.wfile.write(b)
+                        self.wfile.write(b"\r\n")
+
+                for i, ids in enumerate(ids_list):
+                    if i:
+                        wchunk(gap_pcm)
+                    for chunk in outer.server.submit(ids, **kwargs):
+                        wchunk(float_to_int16(chunk.samples).tobytes())
+                self.wfile.write(b"0\r\n\r\n")
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+        self._serving = False
+
+    def prewarm(self, **kwargs):
+        return self.server.prewarm(**kwargs)
+
+    def start(self) -> None:
+        self._serving = True
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._serving = True
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        if self._serving:
+            self.httpd.shutdown()  # see PiperHTTPServer.close
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        self.server.shutdown()
+
+    def __enter__(self) -> "PiperStreamingHTTPServer":
         return self
 
     def __exit__(self, *exc) -> None:

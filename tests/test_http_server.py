@@ -256,3 +256,48 @@ def test_cli_serve_multiple_models(tmp_path_factory):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+# -- chunked streaming server --------------------------------------------
+
+
+def test_streaming_http_server(tmp_path_factory):
+    """POST /v1/stream returns chunked int16 PCM; same seed twice is
+    deterministic, and the chunk cadence delivers the full waveform."""
+    from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+
+    d = tmp_path_factory.mktemp("http_stream")
+    m, _ = make_synthetic_voice(d, quality="test", seed=6)
+    with PiperStreamingHTTPServer(PiperRuntime(m), port=0) as srv:
+        srv.start()
+
+        def stream(body):
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+            try:
+                conn.request("POST", "/v1/stream", body=json.dumps(body),
+                             headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                data = resp.read()  # http.client decodes chunked transfer
+                return resp, data
+            finally:
+                conn.close()
+
+        resp, a = stream({"phoneme_ids": list(FIXTURE_IDS), "seed": 7})
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/x-raw-int16"
+        assert int(resp.getheader("X-Sample-Rate")) > 0
+        pcm = np.frombuffer(a, "<i2")
+        assert len(pcm) > 0
+        _, b = stream({"phoneme_ids": list(FIXTURE_IDS), "seed": 7})
+        assert a == b  # deterministic per seed
+        # validation errors come back as JSON before any audio
+        resp, err = stream({"phoneme_ids": []})
+        assert resp.status == 400
+        resp, err = stream({"phoneme_ids": list(FIXTURE_IDS),
+                            "sentence_silence": -1, "text": "x"})
+        assert resp.status == 400
+        # health + metrics routes
+        st, _, data = _request(srv, "GET", "/healthz")
+        assert st == 200
+        st, _, data = _request(srv, "GET", "/v1/metrics")
+        assert st == 200 and json.loads(data)["sessions"] >= 2
