@@ -497,21 +497,99 @@ class MultiVoiceBatchingServer:
         if not runtimes:
             raise ValueError("at least one voice runtime required")
         self._cond = threading.Condition()
+        self._batcher_kwargs = dict(
+            max_batch=max_batch, max_wait_ms=max_wait_ms, max_rows=max_rows,
+            fused=fused, max_pending=max_pending, deadline_ms=deadline_ms)
         self._servers: Dict[str, BatchingServer] = {
-            key: BatchingServer(
-                rt, max_batch=max_batch, max_wait_ms=max_wait_ms,
-                max_rows=max_rows, fused=fused, max_pending=max_pending,
-                deadline_ms=deadline_ms, cond=self._cond, start_worker=False)
+            key: BatchingServer(rt, cond=self._cond, start_worker=False,
+                                **self._batcher_kwargs)
             for key, rt in runtimes.items()
         }
         self.max_wait_s = max_wait_ms / 1e3
         self._closed = False
+        self._control: deque = deque()
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
 
     @property
     def voices(self) -> List[str]:
         return list(self._servers)
+
+    # -- dynamic voice management ------------------------------------------
+
+    def add_voice(self, key: str, runtime: PiperRuntime, *,
+                  prewarm: bool = True, **prewarm_kwargs) -> "Future[dict]":
+        """Register a NEW voice on a live server. The voice's program-grid
+        prewarm runs on the WORKER thread (device I/O stays single-threaded)
+        — which also means serving of other voices PAUSES for its duration
+        (seconds with a warm persistent cache, minutes if the grid must
+        compile). Load voices before taking traffic when possible;
+        prewarm=False defers warming to first traffic (a mid-traffic
+        compile stall instead — pick your poison deliberately).
+
+        Returns a Future resolving to the prewarm stats dict ({} when
+        prewarm=False); it fails if the key already exists."""
+        fut: "Future[dict]" = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._control.append(("add", key, runtime, prewarm,
+                                  prewarm_kwargs, fut))
+            self._cond.notify_all()
+        return fut
+
+    def remove_voice(self, key: str) -> "Future[int]":
+        """Unload a voice: its queued (undispatched) requests fail with
+        ServerOverloaded and new submits raise KeyError. Resolves to the
+        number of requests failed."""
+        fut: "Future[int]" = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._control.append(("remove", key, fut))
+            self._cond.notify_all()
+        return fut
+
+    def _handle_control(self) -> None:
+        """Executed on the worker thread between groups."""
+        with self._cond:
+            if not self._control:
+                return
+            item = self._control.popleft()
+        if item[0] == "add":
+            _, key, runtime, prewarm, prewarm_kwargs, fut = item
+            try:
+                with self._cond:
+                    if key in self._servers:
+                        raise ValueError(f"voice {key!r} already loaded")
+                srv = BatchingServer(runtime, cond=self._cond,
+                                     start_worker=False,
+                                     **self._batcher_kwargs)
+                stats = srv.prewarm(**prewarm_kwargs) if prewarm else {}
+                with self._cond:
+                    self._servers[key] = srv
+                fut.set_result(stats)
+            except Exception as e:  # noqa: BLE001 — surface on the future
+                fut.set_exception(e)
+            return
+        _, key, fut = item
+        try:
+            with self._cond:
+                srv = self._servers.pop(key, None)
+                if srv is None:
+                    raise KeyError(f"unknown voice {key!r}")
+                srv._closed = True
+                failed = 0
+                for q in srv._queues.values():
+                    for req in q:
+                        req.future.set_exception(ServerOverloaded(
+                            f"voice {key!r} unloaded"))
+                        failed += 1
+                    srv._pending -= len(q)
+                srv._queues.clear()
+            fut.set_result(failed)
+        except Exception as e:  # noqa: BLE001
+            fut.set_exception(e)
 
     def submit(self, voice: str, phoneme_ids: Sequence[int],
                **kwargs) -> "Future[np.ndarray]":
@@ -547,6 +625,8 @@ class MultiVoiceBatchingServer:
         window across all voices."""
         with self._cond:
             while True:
+                if self._control:
+                    return ("control",)
                 best_srv, best_key, best_t = None, None, None
                 for s in self._servers.values():
                     s._shed_expired_locked()
@@ -583,6 +663,15 @@ class MultiVoiceBatchingServer:
                     srv, group, outs, meta = pending
                     srv._finish_group(group, outs, meta)
                 return
+            if took[0] == "control":
+                # Land the in-flight fetch before any voice load/unload
+                # (a load's prewarm owns the device for a while).
+                if pending is not None:
+                    psrv, pgroup, pouts, pmeta = pending
+                    psrv._finish_group(pgroup, pouts, pmeta)
+                    pending = None
+                self._handle_control()
+                continue
             srv, group = took
             if group:
                 dispatched = srv._dispatch_group(group)

@@ -516,3 +516,59 @@ def test_multivoice_concurrent_submitters_stress():
     total_rows = sum(m[f"v{i}"]["rows"] for i in range(3))
     total_done = sum(m[f"v{i}"]["completed"] for i in range(3))
     assert total_rows == 800 and total_done == 800
+
+
+def test_multivoice_add_voice_live():
+    """A voice added to a live server starts serving; its prewarm runs on
+    the worker thread (other voices' traffic resumes afterwards)."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log)}
+    with MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=2) as srv:
+        assert srv.voices == ["a"]
+        f1 = srv.submit("a", FIXTURE_IDS)
+        with pytest.raises(KeyError):
+            srv.submit("b", FIXTURE_IDS)
+        stats = srv.add_voice("b", _TaggedStub(2.0, log),
+                              prewarm=False).result(timeout=60)
+        assert stats == {}
+        f2 = srv.submit("b", FIXTURE_IDS)
+        assert float(f1.result(timeout=60)[0]) == 1.0
+        assert float(f2.result(timeout=60)[0]) == 2.0
+        assert sorted(srv.voices) == ["a", "b"]
+        # duplicate key fails on the future, not the worker
+        with pytest.raises(ValueError):
+            srv.add_voice("b", _TaggedStub(3.0, log),
+                          prewarm=False).result(timeout=60)
+
+
+def test_multivoice_remove_voice_fails_queued():
+    from piper_tpu.engine.batcher import (MultiVoiceBatchingServer,
+                                          ServerOverloaded)
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log), "b": _TaggedStub(2.0, log)}
+    rts["b"].release.clear()  # hold b's dispatch so its queue builds
+    srv = MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=2)
+    try:
+        fb0 = srv.submit("b", FIXTURE_IDS)
+        time.sleep(0.05)  # worker takes b's group, blocks in dispatch
+        queued = [srv.submit("b", FIXTURE_IDS) for _ in range(3)]
+        rts["b"].release.set()
+        n_failed = srv.remove_voice("b").result(timeout=60)
+        # the in-flight group completes; only still-queued requests fail
+        assert len(fb0.result(timeout=60)) == 8
+        failed = 0
+        for f in queued:
+            try:
+                f.result(timeout=60)
+            except ServerOverloaded:
+                failed += 1
+        assert failed == n_failed
+        with pytest.raises(KeyError):
+            srv.submit("b", FIXTURE_IDS)
+        # voice a unaffected
+        assert float(srv.submit("a", FIXTURE_IDS).result(timeout=60)[0]) == 1.0
+    finally:
+        srv.close()
