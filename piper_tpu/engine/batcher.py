@@ -437,20 +437,43 @@ class BatchingServer:
         # tunneled device): group i's bulk audio fetch overlaps group
         # i+1's collect + dispatch.
         pending = None
-        while True:
-            group = self._take_group(block=pending is None)
-            if group is None:  # shutdown, queues drained
-                if pending is not None:
+        try:
+            while True:
+                group = self._take_group(block=pending is None)
+                if group is None:  # shutdown, queues drained
+                    if pending is not None:
+                        self._finish_group(*pending)
+                    return
+                if group:
+                    dispatched = self._dispatch_group(group)
+                    if pending is not None:
+                        self._finish_group(*pending)
+                    pending = dispatched
+                elif pending is not None:
                     self._finish_group(*pending)
-                return
-            if group:
-                dispatched = self._dispatch_group(group)
-                if pending is not None:
-                    self._finish_group(*pending)
-                pending = dispatched
-            elif pending is not None:
-                self._finish_group(*pending)
-                pending = None
+                    pending = None
+        except BaseException as e:  # noqa: BLE001 — fail open, never hang
+            # A scheduler bug must not strand every future forever: close
+            # the server and fail everything queued or in flight.
+            if pending is not None:
+                for req in pending[0]:
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError(f"serving worker died: {e!r}"))
+            self._fail_all(e)
+            raise
+
+    def _fail_all(self, e: BaseException) -> None:
+        with self._cond:
+            self._closed = True
+            for q in self._queues.values():
+                for req in q:
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError(f"serving worker died: {e!r}"))
+            self._queues.clear()
+            self._pending = 0
+            self._cond.notify_all()
 
     def close(self) -> None:
         with self._cond:
@@ -655,8 +678,36 @@ class MultiVoiceBatchingServer:
     def _serve_loop(self) -> None:
         # Depth-2 pipeline on ONE thread across all voices: the pending
         # (server, group, outs, meta) fetch overlaps the next dispatch.
+        # self._inflight mirrors the pending entry so a worker crash can
+        # fail its futures (fail open, never hang — see _serve_loop_impl's
+        # except-all counterpart on BatchingServer._serve_loop).
+        self._inflight = None
+        try:
+            self._serve_loop_impl()
+        except BaseException as e:  # noqa: BLE001 — fail open, never hang
+            if self._inflight is not None:
+                _, pgroup, _, _ = self._inflight
+                for req in pgroup:
+                    if not req.future.done():
+                        req.future.set_exception(
+                            RuntimeError(f"serving worker died: {e!r}"))
+            with self._cond:  # Condition uses an RLock: nested entry is fine
+                self._closed = True
+                for s in self._servers.values():
+                    s._fail_all(e)
+                for item in self._control:
+                    fut = item[-1]
+                    if not fut.done():
+                        fut.set_exception(
+                            RuntimeError(f"serving worker died: {e!r}"))
+                self._control.clear()
+                self._cond.notify_all()
+            raise
+
+    def _serve_loop_impl(self) -> None:
         pending = None
         while True:
+            self._inflight = pending
             took = self._take_group(block=pending is None)
             if took is None:  # shutdown, all queues drained
                 if pending is not None:
@@ -670,22 +721,28 @@ class MultiVoiceBatchingServer:
                     psrv, pgroup, pouts, pmeta = pending
                     psrv._finish_group(pgroup, pouts, pmeta)
                     pending = None
+                    self._inflight = None
                 self._handle_control()
                 continue
             srv, group = took
             if group:
                 dispatched = srv._dispatch_group(group)
+                new_pending = None
+                if dispatched is not None:
+                    pgroup, pouts, pmeta = dispatched
+                    new_pending = (srv, pgroup, pouts, pmeta)
+                # mirror BEFORE finishing the old fetch: a crash there must
+                # still be able to fail the just-dispatched group's futures
+                self._inflight = new_pending
                 if pending is not None:
                     psrv, pgroup, pouts, pmeta = pending
                     psrv._finish_group(pgroup, pouts, pmeta)
-                pending = None
-                if dispatched is not None:
-                    pgroup, pouts, pmeta = dispatched
-                    pending = (srv, pgroup, pouts, pmeta)
+                pending = new_pending
             elif pending is not None:
                 psrv, pgroup, pouts, pmeta = pending
                 psrv._finish_group(pgroup, pouts, pmeta)
                 pending = None
+                self._inflight = None
 
     def close(self) -> None:
         with self._cond:

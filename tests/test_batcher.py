@@ -572,3 +572,36 @@ def test_multivoice_remove_voice_fails_queued():
         assert float(srv.submit("a", FIXTURE_IDS).result(timeout=60)[0]) == 1.0
     finally:
         srv.close()
+
+
+def test_worker_crash_fails_open_not_hang():
+    """A scheduler bug escaping the worker loop must fail every queued and
+    in-flight future instead of stranding callers forever."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    log: list = []
+    rts = {"a": _TaggedStub(1.0, log)}
+    rts["a"].release.clear()
+    srv = MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=2)
+    f0 = srv.submit("a", FIXTURE_IDS)
+    time.sleep(0.05)  # in flight
+    queued = [srv.submit("a", FIXTURE_IDS) for _ in range(2)]
+
+    def boom(*a, **k):
+        raise AssertionError("injected scheduler bug")
+
+    srv._take_group = boom
+    rts["a"].release.set()
+    results = []
+    for f in [f0] + queued:
+        try:
+            results.append(f.result(timeout=30))
+        except Exception as e:  # noqa: BLE001
+            results.append(e)
+    # nothing hangs; the in-flight group may complete (its dispatch already
+    # happened) but every queued future resolves with the worker-death error
+    assert all(isinstance(r, (np.ndarray, Exception)) for r in results)
+    assert any(isinstance(r, RuntimeError) and "worker died" in str(r)
+               for r in results)
+    with pytest.raises(RuntimeError):
+        srv.submit("a", FIXTURE_IDS)  # server closed itself
