@@ -16,8 +16,13 @@ Endpoints (JSON in, WAV or JSON out):
                         Returns audio/wav (or audio/x-raw-int16 with
                         "format": "pcm").
   GET  /v1/voices       voice keys + sample rate / speaker count.
-  GET  /v1/metrics      per-voice serving metrics snapshot.
+  GET  /v1/metrics      per-voice serving metrics snapshot (JSON).
+  GET  /metrics         the same counters in Prometheus exposition format.
   GET  /healthz         liveness.
+  POST /v1/audio/speech OpenAI-compatible alias: {"input": text,
+                        "voice": key} -> audio/wav (speed maps to
+                        1/length_scale; model/response_format ignored
+                        except response_format "pcm").
 
 Errors: 400 malformed request, 404 unknown voice/route, 429 admission
 shed (ServerOverloaded / DeadlineExceeded), 500 synthesis failure.
@@ -94,6 +99,21 @@ def _read_json_body(handler) -> Optional[dict]:
         return None
 
 
+def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
+    """Serving counters in Prometheus exposition format (one gauge/counter
+    per metric, labelled by voice)."""
+    lines = []
+    keys = sorted({k for m in per_voice.values() for k in m
+                   if isinstance(m[k], (int, float))})
+    for key in keys:
+        name = f"piper_tpu_{key}"
+        lines.append(f"# TYPE {name} gauge")
+        for voice, m in sorted(per_voice.items()):
+            if key in m:
+                lines.append(f'{name}{{voice="{voice}"}} {m[key]}')
+    return "\n".join(lines) + "\n"
+
+
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     """Mono 16-bit PCM WAV in memory (the one WavWriter serializer, over a
     BytesIO, so the on-disk and over-the-wire formats cannot drift)."""
@@ -155,16 +175,31 @@ class PiperHTTPServer:
                         for k, rt in outer.runtimes.items()})
                 elif self.path == "/v1/metrics":
                     self._send_json(200, outer.server.metrics())
+                elif self.path == "/metrics":
+                    self._send(200, _prometheus_metrics(
+                        outer.server.metrics()).encode(),
+                        "text/plain; version=0.0.4")
                 else:
                     self._send_json(404, {"error": "unknown route"})
 
             def do_POST(self):
-                if self.path != "/v1/synthesize":
+                if self.path not in ("/v1/synthesize", "/v1/audio/speech"):
                     self._send_json(404, {"error": "unknown route"})
                     return
                 req = _read_json_body(self)
                 if req is None:
                     return
+                if self.path == "/v1/audio/speech":
+                    # OpenAI-compatible alias: input -> text, speed ->
+                    # 1/length_scale; unknown fields ignored.
+                    alias = {"text": req.get("input", "")}
+                    if "voice" in req:
+                        alias["voice"] = req["voice"]
+                    if req.get("speed"):
+                        alias["length_scale"] = 1.0 / float(req["speed"])
+                    if req.get("response_format") == "pcm":
+                        alias["format"] = "pcm"
+                    req = alias
                 try:
                     audio, rt = outer._synthesize(req)
                 except KeyError as e:

@@ -301,3 +301,24 @@ def test_streaming_http_server(tmp_path_factory):
         assert st == 200
         st, _, data = _request(srv, "GET", "/v1/metrics")
         assert st == 200 and json.loads(data)["sessions"] >= 2
+
+
+def test_openai_alias_and_prometheus(server, tmp_path, monkeypatch):
+    script = tmp_path / "espeak-ng"
+    script.write_text("#!/bin/sh\necho 'ab'\n")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setattr("piper_tpu.phonemize.find_espeak", lambda: str(script))
+    st, ctype, data = _request(
+        server, "POST", "/v1/audio/speech",
+        {"model": "tts-1", "voice": "beta", "input": "Hello there.",
+         "speed": 1.25})
+    assert st == 200 and ctype == "audio/wav" and data[:4] == b"RIFF"
+    st, ctype, data = _request(
+        server, "POST", "/v1/audio/speech",
+        {"input": "Hi.", "response_format": "pcm"})
+    assert st == 200 and ctype == "audio/x-raw-int16"
+    st, ctype, data = _request(server, "GET", "/metrics")
+    assert st == 200 and ctype.startswith("text/plain")
+    text = data.decode()
+    assert 'piper_tpu_completed{voice="alpha"}' in text
+    assert "# TYPE piper_tpu_completed gauge" in text
