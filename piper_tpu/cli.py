@@ -666,6 +666,10 @@ def run_serve(args) -> None:
     worker must own the device alone)."""
     from piper_tpu.engine.http_server import PiperHTTPServer
 
+    if args.model and "," in str(args.model) and args.config:
+        raise SystemExit("--config is ambiguous with several --model paths; "
+                         "place each voice's config as <model>.onnx.json "
+                         "next to its checkpoint")
     if args.stream:
         from piper_tpu.engine.http_server import PiperStreamingHTTPServer
 
@@ -689,8 +693,12 @@ def run_serve(args) -> None:
     if args.model and "," in str(args.model):
         for path in str(args.model).split(","):
             path = path.strip()
-            runtimes[Path(path).stem] = PiperRuntime(path, None,
-                                                     _cli_options(args))
+            key = Path(path).stem
+            if key in runtimes:
+                raise SystemExit(
+                    f"two --model paths share the voice key {key!r} (the "
+                    "file stem); rename one so requests route unambiguously")
+            runtimes[key] = PiperRuntime(path, None, _cli_options(args))
     else:
         rt = _load_runtime(args)
         key = (Path(args.model).stem if args.model

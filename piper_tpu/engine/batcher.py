@@ -436,8 +436,12 @@ class BatchingServer:
         # see ServingPipeline.submit_batch for why that matters on a
         # tunneled device): group i's bulk audio fetch overlaps group
         # i+1's collect + dispatch.
-        pending = None
+        # self._inflight tracks EVERY dispatched-not-yet-finished group
+        # (briefly two during the depth-2 overlap) so the crash handler can
+        # fail all of them — fail open, never hang.
+        self._inflight: List[tuple] = []
         try:
+            pending = None
             while True:
                 group = self._take_group(block=pending is None)
                 if group is None:  # shutdown, queues drained
@@ -446,17 +450,21 @@ class BatchingServer:
                     return
                 if group:
                     dispatched = self._dispatch_group(group)
-                    if pending is not None:
-                        self._finish_group(*pending)
+                    old = pending
                     pending = dispatched
+                    self._inflight = [x for x in (dispatched, old) if x]
+                    if old is not None:
+                        self._finish_group(*old)
+                    self._inflight = [dispatched] if dispatched else []
                 elif pending is not None:
                     self._finish_group(*pending)
                     pending = None
+                    self._inflight = []
         except BaseException as e:  # noqa: BLE001 — fail open, never hang
             # A scheduler bug must not strand every future forever: close
             # the server and fail everything queued or in flight.
-            if pending is not None:
-                for req in pending[0]:
+            for entry in self._inflight:
+                for req in entry[0]:
                     if not req.future.done():
                         req.future.set_exception(
                             RuntimeError(f"serving worker died: {e!r}"))
@@ -536,7 +544,8 @@ class MultiVoiceBatchingServer:
 
     @property
     def voices(self) -> List[str]:
-        return list(self._servers)
+        with self._cond:
+            return list(self._servers)
 
     # -- dynamic voice management ------------------------------------------
 
@@ -614,19 +623,25 @@ class MultiVoiceBatchingServer:
         except Exception as e:  # noqa: BLE001
             fut.set_exception(e)
 
+    def _snapshot(self) -> Dict[str, BatchingServer]:
+        # Voice add/remove mutates self._servers on the worker thread, so
+        # every reader iterates a snapshot taken under the lock.
+        with self._cond:
+            return dict(self._servers)
+
     def submit(self, voice: str, phoneme_ids: Sequence[int],
                **kwargs) -> "Future[np.ndarray]":
         """Queue one request for `voice`; same contract as
         BatchingServer.submit (ServerOverloaded past the per-voice cap)."""
         if self._closed:
             raise RuntimeError("server is closed")
-        return self._servers[voice].submit(phoneme_ids, **kwargs)
+        return self._snapshot()[voice].submit(phoneme_ids, **kwargs)
 
     def metrics(self) -> Dict[str, dict]:
-        return {key: s.metrics() for key, s in self._servers.items()}
+        return {key: s.metrics() for key, s in self._snapshot().items()}
 
     def reset_metrics(self) -> None:
-        for s in self._servers.values():
+        for s in self._snapshot().values():
             s.reset_metrics()
 
     def prewarm(self, **kwargs) -> Dict[str, dict]:
@@ -636,8 +651,8 @@ class MultiVoiceBatchingServer:
         with self._cond:
             if any(s._pending for s in self._servers.values()):
                 raise RuntimeError("prewarm must run before traffic")
-        return {key: s.prewarm(**kwargs)
-                for key, s in self._servers.items()}
+            servers = dict(self._servers)
+        return {key: s.prewarm(**kwargs) for key, s in servers.items()}
 
     # -- scheduling ------------------------------------------------------
 
@@ -681,13 +696,12 @@ class MultiVoiceBatchingServer:
         # self._inflight mirrors the pending entry so a worker crash can
         # fail its futures (fail open, never hang — see _serve_loop_impl's
         # except-all counterpart on BatchingServer._serve_loop).
-        self._inflight = None
+        self._inflight = []
         try:
             self._serve_loop_impl()
         except BaseException as e:  # noqa: BLE001 — fail open, never hang
-            if self._inflight is not None:
-                _, pgroup, _, _ = self._inflight
-                for req in pgroup:
+            for entry in self._inflight:
+                for req in entry[1]:
                     if not req.future.done():
                         req.future.set_exception(
                             RuntimeError(f"serving worker died: {e!r}"))
@@ -707,7 +721,7 @@ class MultiVoiceBatchingServer:
     def _serve_loop_impl(self) -> None:
         pending = None
         while True:
-            self._inflight = pending
+            self._inflight = [pending] if pending else []
             took = self._take_group(block=pending is None)
             if took is None:  # shutdown, all queues drained
                 if pending is not None:
@@ -721,7 +735,7 @@ class MultiVoiceBatchingServer:
                     psrv, pgroup, pouts, pmeta = pending
                     psrv._finish_group(pgroup, pouts, pmeta)
                     pending = None
-                    self._inflight = None
+                    self._inflight = []
                 self._handle_control()
                 continue
             srv, group = took
@@ -731,18 +745,19 @@ class MultiVoiceBatchingServer:
                 if dispatched is not None:
                     pgroup, pouts, pmeta = dispatched
                     new_pending = (srv, pgroup, pouts, pmeta)
-                # mirror BEFORE finishing the old fetch: a crash there must
-                # still be able to fail the just-dispatched group's futures
-                self._inflight = new_pending
+                # mirror BOTH the just-dispatched group and the old fetch:
+                # a crash while finishing the old one must fail both sets
+                self._inflight = [x for x in (new_pending, pending) if x]
                 if pending is not None:
                     psrv, pgroup, pouts, pmeta = pending
                     psrv._finish_group(pgroup, pouts, pmeta)
                 pending = new_pending
+                self._inflight = [pending] if pending else []
             elif pending is not None:
                 psrv, pgroup, pouts, pmeta = pending
                 psrv._finish_group(pgroup, pouts, pmeta)
                 pending = None
-                self._inflight = None
+                self._inflight = []
 
     def close(self) -> None:
         with self._cond:

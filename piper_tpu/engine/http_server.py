@@ -80,25 +80,6 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
     raise ValueError("pass phoneme_ids, ipa, or text")
 
 
-def _read_json_body(handler) -> Optional[dict]:
-    """Parse a bounded JSON object body; sends the error response and
-    returns None on failure (the Content-Length is never trusted)."""
-    try:
-        n = int(handler.headers.get("Content-Length", 0))
-        if n < 0:
-            raise ValueError("negative Content-Length")
-        if n > 16 << 20:
-            handler._send_json(413, {"error": "body too large"})
-            return None
-        req = json.loads(handler.rfile.read(n) or b"{}")
-        if not isinstance(req, dict):
-            raise ValueError("body must be a JSON object")
-        return req
-    except (ValueError, json.JSONDecodeError) as e:
-        handler._send_json(400, {"error": f"bad request: {e}"})
-        return None
-
-
 def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
     """Serving counters in Prometheus exposition format (one gauge/counter
     per metric, labelled by voice)."""
@@ -125,7 +106,95 @@ def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-class PiperHTTPServer:
+class _JsonHandler(BaseHTTPRequestHandler):
+    """Shared handler plumbing for both server classes: quiet logging, a
+    socket timeout so stalled clients can't pin a thread, bounded JSON body
+    parsing, and connection-drop on error responses (an error sent before
+    the body was read would otherwise desync a keep-alive connection)."""
+
+    timeout = 60
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _send(self, code: int, body: bytes,
+              ctype: str = "application/json") -> None:
+        if code >= 400:
+            self.close_connection = True
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_json(self, code: int, obj) -> None:
+        self._send(code, json.dumps(obj).encode())
+
+    def _read_json_body(self) -> Optional[dict]:
+        """Parse a bounded JSON object body; sends the error response and
+        returns None on failure (the Content-Length is never trusted:
+        negative reads to EOF, oversized blocks until timeout)."""
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            if n < 0:
+                raise ValueError("negative Content-Length")
+            if n > 16 << 20:
+                self._send_json(413, {"error": "body too large"})
+                return None
+            req = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+            return req
+        except (ValueError, json.JSONDecodeError) as e:
+            self._send_json(400, {"error": f"bad request: {e}"})
+            return None
+
+
+class _HttpLifecycle:
+    """start/serve_forever/close over a ThreadingHTTPServer + a backend
+    with its own worker. Subclasses set self.httpd and implement
+    _close_backend()."""
+
+    def _init_http(self, host: str, port: int, handler_cls) -> None:
+        self.httpd = ThreadingHTTPServer((host, port), handler_cls)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+        self._serving = False
+
+    def start(self) -> None:
+        """Serve in a background thread (handlers never touch the device)."""
+        self._serving = True
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._serving = True
+        self.httpd.serve_forever()
+
+    def close(self) -> None:
+        # shutdown() waits on an event only serve_forever() sets — calling
+        # it when serve_forever never ran deadlocks forever (e.g. `with`
+        # body raising before start()), so only signal a running loop.
+        if self._serving:
+            self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+        self._close_backend()
+
+    def _close_backend(self) -> None:  # pragma: no cover — overridden
+        raise NotImplementedError
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class PiperHTTPServer(_HttpLifecycle):
     """Serve one or more loaded voices over HTTP.
 
     `runtimes` maps voice key -> PiperRuntime; the first key is the default
@@ -141,29 +210,10 @@ class PiperHTTPServer:
         self.default_voice = next(iter(self.runtimes))
         self.server = MultiVoiceBatchingServer(self.runtimes,
                                                **batcher_kwargs)
-        self._phonemizers: Dict[str, object] = {}
+        self._phonemizers: Dict[int, object] = {}
         outer = self
 
-        class Handler(BaseHTTPRequestHandler):
-            # Socket timeout: a client that stalls mid-body (or lies about
-            # Content-Length) times out instead of pinning a handler
-            # thread forever.
-            timeout = 60
-
-            def log_message(self, fmt, *args):  # quiet by default
-                pass
-
-            def _send(self, code: int, body: bytes,
-                      ctype: str = "application/json") -> None:
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def _send_json(self, code: int, obj) -> None:
-                self._send(code, json.dumps(obj).encode())
-
+        class Handler(_JsonHandler):
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send_json(200, {"ok": True})
@@ -186,7 +236,7 @@ class PiperHTTPServer:
                 if self.path not in ("/v1/synthesize", "/v1/audio/speech"):
                     self._send_json(404, {"error": "unknown route"})
                     return
-                req = _read_json_body(self)
+                req = self._read_json_body()
                 if req is None:
                     return
                 if self.path == "/v1/audio/speech":
@@ -195,8 +245,16 @@ class PiperHTTPServer:
                     alias = {"text": req.get("input", "")}
                     if "voice" in req:
                         alias["voice"] = req["voice"]
-                    if req.get("speed"):
-                        alias["length_scale"] = 1.0 / float(req["speed"])
+                    if req.get("speed") is not None:
+                        try:
+                            speed = float(req["speed"])
+                        except (TypeError, ValueError):
+                            speed = -1.0
+                        if speed <= 0:
+                            self._send_json(400, {
+                                "error": "speed must be a number > 0"})
+                            return
+                        alias["length_scale"] = 1.0 / speed
                     if req.get("response_format") == "pcm":
                         alias["format"] = "pcm"
                     req = alias
@@ -221,11 +279,7 @@ class PiperHTTPServer:
                     self._send(200, _wav_bytes(audio, rt.sample_rate),
                                "audio/wav")
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
-        self.httpd.daemon_threads = True
-        self.host, self.port = self.httpd.server_address[:2]
-        self._thread: Optional[threading.Thread] = None
-        self._serving = False
+        self._init_http(host, port, Handler)
 
     # -- request handling ------------------------------------------------
 
@@ -257,36 +311,11 @@ class PiperHTTPServer:
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)
 
-    def start(self) -> None:
-        """Serve in a background thread (handlers never touch the device)."""
-        self._serving = True
-        self._thread = threading.Thread(target=self.httpd.serve_forever,
-                                        daemon=True)
-        self._thread.start()
-
-    def serve_forever(self) -> None:
-        self._serving = True
-        self.httpd.serve_forever()
-
-    def close(self) -> None:
-        # shutdown() waits on an event only serve_forever() sets — calling
-        # it when serve_forever never ran deadlocks forever (e.g. `with`
-        # body raising before start()), so only signal a running loop.
-        if self._serving:
-            self.httpd.shutdown()
-        self.httpd.server_close()
-        if self._thread is not None:
-            self._thread.join(timeout=30)
+    def _close_backend(self) -> None:
         self.server.close()
 
-    def __enter__(self) -> "PiperHTTPServer":
-        return self
 
-    def __exit__(self, *exc) -> None:
-        self.close()
-
-
-class PiperStreamingHTTPServer:
+class PiperStreamingHTTPServer(_HttpLifecycle):
     """Low-latency chunked streaming over HTTP for ONE voice.
 
     A separate server class — and a separate deployment PROCESS — from
@@ -304,9 +333,11 @@ class PiperStreamingHTTPServer:
          steady-state windows on the chip. X-Sample-Rate carries the rate.
     GET /healthz, /v1/metrics.
 
-    Mid-stream synthesis failures truncate the chunked body (the client
-    sees an incomplete stream); validation failures are JSON errors before
-    any audio byte is sent.
+    Admission errors for the first sentence surface as a real 429 before
+    headers; mid-stream failures truncate the chunked body. A client that
+    disconnects mid-stream has its session cancelled (the slot frees) —
+    the handler's finally block and StreamingServer's cancel path exist
+    for exactly that.
     """
 
     def __init__(self, runtime: PiperRuntime, *, host: str = "127.0.0.1",
@@ -319,23 +350,8 @@ class PiperStreamingHTTPServer:
         self._phonemizers: Dict[int, object] = {}
         outer = self
 
-        class Handler(BaseHTTPRequestHandler):
+        class Handler(_JsonHandler):
             protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
-            timeout = 60
-
-            def log_message(self, fmt, *args):
-                pass
-
-            def _send(self, code: int, body: bytes,
-                      ctype: str = "application/json") -> None:
-                self.send_response(code)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def _send_json(self, code: int, obj) -> None:
-                self._send(code, json.dumps(obj).encode())
 
             def do_GET(self):
                 if self.path == "/healthz":
@@ -349,7 +365,7 @@ class PiperStreamingHTTPServer:
                 if self.path != "/v1/stream":
                     self._send_json(404, {"error": "unknown route"})
                     return
-                req = _read_json_body(self)
+                req = self._read_json_body()
                 if req is None:
                     return
                 try:
@@ -371,6 +387,19 @@ class PiperStreamingHTTPServer:
                 except Exception as e:  # noqa: BLE001
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
+                # Admit the FIRST sentence's stream before sending headers:
+                # synchronous admission errors (max_sessions) come back as
+                # a real 429, not a truncated 200. Later sentences can
+                # still shed mid-stream, which truncates — unavoidable
+                # once bytes are on the wire.
+                try:
+                    handle = outer.server.submit(ids_list[0], **kwargs)
+                except ServerOverloaded as e:
+                    self._send_json(429, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/x-raw-int16")
                 self.send_header("Transfer-Encoding", "chunked")
@@ -383,42 +412,24 @@ class PiperStreamingHTTPServer:
                         self.wfile.write(b)
                         self.wfile.write(b"\r\n")
 
-                for i, ids in enumerate(ids_list):
-                    if i:
-                        wchunk(gap_pcm)
-                    for chunk in outer.server.submit(ids, **kwargs):
-                        wchunk(float_to_int16(chunk.samples).tobytes())
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    for i, ids in enumerate(ids_list):
+                        if i:
+                            wchunk(gap_pcm)
+                            handle = outer.server.submit(ids, **kwargs)
+                        for chunk in handle:
+                            wchunk(float_to_int16(chunk.samples).tobytes())
+                    self.wfile.write(b"0\r\n\r\n")
+                finally:
+                    # Client gone mid-stream (BrokenPipe/timeout): release
+                    # the session slot instead of leaking it — the server
+                    # would otherwise hit max_sessions permanently.
+                    handle.cancel()
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
-        self.httpd.daemon_threads = True
-        self.host, self.port = self.httpd.server_address[:2]
-        self._thread: Optional[threading.Thread] = None
-        self._serving = False
+        self._init_http(host, port, Handler)
 
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)
 
-    def start(self) -> None:
-        self._serving = True
-        self._thread = threading.Thread(target=self.httpd.serve_forever,
-                                        daemon=True)
-        self._thread.start()
-
-    def serve_forever(self) -> None:
-        self._serving = True
-        self.httpd.serve_forever()
-
-    def close(self) -> None:
-        if self._serving:
-            self.httpd.shutdown()  # see PiperHTTPServer.close
-        self.httpd.server_close()
-        if self._thread is not None:
-            self._thread.join(timeout=30)
+    def _close_backend(self) -> None:
         self.server.shutdown()
-
-    def __enter__(self) -> "PiperStreamingHTTPServer":
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.close()

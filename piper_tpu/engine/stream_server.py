@@ -61,13 +61,30 @@ class _Session:
     pos: int = 0
     emitted: int = 0
     failed: bool = False
+    cancelled: bool = False
 
 
 class _StreamHandle:
-    """Iterator over one stream's chunks (drains the session queue)."""
+    """Iterator over one stream's chunks (drains the session queue).
+
+    `cancel()` abandons the stream: the worker closes the session on its
+    next tick (freeing its max_sessions slot) instead of decoding windows
+    nobody will read. Consumers that may stop early — a network handler
+    whose client disconnected — MUST call it (or use the handle as a
+    context manager); an abandoned iterator otherwise parks the session
+    forever once its chunk queue fills."""
 
     def __init__(self, session: _Session):
         self._s = session
+
+    def cancel(self) -> None:
+        self._s.cancelled = True
+
+    def __enter__(self) -> "_StreamHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.cancel()  # no-op if the stream already finished
 
     def __iter__(self) -> Iterator[AudioChunk]:
         while True:
@@ -158,12 +175,14 @@ class StreamingServer:
         length_scale: Optional[float] = None,
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
-    ) -> Iterator[AudioChunk]:
-        """Register a stream; returns an iterator of AudioChunks.
+    ) -> _StreamHandle:
+        """Register a stream; returns an iterable handle of AudioChunks.
 
         Chunk 0 carries the head window (c0 frames); steady-state chunks
         carry emit_frames each; the last chunk is trimmed and is_final.
-        Raises ServerOverloaded beyond max_sessions concurrent streams."""
+        Raises ServerOverloaded beyond max_sessions concurrent streams.
+        Consumers that may stop early must call handle.cancel() (or use it
+        as a context manager) to release the session slot."""
         if self._stop.is_set():
             raise RuntimeError("StreamingServer is shut down")
         with self._lock:
@@ -180,7 +199,7 @@ class StreamingServer:
             out=queue.Queue(maxsize=self.queue_chunks),
         )
         self._incoming.put(s)
-        return iter(_StreamHandle(s))
+        return _StreamHandle(s)
 
     def metrics(self) -> dict:
         with self._lock:
@@ -256,6 +275,20 @@ class StreamingServer:
             s.failed = True
             self._close(s, err)
 
+    def _cancel_session(self, s: _Session) -> None:
+        """Release a cancelled stream's slot (worker thread only). The
+        consumer is gone by definition, so the close item is best-effort —
+        a full chunk queue must not block the worker."""
+        if s.failed:
+            return
+        s.failed = True
+        try:
+            s.out.put_nowait(RuntimeError("stream cancelled"))
+        except queue.Full:
+            pass
+        with self._lock:
+            self._n_open -= 1
+
     def _close(self, s: _Session, item: object) -> None:
         s.out.put(item)
         with self._lock:
@@ -270,6 +303,9 @@ class StreamingServer:
         groups: dict = {}
         work = []
         for s in sessions:
+            if s.cancelled:
+                self._cancel_session(s)
+                continue
             try:
                 bucket = bucket_for(len(s.ids),
                                     self.rt.options.phoneme_buckets,
@@ -399,9 +435,22 @@ class StreamingServer:
         else:
             s.out.put(chunk)  # bounded: scheduler never outruns queue_chunks
 
+    def _drop_if_cancelled(self, s: _Session) -> bool:
+        """True when this in-flight session should be dropped: cancelled
+        (close its slot now) or already failed/closed (do nothing — guards
+        double-close when a cancel landed while its work was in flight)."""
+        if s.failed:
+            return True
+        if s.cancelled:
+            self._cancel_session(s)
+            return True
+        return False
+
     def _process(self, kind: str, target, fetched) -> None:
         if kind == "head":
             s: _Session = target
+            if self._drop_if_cancelled(s):
+                return
             audio0, total = fetched
             s.y_len = int(total)
             n_total = s.y_len * self.hop
@@ -418,6 +467,8 @@ class StreamingServer:
             audio0, totals = fetched
             audio0 = self.rt._as_output(np.asarray(audio0))
             for r, s in enumerate(target):
+                if self._drop_if_cancelled(s):
+                    continue
                 s.y_len = int(totals[r])
                 # batched head audio is pre-trimmed to c0 frames on device
                 samples = audio0[r]
@@ -431,6 +482,8 @@ class StreamingServer:
         (audio,) = fetched
         audio = self.rt._as_output(np.asarray(audio))
         for r, s in enumerate(target):
+            if self._drop_if_cancelled(s):
+                continue
             take = min(self.emit_frames, s.y_len - s.pos)
             samples = audio[r, : take * self.hop]
             s.pos += take
@@ -461,8 +514,13 @@ class StreamingServer:
                 # group splits across the row cap.
                 ready, waiting = [], []
                 for s in self._active:
-                    (ready if s.out.qsize() < self.queue_chunks
-                     else waiting).append(s)
+                    if s.cancelled:
+                        # abandoned consumer: free its slot, decode nothing
+                        self._cancel_session(s)
+                    elif s.out.qsize() < self.queue_chunks:
+                        ready.append(s)
+                    else:
+                        waiting.append(s)
                 self._active = waiting
                 ready.sort(key=lambda s: s.enc.m_p.shape[-1], reverse=True)
                 max_rows = self.row_rungs[-1]

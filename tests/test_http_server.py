@@ -322,3 +322,44 @@ def test_openai_alias_and_prometheus(server, tmp_path, monkeypatch):
     text = data.decode()
     assert 'piper_tpu_completed{voice="alpha"}' in text
     assert "# TYPE piper_tpu_completed gauge" in text
+
+
+def test_streaming_http_disconnect_frees_session(tmp_path_factory):
+    """A client that drops the connection mid-stream must not leak its
+    session slot (review finding: abandoned streams parked forever and
+    eventually ServerOverloaded every new stream)."""
+    import socket
+    import time as _t
+
+    from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+
+    d = tmp_path_factory.mktemp("http_drop")
+    m, _ = make_synthetic_voice(d, quality="test", seed=7)
+    with PiperStreamingHTTPServer(PiperRuntime(m), port=0,
+                                  max_sessions=2, emit_frames=16,
+                                  c0=8) as srv:
+        srv.start()
+        for _ in range(4):  # more drops than max_sessions
+            body = json.dumps({"phoneme_ids": list(FIXTURE_IDS) * 4}).encode()
+            sock = socket.create_connection((srv.host, srv.port), timeout=60)
+            sock.sendall(
+                b"POST /v1/stream HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Type: application/json\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+            sock.recv(256)  # headers + maybe the first chunk
+            sock.close()  # walk away mid-stream
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            if srv.server.metrics()["open_sessions"] == 0:
+                break
+            _t.sleep(0.05)
+        assert srv.server.metrics()["open_sessions"] == 0
+        # server still serves a full stream afterwards
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        conn.request("POST", "/v1/stream",
+                     body=json.dumps({"phoneme_ids": list(FIXTURE_IDS)}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = resp.read()
+        conn.close()
+        assert resp.status == 200 and len(data) > 0

@@ -237,3 +237,54 @@ def test_prewarm_covers_traffic_programs(tiny_runtime):
         assert len(tiny_runtime._compiled_keys) == before
     finally:
         srv.shutdown()
+
+
+def test_cancel_frees_session_slot(tiny_runtime):
+    """An abandoned stream (consumer stops early) must release its
+    max_sessions slot once cancelled — review finding: without a cancel
+    path an abandoned iterator parks the session forever."""
+    import time as _t
+
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    srv = StreamingServer(tiny_runtime, max_sessions=2, emit_frames=16,
+                          c0=8)
+    try:
+        handle = srv.submit(FIXTURE_IDS * 4)
+        it = iter(handle)
+        next(it)  # read the head chunk, then walk away
+        handle.cancel()
+        deadline = _t.time() + 30
+        while _t.time() < deadline and srv.metrics()["open_sessions"] > 0:
+            _t.sleep(0.02)
+        assert srv.metrics()["open_sessions"] == 0
+        # slot is reusable: a fresh stream completes
+        chunks = list(srv.submit(FIXTURE_IDS))
+        assert chunks and chunks[-1].is_final
+        # cancel-before-head also frees
+        h2 = srv.submit(FIXTURE_IDS * 4)
+        h2.cancel()
+        deadline = _t.time() + 30
+        while _t.time() < deadline and srv.metrics()["open_sessions"] > 0:
+            _t.sleep(0.02)
+        assert srv.metrics()["open_sessions"] == 0
+    finally:
+        srv.shutdown()
+
+
+def test_cancel_as_context_manager(tiny_runtime):
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    srv = StreamingServer(tiny_runtime, max_sessions=2, emit_frames=16,
+                          c0=8)
+    try:
+        with srv.submit(FIXTURE_IDS * 4) as handle:
+            next(iter(handle))
+        import time as _t
+
+        deadline = _t.time() + 30
+        while _t.time() < deadline and srv.metrics()["open_sessions"] > 0:
+            _t.sleep(0.02)
+        assert srv.metrics()["open_sessions"] == 0
+    finally:
+        srv.shutdown()
