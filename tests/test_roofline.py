@@ -79,11 +79,13 @@ def test_measured_report_on_cpu(tiny_voice):
     assert "encode(enc+dp)" in names and "flow" in names and "vocoder" in names
     assert any(n.startswith("vocoder.up") for n in names)
     for s in rep["stages"]:
-        # ms is rounded to 3 decimals in the report; a sub-µs stage on a
-        # tiny voice can legitimately round to 0.0 (seen once under a
-        # fully loaded box), so the positivity check lives on the
-        # unrounded rates below.
+        # Report values are rounded: a sub-µs stage can round ms to 0.0,
+        # and a badly contended box can round a tiny stage's tf_s to 0.0
+        # (both seen once on a fully loaded box). Per-stage values are
+        # therefore only sign-checked; real positivity is asserted on the
+        # totals below and on at least one stage.
         assert s["ms"] >= 0
-        assert s["tf_s"] > 0
+        assert s["tf_s"] >= 0
         assert s["bound"] in ("compute", "memory")
+    assert any(s["tf_s"] > 0 for s in rep["stages"])
     assert rep["total_gflops_per_synthesis"] > 0

@@ -57,6 +57,10 @@ def main(argv=None):
                          "uniformly; same architecture, so the XLA program "
                          "grid is shared — the cost being measured is the "
                          "scheduler splitting traffic into per-voice groups)")
+    ap.add_argument("--http", action="store_true",
+                    help="drive the SAME traffic through PiperHTTPServer "
+                         "over loopback TCP (measures the full deployment "
+                         "stack: JSON parse + batcher + PCM encode + HTTP)")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -133,7 +137,64 @@ def main(argv=None):
             out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
         return out, audio_s, time.perf_counter() - t_start, shed
 
-    if args.voices > 1:
+    http_srv = None
+    if args.http:
+        # Full-stack mode: requests travel over real (loopback) HTTP into
+        # PiperHTTPServer's multi-voice batcher; a thread pool stands in
+        # for concurrent clients. Latency includes JSON + int16-PCM + TCP.
+        import http.client as _hc
+        from concurrent.futures import ThreadPoolExecutor
+
+        from piper_tpu.engine.http_server import PiperHTTPServer
+
+        http_srv = PiperHTTPServer(
+            runtimes, port=0, max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
+            deadline_ms=args.deadline_ms)
+        http_srv.start()
+        server = http_srv.server
+        pool = ThreadPoolExecutor(max_workers=256)
+        voice_keys = list(runtimes)
+
+        def _do_req(ids, voice):
+            conn = _hc.HTTPConnection(http_srv.host, http_srv.port,
+                                      timeout=600)
+            try:
+                conn.request(
+                    "POST", "/v1/synthesize",
+                    body=json.dumps({"voice": voice, "phoneme_ids": ids,
+                                     "format": "pcm"}).encode(),
+                    headers={"Content-Type": "application/json"})
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.status == 429:
+                    raise DeadlineExceeded(data.decode()[:100])
+                if resp.status != 200:
+                    raise RuntimeError(f"HTTP {resp.status}: {data[:100]!r}")
+                return np.frombuffer(data, "<i2")
+            finally:
+                conn.close()
+
+        def submit(rng, ids):
+            voice = voice_keys[int(rng.integers(len(voice_keys)))]
+            return pool.submit(_do_req, list(ids), voice)
+
+        def merged_metrics():
+            per = server.metrics()
+            m = {k: 0 for k in ("groups", "rows", "padded_rows",
+                                "shed_overload", "shed_deadline")}
+            wait_sum = wait_max = 0.0
+            for v in per.values():
+                for k in m:
+                    m[k] += v[k]
+                wait_sum += v["wait_ms_mean"] * v["rows"]
+                wait_max = max(wait_max, v["wait_ms_max"])
+            m["wait_ms_mean"] = wait_sum / m["rows"] if m["rows"] else 0.0
+            m["wait_ms_max"] = wait_max
+            m["rows_per_group"] = m["rows"] / m["groups"] if m["groups"] else 0.0
+            m["per_voice_rows"] = {k: v["rows"] for k, v in per.items()}
+            return m
+    elif args.voices > 1:
         server = MultiVoiceBatchingServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_pending=args.max_pending, deadline_ms=args.deadline_ms)
@@ -168,7 +229,7 @@ def main(argv=None):
             return server.submit(ids, noise_scale=None)
 
         merged_metrics = server.metrics
-    with server:
+    with (http_srv if http_srv is not None else server):
         # Prewarm the server's ENTIRE fused program grid deterministically
         # (each phoneme bucket of the mix x its <=3 row rungs) — traffic-shaped warmup
         # is not enough: any (rows, frames) shape first seen mid-traffic is
