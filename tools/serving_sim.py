@@ -241,7 +241,7 @@ def main(argv=None):
                        rt.options.phoneme_buckets, "phoneme")
             for f in factors})
         warm = server.prewarm(p_buckets=p_buckets)
-        if args.voices > 1:
+        if args.voices > 1 or args.http:  # multi-voice server: per-voice dicts
             programs = sum(w["programs"] for w in warm.values())
             secs = sum(w["seconds"] for w in warm.values())
             fpp = next(iter(warm.values()))["frames_per_phoneme"]
