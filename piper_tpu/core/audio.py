@@ -55,5 +55,18 @@ def join_with_silence(audios, gap_samples: int) -> np.ndarray:
     for i, a in enumerate(audios):
         if i and gap_samples:
             parts.append(gap)
-        parts.append(np.asarray(a, np.float32))
+        # int16-runtime output normalizes to [-1, 1] — a bare float32
+        # upcast would leave +/-32767-scale values that saturate every
+        # downstream encoder.
+        parts.append(pcm_to_float32(a))
     return np.concatenate(parts) if parts else np.zeros(0, np.float32)
+
+
+def pcm_to_float32(samples) -> np.ndarray:
+    """Normalize audio to float32 in [-1, 1]: int16 PCM (an
+    output_dtype='int16' runtime's native output) scales down; float
+    passes through. Inverse companion of float_to_int16."""
+    arr = np.asarray(samples)
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) / 32767.0
+    return arr.astype(np.float32)

@@ -296,11 +296,15 @@ class PiperHTTPServer(_HttpLifecycle):
                   if req.get(k) is not None}
         ids_list = self._ids_for(req, rt)
         futs = [self.server.submit(voice, ids, **kwargs) for ids in ids_list]
-        audios = [f.result(timeout=600) for f in futs]
-        if len(audios) == 1:
-            return np.asarray(audios[0], np.float32), rt
-        from piper_tpu.core.audio import join_with_silence
+        from piper_tpu.core.audio import join_with_silence, pcm_to_float32
 
+        # An output_dtype='int16' runtime resolves futures to int16 PCM;
+        # normalize BEFORE the float paths (a plain float32 upcast would
+        # turn every sample into +/-32767-scale values and the WAV/pcm
+        # encoders would saturate the whole waveform).
+        audios = [pcm_to_float32(f.result(timeout=600)) for f in futs]
+        if len(audios) == 1:
+            return audios[0], rt
         gap_s = float(req.get("sentence_silence", 0.2))
         # join_with_silence raises ValueError on negative -> HTTP 400.
         return join_with_silence(

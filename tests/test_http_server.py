@@ -363,3 +363,27 @@ def test_streaming_http_disconnect_frees_session(tmp_path_factory):
         data = resp.read()
         conn.close()
         assert resp.status == 200 and len(data) > 0
+
+
+def test_int16_runtime_audio_not_saturated(tmp_path_factory):
+    """Review finding: an output_dtype='int16' runtime (the bench/serving
+    default) fed int16-scale values into the float WAV/PCM encoders, which
+    clipped EVERY sample to +/-32767 — the response was a square wave. The
+    HTTP path must normalize; the PCM response must equal the runtime's own
+    int16 output."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    d = tmp_path_factory.mktemp("http_i16")
+    m, _ = make_synthetic_voice(d, quality="test", seed=8)
+    rt = PiperRuntime(m, None, RuntimeOptions(output_dtype="int16"))
+    with PiperHTTPServer({"v": rt}, port=0, max_wait_ms=5) as srv:
+        srv.start()
+        st, ctype, data = _request(
+            srv, "POST", "/v1/synthesize",
+            {"phoneme_ids": list(FIXTURE_IDS), "format": "pcm"})
+        assert st == 200
+        pcm = np.frombuffer(data, "<i2").astype(np.int32)
+        assert len(pcm) > 0
+        # a healthy tiny voice's PCM is NOT all rail-to-rail values
+        assert np.abs(pcm).max() < 32767 or np.abs(pcm).mean() < 20000
+        assert len(np.unique(pcm)) > 16

@@ -35,6 +35,24 @@ from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 LENGTH_MIX = [(1, 0.45), (2, 0.25), (4, 0.15), (8, 0.10), (16, 0.05)]
 
 
+def _merge_voice_metrics(per: dict) -> dict:
+    """Aggregate MultiVoiceBatchingServer.metrics() (per-voice dicts) into
+    the single-server shape report() expects."""
+    m = {k: 0 for k in ("groups", "rows", "padded_rows",
+                        "shed_overload", "shed_deadline")}
+    wait_sum = wait_max = 0.0
+    for v in per.values():
+        for k in m:
+            m[k] += v[k]
+        wait_sum += v["wait_ms_mean"] * v["rows"]
+        wait_max = max(wait_max, v["wait_ms_max"])
+    m["wait_ms_mean"] = wait_sum / m["rows"] if m["rows"] else 0.0
+    m["wait_ms_max"] = wait_max
+    m["rows_per_group"] = m["rows"] / m["groups"] if m["groups"] else 0.0
+    m["per_voice_rows"] = {k: v["rows"] for k, v in per.items()}
+    return m
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=60.0, help="requests/second")
@@ -133,6 +151,9 @@ def main(argv=None):
             except DeadlineExceeded:
                 shed["deadline"] += 1
                 continue
+            except ServerOverloaded:  # --http surfaces sheds at result time
+                shed["overload"] += 1
+                continue
             audio_s += len(audio) / rt.sample_rate
             out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
         return out, audio_s, time.perf_counter() - t_start, shed
@@ -153,7 +174,13 @@ def main(argv=None):
             deadline_ms=args.deadline_ms)
         http_srv.start()
         server = http_srv.server
-        pool = ThreadPoolExecutor(max_workers=256)
+        # One pool worker per plausibly-in-flight request: at high rates a
+        # fixed small pool would queue clients and bill that wait as
+        # server latency.
+        peak_rate = max([float(r) for r in args.rates.split(",")]
+                        if args.rates else [args.rate])
+        pool = ThreadPoolExecutor(
+            max_workers=min(2048, max(256, int(peak_rate * 8))))
         voice_keys = list(runtimes)
 
         def _do_req(ids, voice):
@@ -168,7 +195,11 @@ def main(argv=None):
                 resp = conn.getresponse()
                 data = resp.read()
                 if resp.status == 429:
-                    raise DeadlineExceeded(data.decode()[:100])
+                    # both admission sheds map to 429; the body says which
+                    msg = data.decode()[:200]
+                    if "pending" in msg:
+                        raise ServerOverloaded(msg)
+                    raise DeadlineExceeded(msg)
                 if resp.status != 200:
                     raise RuntimeError(f"HTTP {resp.status}: {data[:100]!r}")
                 return np.frombuffer(data, "<i2")
@@ -180,20 +211,7 @@ def main(argv=None):
             return pool.submit(_do_req, list(ids), voice)
 
         def merged_metrics():
-            per = server.metrics()
-            m = {k: 0 for k in ("groups", "rows", "padded_rows",
-                                "shed_overload", "shed_deadline")}
-            wait_sum = wait_max = 0.0
-            for v in per.values():
-                for k in m:
-                    m[k] += v[k]
-                wait_sum += v["wait_ms_mean"] * v["rows"]
-                wait_max = max(wait_max, v["wait_ms_max"])
-            m["wait_ms_mean"] = wait_sum / m["rows"] if m["rows"] else 0.0
-            m["wait_ms_max"] = wait_max
-            m["rows_per_group"] = m["rows"] / m["groups"] if m["groups"] else 0.0
-            m["per_voice_rows"] = {k: v["rows"] for k, v in per.items()}
-            return m
+            return _merge_voice_metrics(server.metrics())
     elif args.voices > 1:
         server = MultiVoiceBatchingServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
@@ -205,20 +223,7 @@ def main(argv=None):
                                  ids, noise_scale=None)
 
         def merged_metrics():
-            per = server.metrics()
-            m = {k: 0 for k in ("groups", "rows", "padded_rows",
-                                "shed_overload", "shed_deadline")}
-            wait_sum = wait_max = 0.0
-            for v in per.values():
-                for k in m:
-                    m[k] += v[k]
-                wait_sum += v["wait_ms_mean"] * v["rows"]
-                wait_max = max(wait_max, v["wait_ms_max"])
-            m["wait_ms_mean"] = wait_sum / m["rows"] if m["rows"] else 0.0
-            m["wait_ms_max"] = wait_max
-            m["rows_per_group"] = m["rows"] / m["groups"] if m["groups"] else 0.0
-            m["per_voice_rows"] = {k: v["rows"] for k, v in per.items()}
-            return m
+            return _merge_voice_metrics(server.metrics())
     else:
         server = BatchingServer(rt, max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
@@ -312,6 +317,7 @@ def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
                if "per_voice_rows" in server_metrics else {}),
         },
         **({"voices": args.voices} if args.voices > 1 else {}),
+        **({"http": True} if getattr(args, "http", False) else {}),
     }), flush=True)
 
 
