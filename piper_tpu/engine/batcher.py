@@ -158,6 +158,13 @@ class BatchingServer:
             raise ValueError(
                 f"phoneme id(s) {bad[:5]} out of range [0, {self.rt.hparams.n_vocab})"
             )
+        n_spk = getattr(self.rt.hparams, "n_speakers", None)
+        if speaker_id is not None and n_spk is not None and not (
+                0 <= speaker_id < max(1, n_spk)):
+            # JAX clamps out-of-bounds gather indices, which would silently
+            # return the LAST speaker's voice instead of an error.
+            raise ValueError(
+                f"speaker_id {speaker_id} out of range [0, {max(1, n_spk)})")
         from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
         try:
@@ -229,8 +236,13 @@ class BatchingServer:
         # on every full group.
         if getattr(self.rt, "mesh", None) is not None:
             ladder = getattr(self.rt, "batch_ladder", None) or ()
+            dp = ladder[0] if ladder else 1  # ladder[0] == dp size
+            # Snap each candidate UP: to the first ladder rung >= it, or —
+            # when it exceeds the ladder — to the next dp-multiple. Falling
+            # back to ladder[-1] (DOWN) would make pad_rows_to smaller than
+            # a full group and fail every large dispatch.
             cand = sorted({next((x for x in ladder if x >= c),
-                                ladder[-1] if ladder else c)
+                                -(-c // dp) * dp)
                            for c in cand})
         return tuple(cand)
 
@@ -614,8 +626,9 @@ class MultiVoiceBatchingServer:
                 failed = 0
                 for q in srv._queues.values():
                     for req in q:
-                        req.future.set_exception(ServerOverloaded(
-                            f"voice {key!r} unloaded"))
+                        if not req.future.done():  # caller may have cancelled
+                            req.future.set_exception(ServerOverloaded(
+                                f"voice {key!r} unloaded"))
                         failed += 1
                     srv._pending -= len(q)
                 srv._queues.clear()

@@ -273,8 +273,10 @@ class PiperHTTPServer(_HttpLifecycle):
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
                 if req.get("format") == "pcm":
-                    pcm = (np.clip(audio, -1, 1) * 32767.0).astype("<i2")
-                    self._send(200, pcm.tobytes(), "audio/x-raw-int16")
+                    from piper_tpu.core.audio import float_to_int16
+
+                    self._send(200, float_to_int16(audio).astype("<i2")
+                               .tobytes(), "audio/x-raw-int16")
                 else:
                     self._send(200, _wav_bytes(audio, rt.sample_rate),
                                "audio/wav")

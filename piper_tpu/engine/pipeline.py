@@ -29,6 +29,14 @@ import numpy as np
 from piper_tpu.engine.runtime import PiperRuntime
 
 
+def _claim(fut: Future) -> bool:
+    """Atomically move a pipeline future to RUNNING; False when the caller
+    already cancelled it. After a successful claim set_result/set_exception
+    cannot race a cancel (a cancelled future raises InvalidStateError on
+    set_result, which used to kill the worker thread)."""
+    return fut.set_running_or_notify_cancel()
+
+
 class ServingPipeline:
     _SHUTDOWN = object()
 
@@ -38,6 +46,9 @@ class ServingPipeline:
         self._inflight = threading.Semaphore(max_inflight)
         self._queue: "queue.Queue" = queue.Queue()
         self._dispatch_lock = threading.Lock()
+        # Guards the closed flag vs enqueue ordering: an item must never
+        # land AFTER close()'s shutdown sentinels (its future would strand).
+        self._close_lock = threading.Lock()
         self._closed = False
         # Batched submissions run on one dedicated worker (started lazily)
         # that serializes all device interaction; see submit_batch.
@@ -82,7 +93,14 @@ class ServingPipeline:
             self._inflight.release()
             fut.set_exception(e)
             return fut
-        self._queue.put((fut, outs, meta))
+        with self._close_lock:
+            if self._closed:
+                # close() already sent the fetcher sentinels; an enqueue
+                # now would strand the future behind them.
+                self._inflight.release()
+                fut.set_exception(RuntimeError("pipeline is closed"))
+                return fut
+            self._queue.put((fut, outs, meta))
         return fut
 
     def submit_batch(
@@ -148,13 +166,16 @@ class ServingPipeline:
                         outs, meta = self.rt.dispatch_batch(ids_batch, **kwargs)
                     nxt = (fut, outs, meta)
                 except Exception as e:  # noqa: BLE001
-                    fut.set_exception(e)
+                    if _claim(fut):
+                        fut.set_exception(e)
             if pending is not None:
                 self._finish_batch(pending)
             pending = nxt
 
     def _finish_batch(self, pending) -> None:
         fut, outs, meta = pending
+        if not _claim(fut):
+            return  # caller cancelled: skip the fetch, keep the worker alive
         try:
             fut.set_result(self.rt.fetch_batch(outs, meta))
         except Exception as e:  # noqa: BLE001
@@ -167,25 +188,30 @@ class ServingPipeline:
                 return
             fut, outs, meta = item
             try:
-                fut.set_result(self.rt.fetch_fused(outs, meta))
-            except Exception as e:  # noqa: BLE001
-                fut.set_exception(e)
+                if not _claim(fut):
+                    continue  # caller cancelled; fetcher must survive
+                try:
+                    fut.set_result(self.rt.fetch_fused(outs, meta))
+                except Exception as e:  # noqa: BLE001
+                    fut.set_exception(e)
             finally:
                 self._inflight.release()
 
     def close(self) -> None:
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             for _ in self._fetchers:
                 self._queue.put(None)
-            for t in self._fetchers:
-                t.join(timeout=60)
-            with self._batch_lock:
-                worker = self._batch_thread
-                if worker is not None:
-                    self._batch_queue.put(self._SHUTDOWN)
-            if self._batch_thread is not None:
-                self._batch_thread.join(timeout=120)
+        for t in self._fetchers:
+            t.join(timeout=60)
+        with self._batch_lock:
+            worker = self._batch_thread
+            if worker is not None:
+                self._batch_queue.put(self._SHUTDOWN)
+        if self._batch_thread is not None:
+            self._batch_thread.join(timeout=120)
 
     def __enter__(self) -> "ServingPipeline":
         return self

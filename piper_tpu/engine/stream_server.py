@@ -261,6 +261,15 @@ class StreamingServer:
     def shutdown(self) -> None:
         self._stop.set()
         self._worker.join(timeout=30)
+        # A submit() that passed the stop check concurrently with this
+        # shutdown can land in _incoming after the worker's final empty()
+        # check — fail those sessions instead of stranding their consumers.
+        while True:
+            try:
+                s = self._incoming.get_nowait()
+            except queue.Empty:
+                break
+            self._fail(s, RuntimeError("StreamingServer is shut down"))
 
     # -- worker --------------------------------------------------------------
 
@@ -290,7 +299,23 @@ class StreamingServer:
             self._n_open -= 1
 
     def _close(self, s: _Session, item: object) -> None:
-        s.out.put(item)
+        # Terminal: guards double-close (the crash handler may revisit a
+        # session whose final chunk was already delivered this tick).
+        s.failed = True
+        try:
+            s.out.put_nowait(item)
+        except queue.Full:
+            # Only reachable on failure paths (the scheduler never emits
+            # past queue_chunks): drop one chunk so the error/final item
+            # lands instead of blocking the WORKER on a stalled consumer.
+            try:
+                s.out.get_nowait()
+            except queue.Empty:
+                pass
+            try:
+                s.out.put_nowait(item)
+            except queue.Full:
+                pass
         with self._lock:
             self._n_open -= 1
 
@@ -497,10 +522,14 @@ class StreamingServer:
         while not (self._stop.is_set()
                    and not inflight and self._incoming.empty()
                    and not self._active):
+            # Hoisted so the crash handler can always reference this tick's
+            # partially-built collections (an exception early in the tick
+            # must not NameError in the handler).
+            new_work: list = []
+            drained: List[_Session] = []
+            ready: List[_Session] = []
             try:
-                new_work: list = []
                 # New streams: dispatch their heads (TTFB path).
-                drained: List[_Session] = []
                 try:
                     while True:
                         drained.append(self._incoming.get_nowait())
@@ -544,11 +573,18 @@ class StreamingServer:
                 inflight = new_work
                 self._metrics["ticks"] += 1
             except Exception as e:  # noqa: BLE001 — fail open sessions
-                for kind, target, _ in inflight:
+                # Fail EVERY session this tick touched: last tick's
+                # in-flight work, THIS tick's freshly dispatched work and
+                # its drained/ready sources (review finding: sessions in
+                # new_work/ready were in neither inflight nor _active, so
+                # their consumers hung forever and their slots leaked),
+                # and everything still waiting. _fail/_close are
+                # idempotent via the failed flag.
+                for kind, target, _ in list(inflight) + list(new_work):
                     for s in (target,) if kind == "head" else target:
                         self._fail(s, e)
                 inflight = []
-                for s in self._active:
+                for s in list(self._active) + list(ready) + list(drained):
                     self._fail(s, e)
                 self._active = []
         # drain: fetch whatever is still in flight

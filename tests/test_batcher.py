@@ -605,3 +605,30 @@ def test_worker_crash_fails_open_not_hang():
                for r in results)
     with pytest.raises(RuntimeError):
         srv.submit("a", FIXTURE_IDS)  # server closed itself
+
+
+def test_speaker_id_validated_at_submit(runtime):
+    """Out-of-range speaker ids must 400 at the door: JAX clamps gather
+    indices, which would silently return the LAST speaker's voice."""
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=5) as server:
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_id=999)
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_id=-1)
+
+
+def test_mesh_rungs_snap_up_not_down():
+    """Review finding: a group limit above the dp ladder's top snapped DOWN
+    to ladder[-1], making pad_rows_to smaller than full groups (every
+    dispatch would fail). It must snap UP to a dp-multiple."""
+    from types import SimpleNamespace
+
+    rt = _StubRuntime()
+    rt.mesh = object()  # truthy: triggers the dp-divisibility snap
+    rt.batch_ladder = (8, 16, 32, 64, 128)
+    srv = BatchingServer(rt, max_batch=32, max_rows=256, max_wait_ms=1,
+                         start_worker=False)
+    rungs = srv._rungs(16)  # group limit = 32*128/16 = 256 > ladder top
+    assert rungs[-1] >= srv._group_limit(((), 16))
+    assert all(r % 8 == 0 for r in rungs)
+    assert srv._pad_rows_for(16, 200) >= 200

@@ -138,3 +138,31 @@ def test_submit_after_close_raises(runtime):
     pipe.close()
     with pytest.raises(RuntimeError):
         pipe.submit(FIXTURE_IDS)
+
+
+def test_cancelled_future_does_not_kill_fetchers(runtime):
+    """Review finding: set_result on a caller-cancelled future raised
+    InvalidStateError and killed the fetcher thread; after num_fetchers
+    cancellations every later submit hung. Cancel several, then verify the
+    pipeline still serves."""
+    from piper_tpu.engine.pipeline import ServingPipeline
+
+    with ServingPipeline(runtime, num_fetchers=2) as pipe:
+        for _ in range(4):  # more cancels than fetchers
+            fut = pipe.submit(FIXTURE_IDS)
+            fut.cancel()  # may or may not win the race; both must be safe
+        outs = [pipe.submit(FIXTURE_IDS) for _ in range(3)]
+        for f in outs:
+            audio = f.result(timeout=300)
+            assert len(audio) > 0
+
+
+def test_cancelled_batch_future_keeps_worker(runtime):
+    from piper_tpu.engine.pipeline import ServingPipeline
+
+    with ServingPipeline(runtime) as pipe:
+        f0 = pipe.submit_batch([FIXTURE_IDS, FIXTURE_IDS[:6]])
+        f0.cancel()
+        f1 = pipe.submit_batch([FIXTURE_IDS])
+        audios = f1.result(timeout=300)
+        assert len(audios) == 1 and len(audios[0]) > 0

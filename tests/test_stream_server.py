@@ -288,3 +288,36 @@ def test_cancel_as_context_manager(tiny_runtime):
         assert srv.metrics()["open_sessions"] == 0
     finally:
         srv.shutdown()
+
+
+def test_worker_crash_fails_every_session(tiny_runtime, monkeypatch):
+    """Review finding: sessions dispatched in the CURRENT tick (new_work /
+    ready) were missed by the crash handler — their consumers hung forever
+    and their slots leaked. Inject a window-dispatch failure and require
+    every open stream to resolve (with an error) and every slot to free."""
+    import time as _t
+
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    srv = StreamingServer(tiny_runtime, max_sessions=4, emit_frames=16, c0=8)
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("injected window failure")
+
+        handles = [srv.submit(FIXTURE_IDS * 4, seed=i) for i in range(3)]
+        monkeypatch.setattr(srv.rt, "dispatch_window_batch", boom)
+        results = []
+        for h in handles:
+            try:
+                results.append(sum(len(c.samples) for c in h))
+            except Exception as e:  # noqa: BLE001
+                results.append(e)
+        # every consumer resolved (no hang), none silently truncated
+        assert all(isinstance(r, Exception) for r in results
+                   if not isinstance(r, int))
+        deadline = _t.time() + 30
+        while _t.time() < deadline and srv.metrics()["open_sessions"] > 0:
+            _t.sleep(0.02)
+        assert srv.metrics()["open_sessions"] == 0
+    finally:
+        srv.shutdown()
