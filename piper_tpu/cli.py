@@ -132,6 +132,38 @@ def _batch_synth_args(args, n_rows: int) -> dict:
     return out
 
 
+def _write_alignment(path, rt: PiperRuntime, ids_list, audios,
+                     gap_samples: int, args) -> None:
+    """Write the phoneme-level alignment JSON for the utterances just
+    synthesized: per-utterance spans from PiperRuntime.phoneme_durations
+    (exact — same seeded plan the decode realized), offsets from the ACTUAL
+    audio lengths plus the sentence gaps."""
+    import json
+
+    from piper_tpu.core.alignment import alignments_to_json, make_alignment
+
+    dur_args = _synth_args(args)
+    dur_args.pop("noise_scale", None)  # durations don't depend on it
+    sid = dur_args.pop("speaker_id", None)
+    if sid is not None:
+        dur_args["speaker_ids"] = [sid] * len(ids_list)
+    durs = rt.phoneme_durations(ids_list, **dur_args)
+    hop, sr = rt.hparams.hop_length, rt.sample_rate
+    aligns, offsets, pos = [], [], 0
+    for ids, d, a in zip(ids_list, durs, audios):
+        aligns.append(make_alignment(ids, d, hop_length=hop, sample_rate=sr,
+                                     total_samples=len(a)))
+        offsets.append(pos)
+        pos += len(a) + gap_samples
+    doc = alignments_to_json(aligns, offsets)
+    doc["sample_rate"] = sr
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote alignment {path}: "
+          f"{sum(len(x) for x in ids_list)} phonemes across "
+          f"{len(ids_list)} utterance(s)", file=sys.stderr)
+
+
 def run_oneshot(args) -> None:
     import time
 
@@ -144,6 +176,10 @@ def run_oneshot(args) -> None:
               file=sys.stderr)
     if args.sentence_silence < 0:
         raise SystemExit("--sentence-silence must be >= 0")
+    if args.alignment and args.stream:
+        raise SystemExit("--alignment is not supported with --stream "
+                         "(streamed windows decode incrementally; run "
+                         "without --stream for timing JSON)")
     ids_list = _sentence_ids_for(args, rt)
     ids = ids_list[0]
     gap_samples = int(round(args.sentence_silence * rt.sample_rate))
@@ -159,6 +195,9 @@ def run_oneshot(args) -> None:
         wall_ms = (time.perf_counter() - t0) * 1e3
         audio = join_with_silence(audios, gap_samples)
         write_wav(out, audio, rt.sample_rate)
+        if args.alignment:
+            _write_alignment(args.alignment, rt, ids_list, audios,
+                             gap_samples, args)
         secs = len(audio) / rt.sample_rate
         print(
             f"wrote {out}: {len(ids_list)} sentences, {len(audio)} samples "
@@ -215,6 +254,8 @@ def run_oneshot(args) -> None:
     else:
         audio = rt.synthesize(ids, **_synth_args(args))
         write_wav(out, audio, rt.sample_rate)
+        if args.alignment:
+            _write_alignment(args.alignment, rt, [ids], [audio], 0, args)
         t = rt.last_run_timings
         print(
             f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
@@ -613,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify-summary", metavar="PATH",
                    help="replay recorded vectors with injected RNG; exit 1 over tolerance")
     p.add_argument("--tolerance", type=float, default=1e-3)
+    p.add_argument("--alignment", metavar="PATH",
+                   help="also write phoneme-level timing JSON (per-phoneme "
+                        "sample/second spans of the synthesized audio; "
+                        "not supported with --stream)")
     p.add_argument("--play", action="store_true", help="play the output WAV")
     p.add_argument("--stream", action="store_true",
                    help="incremental windowed decode (first audio before completion)")

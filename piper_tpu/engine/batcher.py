@@ -51,6 +51,9 @@ class _Request:
     speaker_id: Optional[int]
     future: "Future[np.ndarray]"
     t_submit: float = field(default_factory=time.perf_counter)
+    # "synth" -> future resolves to audio; "dur" -> to the per-phoneme frame
+    # durations (the alignment plan; encoder-only, no vocoder FLOPs).
+    kind: str = "synth"
 
 
 class BatchingServer:
@@ -175,6 +178,51 @@ class BatchingServer:
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, length_scale, noise_w),
                        speaker_id, fut)
+        return self._enqueue(req, p_bucket)
+
+    def submit_durations(
+        self,
+        phoneme_ids: Sequence[int],
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+    ) -> "Future[np.ndarray]":
+        """Queue a phoneme-durations (alignment) request; the future resolves
+        to the per-phoneme frame durations (int64, one per input id).
+
+        Served on the SAME worker thread as synthesis (device discipline),
+        batched with other duration requests of the same bucket. The plan is
+        the one a synthesis of the same (ids, scales, speaker) through this
+        server realizes — the runtime's seeded noise is per-row derived, so
+        grouping does not change it (PiperRuntime.phoneme_durations)."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        ids = list(phoneme_ids)
+        if not ids:
+            raise ValueError("empty phoneme sequence")
+        bad = [i for i in ids if not (0 <= i < self.rt.hparams.n_vocab)]
+        if bad:
+            raise ValueError(
+                f"phoneme id(s) {bad[:5]} out of range [0, {self.rt.hparams.n_vocab})"
+            )
+        n_spk = getattr(self.rt.hparams, "n_speakers", None)
+        if speaker_id is not None and n_spk is not None and not (
+                0 <= speaker_id < max(1, n_spk)):
+            raise ValueError(
+                f"speaker_id {speaker_id} out of range [0, {max(1, n_spk)})")
+        from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
+
+        try:
+            p_bucket = bucket_for(len(ids), self.rt.options.phoneme_buckets,
+                                  "phoneme")
+        except BucketOverflowError:
+            p_bucket = "overflow"
+        fut: "Future[np.ndarray]" = Future()
+        req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
+                       kind="dur")
+        return self._enqueue(req, p_bucket)
+
+    def _enqueue(self, req: _Request, p_bucket) -> "Future[np.ndarray]":
         with self._cond:
             if self._closed:
                 raise RuntimeError("server is closed")
@@ -186,10 +234,10 @@ class BatchingServer:
                 )
             self._metrics["submitted"] += 1
             self._pending += 1
-            key = (req.scales, p_bucket)
+            key = (req.scales, p_bucket, req.kind)
             self._queues.setdefault(key, deque()).append(req)
             self._cond.notify()
-        return fut
+        return req.future
 
     def metrics(self) -> dict:
         """Snapshot of serving counters: queue depth, shed counts, dispatch
@@ -328,7 +376,7 @@ class BatchingServer:
         m = self._metrics
         m["groups"] += 1
         m["rows"] += len(group)
-        if self.fused and isinstance(key[1], int):
+        if self.fused and isinstance(key[1], int) and group[0].kind == "synth":
             bp = self._pad_rows_for(key[1], len(group))
             m["padded_rows"] += bp - len(group)
         elif len(group) > 1:
@@ -394,7 +442,31 @@ class BatchingServer:
 
     def _dispatch_group(self, group: List[_Request]):
         """Dispatch one batched synthesis; returns (group, outs, meta) for a
-        later fetch, or None if the dispatch itself failed."""
+        later fetch, or None if the dispatch itself failed.
+
+        Durations groups (kind "dur") are encoder-only — cheap enough to run
+        synchronously here (one dispatch + one small fetch); their futures
+        resolve immediately and nothing is returned for a later fetch."""
+        if group[0].kind == "dur":
+            try:
+                _, ls, nw = group[0].scales
+                speaker_ids = None
+                if any(r.speaker_id is not None for r in group):
+                    speaker_ids = [r.speaker_id or 0 for r in group]
+                durs = self.rt.phoneme_durations(
+                    [r.ids for r in group], length_scale=ls, noise_w=nw,
+                    speaker_ids=speaker_ids)
+                with self._cond:
+                    self._metrics["completed"] += len(group)
+                for r, d in zip(group, durs):
+                    r.future.set_result(d)
+            except Exception as e:  # noqa: BLE001 — per-request surfacing
+                with self._cond:
+                    self._metrics["failed"] += len(group)
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            return None
         try:
             ns, ls, nw = group[0].scales
             speaker_ids = None
@@ -649,6 +721,14 @@ class MultiVoiceBatchingServer:
         if self._closed:
             raise RuntimeError("server is closed")
         return self._snapshot()[voice].submit(phoneme_ids, **kwargs)
+
+    def submit_durations(self, voice: str, phoneme_ids: Sequence[int],
+                         **kwargs) -> "Future[np.ndarray]":
+        """Queue a phoneme-durations (alignment) request for `voice`; same
+        contract as BatchingServer.submit_durations."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        return self._snapshot()[voice].submit_durations(phoneme_ids, **kwargs)
 
     def metrics(self) -> Dict[str, dict]:
         return {key: s.metrics() for key, s in self._snapshot().items()}

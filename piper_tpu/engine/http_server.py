@@ -233,11 +233,27 @@ class PiperHTTPServer(_HttpLifecycle):
                     self._send_json(404, {"error": "unknown route"})
 
             def do_POST(self):
-                if self.path not in ("/v1/synthesize", "/v1/audio/speech"):
+                if self.path not in ("/v1/synthesize", "/v1/audio/speech",
+                                     "/v1/durations"):
                     self._send_json(404, {"error": "unknown route"})
                     return
                 req = self._read_json_body()
                 if req is None:
+                    return
+                if self.path == "/v1/durations":
+                    try:
+                        doc = outer._durations(req)
+                    except KeyError as e:
+                        self._send_json(404, {"error": str(e.args[0])})
+                    except (ServerOverloaded, DeadlineExceeded) as e:
+                        self._send_json(429, {"error": str(e)})
+                    except ValueError as e:
+                        self._send_json(400, {"error": str(e)})
+                    except Exception as e:  # noqa: BLE001 — surface as 500
+                        self._send_json(500,
+                                        {"error": f"{type(e).__name__}: {e}"})
+                    else:
+                        self._send_json(200, doc)
                     return
                 if self.path == "/v1/audio/speech":
                     # OpenAI-compatible alias: input -> text, speed ->
@@ -311,6 +327,46 @@ class PiperHTTPServer(_HttpLifecycle):
         # join_with_silence raises ValueError on negative -> HTTP 400.
         return join_with_silence(
             audios, int(round(gap_s * rt.sample_rate))), rt
+
+    def _durations(self, req: dict) -> dict:
+        """Phoneme-level alignment for a request WITHOUT synthesizing audio:
+        encoder-only on the worker thread. The spans are exactly those a
+        /v1/synthesize of the same request realizes (per-row seeded noise —
+        see PiperRuntime.phoneme_durations); multi-sentence text reports one
+        utterance per sentence with offsets including the sentence gaps.
+        Durations are the decoder's PLAN — in the rare case a plan exceeds
+        the runtime's largest frame bucket the synthesized audio truncates
+        and later offsets shift."""
+        voice = req.get("voice", self.default_voice)
+        if voice not in self.runtimes:
+            raise KeyError(f"unknown voice {voice!r}")
+        rt = self.runtimes[voice]
+        kwargs = {k: req[k] for k in
+                  ("length_scale", "noise_w", "speaker_id")
+                  if req.get(k) is not None}
+        ids_list = self._ids_for(req, rt)
+        futs = [self.server.submit_durations(voice, ids, **kwargs)
+                for ids in ids_list]
+        durs = [f.result(timeout=600) for f in futs]
+        from piper_tpu.core.alignment import alignments_to_json, make_alignment
+
+        hop, sr = rt.hparams.hop_length, rt.sample_rate
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
+        gap = int(round(gap_s * sr)) if len(ids_list) > 1 else 0
+        aligns, offsets, pos = [], [], 0
+        for ids, d in zip(ids_list, durs):
+            n = int(d.sum()) * hop
+            aligns.append(make_alignment(ids, d, hop_length=hop,
+                                         sample_rate=sr, total_samples=n))
+            offsets.append(pos)
+            pos += n + gap
+        doc = alignments_to_json(aligns, offsets)
+        doc["voice"] = voice
+        doc["sample_rate"] = sr
+        doc["total_samples"] = max(0, pos - gap) if aligns else 0
+        return doc
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -362,9 +362,19 @@ class PiperRuntime:
             with jax.default_matmul_precision(prec):
                 # Key derivation happens in-program: eager PRNG ops would each
                 # pay a full device round trip on a tunneled TPU.
+                #
+                # The draw is PER ROW (one (2, P) tensor broadcast over the
+                # batch) so a request's seeded realization depends only on
+                # (seed, p_bucket) — NOT on its co-batched rows or the batch
+                # rung the scheduler happened to pick. b == 1 is bit-identical
+                # to the historical whole-tensor draw because jax.random bits
+                # depend only on the element count: normal(k, (1, 2, P))[0]
+                # == normal(k, (2, P)). This row invariance is what makes
+                # phoneme_durations() exact against served audio.
                 key = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
-                dp_noise = jax.random.normal(key, (ids.shape[0], 2, ids.shape[1]),
-                                             dtype=jnp.float32)
+                dp_noise = jnp.broadcast_to(
+                    jax.random.normal(key, (2, ids.shape[1]), dtype=jnp.float32),
+                    (ids.shape[0], 2, ids.shape[1]))
                 return vits.encode(params, hp, ids, lengths, dp_noise,
                                    length_scale=length_scale, noise_w=noise_w, sid=sid)
 
@@ -375,10 +385,13 @@ class PiperRuntime:
 
         def decode_keyed(params, enc, seed, noise_scale, *, max_frames):
             with jax.default_matmul_precision(prec):
+                # Per-row draw broadcast over the batch (see encode_keyed):
+                # a row's prior noise depends only on (seed, f_bucket).
                 key = jax.random.fold_in(jax.random.PRNGKey(seed), 1)
-                main_noise = jax.random.normal(
-                    key, (enc.m_p.shape[0], enc.m_p.shape[1], max_frames), dtype=jnp.float32
-                )
+                main_noise = jnp.broadcast_to(
+                    jax.random.normal(
+                        key, (enc.m_p.shape[1], max_frames), dtype=jnp.float32),
+                    (enc.m_p.shape[0], enc.m_p.shape[1], max_frames))
                 audio, y_len = vits.decode(
                     params, hp, enc, main_noise, max_frames=max_frames,
                     noise_scale=noise_scale, vocoder_precision=voc_prec,
@@ -397,16 +410,21 @@ class PiperRuntime:
         def fused_keyed(params, ids, lengths, seed, scales, sid, *, max_frames):
             with jax.default_matmul_precision(prec):
                 noise_scale, length_scale, noise_w = scales[0], scales[1], scales[2]
+                # Per-row draws broadcast over the batch (see encode_keyed):
+                # realizations are invariant to co-batched rows and the
+                # serving layer's row rung; b == 1 is bit-identical to the
+                # whole-tensor draw.
                 base = jax.random.PRNGKey(seed)
-                dp_noise = jax.random.normal(
-                    jax.random.fold_in(base, 0), (ids.shape[0], 2, ids.shape[1]),
-                    dtype=jnp.float32,
-                )
-                main_noise = jax.random.normal(
-                    jax.random.fold_in(base, 1),
-                    (ids.shape[0], hp.inter_channels, max_frames),
-                    dtype=jnp.float32,
-                )
+                dp_noise = jnp.broadcast_to(
+                    jax.random.normal(
+                        jax.random.fold_in(base, 0), (2, ids.shape[1]),
+                        dtype=jnp.float32),
+                    (ids.shape[0], 2, ids.shape[1]))
+                main_noise = jnp.broadcast_to(
+                    jax.random.normal(
+                        jax.random.fold_in(base, 1),
+                        (hp.inter_channels, max_frames), dtype=jnp.float32),
+                    (ids.shape[0], hp.inter_channels, max_frames))
                 enc = vits.encode(params, hp, ids, lengths, dp_noise,
                                   length_scale=length_scale, noise_w=noise_w, sid=sid)
                 audio, y_len = vits.decode(params, hp, enc, main_noise,
@@ -631,6 +649,86 @@ class PiperRuntime:
         )
         self.last_run_timings = timings
         return audios
+
+    def phoneme_durations(
+        self,
+        phoneme_ids_batch: Sequence[Sequence[int]],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Per-phoneme frame durations for each utterance — the alignment
+        plan the decoder expands. Runs ONLY the encoder (text encoder +
+        stochastic duration predictor): one device dispatch and one small
+        fetch (B x P ints), no vocoder FLOPs.
+
+        Exactness: the keyed duration noise is derived per row from
+        (seed, phoneme bucket) alone — see encode_keyed — so for the same
+        (ids, length_scale, noise_w, speaker, seed) these durations are the
+        plan synthesize / synthesize_batch / the serving layer realized,
+        regardless of how the request was batched: the noise realization is
+        identical; the only possible divergence is a duration that lands
+        within XLA's batch-shape reassociation error (~1e-6) of an exact
+        integer flipping its ceil() — never observed in testing. Row i's
+        audio sample count is clip(sum(d_i), 1, frame_bucket) * hop_length.
+
+        `noise_scale` is accepted for signature symmetry; durations do not
+        depend on it (it scales the decoder's prior noise only).
+        """
+        del noise_scale  # durations depend on length_scale / noise_w only
+        with self._lock:
+            ids_batch = [list(x) for x in phoneme_ids_batch]
+            b = len(ids_batch)
+            lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+            bp = ids.shape[0]
+            _, ls, nw = self._scales(None, length_scale, noise_w)
+            if speaker_ids is not None and bp > b:
+                speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
+            sid = self._sid_array(speaker_ids, bp)
+            seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
+            t0 = time.perf_counter()
+            compiled = self._mark("enc_key", (bp, p_bucket, sid is not None))
+            enc = self._encode_keyed(self.params, self._put_batch(ids),
+                                     self._put_batch(lengths), seed_j, ls, nw, sid)
+            w = np.asarray(jax.device_get(enc.w_ceil)).astype(np.int64)
+            self.profiler.record("durations", p_bucket,
+                                 (time.perf_counter() - t0) * 1e3, compiled)
+            return [w[i, : len(ids_batch[i])] for i in range(b)]
+
+    def synthesize_with_alignment(
+        self,
+        phoneme_ids: Sequence[int],
+        noise_scale: Optional[float] = None,
+        length_scale: Optional[float] = None,
+        noise_w: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        """Synthesize one utterance AND its phoneme-level timing.
+
+        Returns (audio, PhonemeAlignment): audio as synthesize() would
+        produce it (bit-identical — same programs, same noise), and the
+        per-phoneme sample/second spans of that exact waveform. Costs one
+        extra encoder pass + one small fetch over plain synthesize().
+        """
+        from piper_tpu.core.alignment import make_alignment
+
+        ids = list(phoneme_ids)
+        audio = self.synthesize(
+            ids, noise_scale=noise_scale, length_scale=length_scale,
+            noise_w=noise_w, speaker_id=speaker_id, seed=seed,
+        )
+        durations = self.phoneme_durations(
+            [ids], length_scale=length_scale, noise_w=noise_w,
+            speaker_ids=[speaker_id] if speaker_id is not None else None,
+            seed=seed,
+        )[0]
+        return audio, make_alignment(
+            ids, durations, hop_length=self.hparams.hop_length,
+            sample_rate=self.sample_rate, total_samples=len(audio),
+        )
 
     def prewarm(
         self,

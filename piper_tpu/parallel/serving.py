@@ -213,7 +213,11 @@ class ShardedVits:
 
         def enc_fn(params, ids_j, lengths_j, sid_j):
             base = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(seed)), 0)
-            dp_noise = jax.random.normal(base, (ids_j.shape[0], 2, ids_j.shape[1]))
+            # Per-row draw broadcast over the batch — matches the runtime's
+            # row-invariant derivation (encode_keyed); bit-identical at b=1.
+            dp_noise = jnp.broadcast_to(
+                jax.random.normal(base, (2, ids_j.shape[1])),
+                (ids_j.shape[0], 2, ids_j.shape[1]))
             # Encoder stays at the global tier (duration-ceil safety — the
             # same reason PiperRuntime never lowers the encode path).
             with jax.default_matmul_precision(self.precision):

@@ -23,10 +23,11 @@ def test_batched_group_serves_all(runtime):
     assert len(audios) == 8
     for a in audios:
         assert len(a) > 0 and np.isfinite(a).all()
-    # Each batch row draws independent prior noise: same utterance, same
-    # group, but (stochastically) distinct samples.
-    if audios[0].shape == audios[1].shape:
-        assert not np.array_equal(audios[0], audios[1])
+    # Seeded noise is derived per row from (seed, bucket) alone, so
+    # identical requests produce identical audio no matter how the server
+    # grouped them — served results are reproducible under co-traffic.
+    for a in audios[1:]:
+        np.testing.assert_array_equal(audios[0], a)
 
 
 def test_mixed_lengths_batch(runtime):
@@ -192,14 +193,16 @@ def test_fused_batch_overflow_rows_redone(tiny_voice):
     rows (bit-equal: the redo IS that call)."""
     from piper_tpu.engine.runtime import RuntimeOptions
 
-    # A 1-frame-per-phoneme budget is always exceeded (real voices emit
-    # several frames per phoneme), so every row overflows.
+    # A 1-frame-per-phoneme budget plus a stretched length_scale is always
+    # exceeded, so EVERY row overflows — the bit-equality below needs the
+    # redo set to be the whole batch (a partial redo runs at a different
+    # batch shape, which matches only to XLA's ~1e-6 reassociation).
     opts = RuntimeOptions(mode="fused", fused_frames_per_phoneme=1)
     rt = PiperRuntime(*tiny_voice, options=opts)
     batch = [FIXTURE_IDS, FIXTURE_IDS[:6]]
-    outs, meta = rt.dispatch_batch(batch, fused=True)
+    outs, meta = rt.dispatch_batch(batch, fused=True, length_scale=5.0)
     audios = rt.fetch_batch(outs, meta)
-    expected = rt.synthesize_batch(batch)
+    expected = rt.synthesize_batch(batch, length_scale=5.0)
     for a, b in zip(audios, expected):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
@@ -632,3 +635,42 @@ def test_mesh_rungs_snap_up_not_down():
     assert rungs[-1] >= srv._group_limit(((), 16))
     assert all(r % 8 == 0 for r in rungs)
     assert srv._pad_rows_for(16, 200) >= 200
+
+
+def test_submit_durations_matches_served_audio(runtime):
+    """Durations futures resolve to the plan the server's synthesis of the
+    same request realizes (row-invariant seeded noise), batched with other
+    duration requests on the same worker."""
+    hop = runtime.hparams.hop_length
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=50) as server:
+        d_futs = [server.submit_durations(FIXTURE_IDS),
+                  server.submit_durations(FIXTURE_IDS[:6])]
+        a_futs = [server.submit(FIXTURE_IDS), server.submit(FIXTURE_IDS[:6])]
+        durs = [f.result(timeout=300) for f in d_futs]
+        audios = [f.result(timeout=300) for f in a_futs]
+    assert durs[0].shape == (len(FIXTURE_IDS),)
+    assert durs[1].shape == (6,)
+    assert int(durs[0].sum()) * hop == len(audios[0])
+    assert int(durs[1].sum()) * hop == len(audios[1])
+    m = server.metrics()
+    assert m["completed"] == 4 and m["failed"] == 0
+
+
+def test_submit_durations_validates(runtime):
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=10) as server:
+        with pytest.raises(ValueError):
+            server.submit_durations([])
+        with pytest.raises(ValueError):
+            server.submit_durations([10 ** 9])
+        with pytest.raises(ValueError):
+            server.submit_durations(FIXTURE_IDS, speaker_id=5)
+
+
+def test_multivoice_submit_durations(tiny_voice):
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    rts = {"a": PiperRuntime(*tiny_voice)}
+    with MultiVoiceBatchingServer(rts, max_batch=4, max_wait_ms=10) as srv:
+        d = srv.submit_durations("a", FIXTURE_IDS).result(timeout=300)
+        a = srv.submit("a", FIXTURE_IDS).result(timeout=300)
+    assert int(d.sum()) * rts["a"].hparams.hop_length == len(a)

@@ -99,3 +99,27 @@ def test_missing_args_errors(voice):
         cli.main(["--phoneme-ids", FIXTURE_IDS])  # no model/voice
     with pytest.raises(SystemExit):
         cli.main(["--scale-bench"])  # no summary
+
+
+def test_oneshot_alignment_json(voice, tmp_path, capsys):
+    model, config, _ = voice
+    out = tmp_path / "o.wav"
+    aj = tmp_path / "align.json"
+    cli.main(["--model", str(model), "--phoneme-ids", FIXTURE_IDS,
+              "-o", str(out), "--alignment", str(aj)])
+    audio, sr = read_wav(str(out))
+    doc = json.loads(aj.read_text())
+    assert doc["sample_rate"] == sr
+    (utt,) = doc["utterances"]
+    ids = [int(x) for x in FIXTURE_IDS.split(",")]
+    assert [p["id"] for p in utt["phonemes"]] == ids
+    assert utt["phonemes"][-1]["end_sample"] == len(audio)
+    assert utt["total_samples"] == len(audio)
+
+
+def test_alignment_rejected_with_stream(voice, tmp_path):
+    model, config, _ = voice
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids", FIXTURE_IDS,
+                  "--stream", "-o", str(tmp_path / "o.wav"),
+                  "--alignment", str(tmp_path / "a.json")])

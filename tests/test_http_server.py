@@ -387,3 +387,34 @@ def test_int16_runtime_audio_not_saturated(tmp_path_factory):
         # a healthy tiny voice's PCM is NOT all rail-to-rail values
         assert np.abs(pcm).max() < 32767 or np.abs(pcm).mean() < 20000
         assert len(np.unique(pcm)) > 16
+
+
+def test_durations_endpoint(server):
+    st, ctype, data = _request(server, "POST", "/v1/durations",
+                               {"phoneme_ids": list(FIXTURE_IDS)})
+    assert st == 200 and ctype == "application/json"
+    doc = json.loads(data)
+    assert doc["voice"] == "alpha" and doc["sample_rate"] > 0
+    (utt,) = doc["utterances"]
+    phs = utt["phonemes"]
+    assert [p["id"] for p in phs] == list(FIXTURE_IDS)
+    assert phs[0]["start_sample"] == 0
+    assert all(a["end_sample"] == b["start_sample"]
+               for a, b in zip(phs, phs[1:]))
+    # spans describe the audio /v1/synthesize returns for the same request
+    st, _, wav = _request(server, "POST", "/v1/synthesize",
+                          {"phoneme_ids": list(FIXTURE_IDS)})
+    assert st == 200
+    n = struct.unpack("<I", wav[40:44])[0] // 2  # int16 samples
+    assert phs[-1]["end_sample"] == n == doc["total_samples"]
+
+
+def test_durations_endpoint_errors(server):
+    st, _, data = _request(server, "POST", "/v1/durations",
+                           {"voice": "nope", "phoneme_ids": [1]})
+    assert st == 404
+    st, _, data = _request(server, "POST", "/v1/durations", {})
+    assert st == 400
+    st, _, data = _request(server, "POST", "/v1/durations",
+                           {"phoneme_ids": [1], "sentence_silence": -1})
+    assert st == 400
