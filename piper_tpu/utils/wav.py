@@ -80,16 +80,23 @@ def write_wav(path: Union[str, Path], samples: np.ndarray, sample_rate: int) -> 
             w.append_float32(samples)
 
 
-def read_wav(path: Union[str, Path]) -> tuple[np.ndarray, int]:
-    """Minimal reader for our own files (tests): returns (float32 samples, rate)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE", "not a WAV file"
+def parse_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an in-memory WAV of the layout WavWriter produces: returns
+    (float32 samples in [-1, 1], sample_rate). Used by the HTTP client on
+    response bodies and by read_wav on files."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
     # fmt chunk at fixed offset for files we write.
-    (num_channels,) = struct.unpack_from("<H", data, 22)
     (sample_rate,) = struct.unpack_from("<I", data, 24)
     pos = 36
-    assert data[pos : pos + 4] == b"data"
+    if data[pos : pos + 4] != b"data":
+        raise ValueError("unexpected WAV chunk layout")
     (n,) = struct.unpack_from("<I", data, pos + 4)
     pcm = np.frombuffer(data, dtype="<i2", count=n // 2, offset=pos + 8)
     return pcm.astype(np.float32) / 32767.0, sample_rate
+
+
+def read_wav(path: Union[str, Path]) -> tuple[np.ndarray, int]:
+    """Minimal reader for our own files (tests): returns (float32 samples, rate)."""
+    with open(path, "rb") as f:
+        return parse_wav_bytes(f.read())
