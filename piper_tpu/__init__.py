@@ -16,6 +16,7 @@ Public API surface (mirrors the reference's PiperMetalRuntime / PiperCore):
 
 from piper_tpu.core.config import VoiceConfig
 from piper_tpu.core.audio import AudioFormat, AudioChunk
+from piper_tpu.core.alignment import PhonemeAlignment
 from piper_tpu.core.test_vector import TestVector, TestSummary
 from piper_tpu.core.voices import VoiceIndex, VoiceManager
 from piper_tpu.version import __version__
@@ -24,6 +25,7 @@ __all__ = [
     "VoiceConfig",
     "AudioFormat",
     "AudioChunk",
+    "PhonemeAlignment",
     "TestVector",
     "TestSummary",
     "VoiceIndex",
@@ -33,6 +35,8 @@ __all__ = [
     "ServingPipeline",
     "BatchingServer",
     "VoiceServer",
+    "PiperClient",
+    "PiperStreamingClient",
     "__version__",
 ]
 
@@ -45,6 +49,10 @@ _LAZY = {
     "BatchingServer": ("piper_tpu.engine.batcher", "BatchingServer"),
     "MultiVoiceBatchingServer": ("piper_tpu.engine.batcher", "MultiVoiceBatchingServer"),
     "VoiceServer": ("piper_tpu.engine.server", "VoiceServer"),
+    # Clients are stdlib-only but live lazy for symmetry.
+    "PiperClient": ("piper_tpu.client", "PiperClient"),
+    "PiperStreamingClient": ("piper_tpu.client", "PiperStreamingClient"),
+    "PiperClientError": ("piper_tpu.client", "PiperClientError"),
 }
 
 

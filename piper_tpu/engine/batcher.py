@@ -270,7 +270,25 @@ class BatchingServer:
         bucket = key[1]
         if not isinstance(bucket, int):
             return 1  # overflow requests fail individually
+        if len(key) > 2 and key[2] == "dur":
+            # Durations groups are capped at (and padded to) ONE pinned rung
+            # so each phoneme bucket serves alignment from a single compiled
+            # encode program — a traffic-dependent row count would compile
+            # mid-serve (40-100 s worker stall on the tunneled dev chip).
+            return self._dur_rows(bucket)
         return max(1, min(self.max_rows, self.phoneme_budget // bucket))
+
+    def _dur_rows(self, p_bucket: int) -> int:
+        """The one padded row count durations groups of this bucket use.
+        Encoder rows are cheap (no vocoder FLOPs), so a small fixed rung
+        wastes little; mesh runtimes snap it up to a dp multiple."""
+        rows = max(1, min(16, self.max_rows,
+                          self.phoneme_budget // p_bucket))
+        if getattr(self.rt, "mesh", None) is not None:
+            ladder = getattr(self.rt, "batch_ladder", None) or ()
+            dp = ladder[0] if ladder else 1
+            rows = -(-rows // dp) * dp
+        return rows
 
     def _rungs(self, p_bucket: int):
         """The padded-row counts groups of this bucket may use: a small
@@ -360,6 +378,11 @@ class BatchingServer:
                                 [ids] * rung, noise_scale=ns,
                                 length_scale=ls, noise_w=nw)
                         n += 1
+            # The durations (alignment) program: one pinned encode per
+            # bucket, so a first submit_durations can't compile mid-traffic.
+            self.rt.phoneme_durations([ids],
+                                      pad_rows_to=self._dur_rows(p_bucket))
+            n += 1
         return {"programs": n, "seconds": _time.perf_counter() - t0,
                 "frames_per_phoneme": self._fpp}
 
@@ -376,7 +399,9 @@ class BatchingServer:
         m = self._metrics
         m["groups"] += 1
         m["rows"] += len(group)
-        if self.fused and isinstance(key[1], int) and group[0].kind == "synth":
+        if group[0].kind == "dur" and isinstance(key[1], int):
+            m["padded_rows"] += self._dur_rows(key[1]) - len(group)
+        elif self.fused and isinstance(key[1], int):
             bp = self._pad_rows_for(key[1], len(group))
             m["padded_rows"] += bp - len(group)
         elif len(group) > 1:
@@ -453,9 +478,15 @@ class BatchingServer:
                 speaker_ids = None
                 if any(r.speaker_id is not None for r in group):
                     speaker_ids = [r.speaker_id or 0 for r in group]
+                from piper_tpu.engine.bucketing import bucket_for
+
+                p_bucket = bucket_for(max(len(r.ids) for r in group),
+                                      self.rt.options.phoneme_buckets,
+                                      "phoneme")
                 durs = self.rt.phoneme_durations(
                     [r.ids for r in group], length_scale=ls, noise_w=nw,
-                    speaker_ids=speaker_ids)
+                    speaker_ids=speaker_ids,
+                    pad_rows_to=self._dur_rows(p_bucket))
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, d in zip(group, durs):

@@ -658,11 +658,17 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        pad_rows_to: Optional[int] = None,
     ) -> List[np.ndarray]:
         """Per-phoneme frame durations for each utterance — the alignment
         plan the decoder expands. Runs ONLY the encoder (text encoder +
         stochastic duration predictor): one device dispatch and one small
         fetch (B x P ints), no vocoder FLOPs.
+
+        `pad_rows_to` pins the padded row count (row-0 copies) instead of
+        the batch ladder — the serving layer uses it to keep ONE compiled
+        encode program per phoneme bucket (row-invariant noise means the
+        padding cannot change any row's result).
 
         Exactness: the keyed duration noise is derived per row from
         (seed, phoneme bucket) alone — see encode_keyed — so for the same
@@ -681,7 +687,15 @@ class PiperRuntime:
         with self._lock:
             ids_batch = [list(x) for x in phoneme_ids_batch]
             b = len(ids_batch)
-            lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+            if pad_rows_to is not None:
+                if pad_rows_to < b:
+                    raise ValueError(
+                        f"pad_rows_to {pad_rows_to} < batch size {b}")
+                lengths, p_bucket, ids = self._validate_and_pad(
+                    ids_batch + [ids_batch[0]] * (pad_rows_to - b),
+                    pad_batch=False)
+            else:
+                lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
             bp = ids.shape[0]
             _, ls, nw = self._scales(None, length_scale, noise_w)
             if speaker_ids is not None and bp > b:

@@ -674,3 +674,24 @@ def test_multivoice_submit_durations(tiny_voice):
         d = srv.submit_durations("a", FIXTURE_IDS).result(timeout=300)
         a = srv.submit("a", FIXTURE_IDS).result(timeout=300)
     assert int(d.sum()) * rts["a"].hparams.hop_length == len(a)
+
+
+def test_durations_groups_use_one_pinned_program(tiny_voice):
+    """Every durations group of a phoneme bucket pads to ONE pinned row
+    rung: varying traffic shapes reuse a single compiled encode program
+    (a new row count would compile mid-serve and stall the worker), and
+    prewarm compiles it up front."""
+    rt = PiperRuntime(*tiny_voice)
+    with BatchingServer(rt, max_batch=8, max_wait_ms=20) as server:
+        server.prewarm(p_buckets=[16], calibrate=False)
+        programs = set(rt._compiled_keys)
+        # 1-request and 3-request durations groups: same program
+        server.submit_durations(FIXTURE_IDS).result(timeout=300)
+        futs = [server.submit_durations(FIXTURE_IDS[:k]) for k in (6, 8, 10)]
+        durs = [f.result(timeout=300) for f in futs]
+        assert [len(d) for d in durs] == [6, 8, 10]
+        new = {k for k in rt._compiled_keys - programs if k[0] == "enc_key"}
+        assert new == set(), f"durations compiled mid-traffic: {new}"
+    # correctness under the pinned padding: matches the direct call
+    direct = rt.phoneme_durations([FIXTURE_IDS[:6]])[0]
+    np.testing.assert_array_equal(durs[0], direct)

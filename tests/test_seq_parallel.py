@@ -59,7 +59,10 @@ def test_sp_decode_matches_single_device_windows():
     window = span + 2 * halo
     total = n_sp * span
     base_enc = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(77)), 0)
-    dp_noise = jax.random.normal(base_enc, (b, 2, p))
+    # Same row-invariant derivation synthesize_long uses: one (2, P) draw
+    # broadcast over the batch.
+    dp_noise = jnp.broadcast_to(jax.random.normal(base_enc, (2, p)),
+                                (b, 2, p))
     enc = vits.encode(params, TINY, jnp.asarray(ids, jnp.int32),
                       jnp.asarray(lengths, jnp.int32), dp_noise)
     base = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(77)), 1)
