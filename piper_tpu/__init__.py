@@ -37,6 +37,7 @@ __all__ = [
     "VoiceServer",
     "PiperClient",
     "PiperStreamingClient",
+    "PiperClientError",
     "__version__",
 ]
 

@@ -74,6 +74,19 @@ class _BaseClient:
         return http.client.HTTPConnection(self.host, self.port,
                                           timeout=self.timeout)
 
+    @staticmethod
+    def _raise_for_status(status: int, data: bytes) -> None:
+        """Decode the server's JSON error body (tolerating non-JSON and
+        non-object bodies from intermediaries) and raise PiperClientError."""
+        msg = data.decode(errors="replace")
+        try:
+            parsed = json.loads(data)
+            if isinstance(parsed, dict):
+                msg = str(parsed.get("error", msg))
+        except ValueError:
+            pass
+        raise PiperClientError(status, msg)
+
     def _call(self, method: str, path: str, body: Optional[dict] = None):
         """One request/response; returns (content_type, bytes). Raises
         PiperClientError on a non-2xx status (JSON error bodies decoded)."""
@@ -85,11 +98,7 @@ class _BaseClient:
             resp = conn.getresponse()
             data = resp.read()
             if resp.status >= 400:
-                try:
-                    msg = json.loads(data).get("error", data.decode(errors="replace"))
-                except (ValueError, json.JSONDecodeError):
-                    msg = data.decode(errors="replace")
-                raise PiperClientError(resp.status, msg)
+                self._raise_for_status(resp.status, data)
             return resp.getheader("Content-Type", ""), data
         finally:
             conn.close()
@@ -101,7 +110,10 @@ class _BaseClient:
     def health(self) -> bool:
         try:
             return bool(self._get_json("/healthz").get("ok"))
-        except (OSError, PiperClientError):
+        except (OSError, ValueError, AttributeError, PiperClientError):
+            # ValueError/AttributeError: a 200 with a non-JSON or non-object
+            # body (wrong service / proxy splash page) is "not healthy",
+            # not a crash of the liveness probe.
             return False
 
     def metrics(self) -> dict:
@@ -210,13 +222,7 @@ class PiperStreamingClient(_BaseClient):
                          headers={"Content-Type": "application/json"})
             resp = conn.getresponse()
             if resp.status >= 400:
-                data = resp.read()
-                try:
-                    msg = json.loads(data).get("error",
-                                               data.decode(errors="replace"))
-                except (ValueError, json.JSONDecodeError):
-                    msg = data.decode(errors="replace")
-                raise PiperClientError(resp.status, msg)
+                self._raise_for_status(resp.status, resp.read())
             sr = resp.getheader("X-Sample-Rate")
             if sr:
                 self.sample_rate = int(sr)

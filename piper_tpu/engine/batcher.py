@@ -152,7 +152,18 @@ class BatchingServer:
     ) -> "Future[np.ndarray]":
         if self._closed:
             raise RuntimeError("server is closed")
-        # Validate up front so one bad request can't fail a whole group.
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
+        fut: "Future[np.ndarray]" = Future()
+        req = _Request(ids, (noise_scale, length_scale, noise_w),
+                       speaker_id, fut)
+        return self._enqueue(req, p_bucket)
+
+    def _validate_request(self, phoneme_ids: Sequence[int],
+                          speaker_id: Optional[int]):
+        """Validate up front so one bad request can't fail a whole group
+        (shared by submit and submit_durations). Returns (ids, p_bucket);
+        beyond-ladder lengths get the 'overflow' bucket and fail on their
+        own future at dispatch."""
         ids = list(phoneme_ids)
         if not ids:
             raise ValueError("empty phoneme sequence")
@@ -174,11 +185,8 @@ class BatchingServer:
             p_bucket = bucket_for(len(ids), self.rt.options.phoneme_buckets,
                                   "phoneme")
         except BucketOverflowError:
-            p_bucket = "overflow"  # isolated; fails on its own future
-        fut: "Future[np.ndarray]" = Future()
-        req = _Request(ids, (noise_scale, length_scale, noise_w),
-                       speaker_id, fut)
-        return self._enqueue(req, p_bucket)
+            p_bucket = "overflow"
+        return ids, p_bucket
 
     def submit_durations(
         self,
@@ -197,26 +205,7 @@ class BatchingServer:
         grouping does not change it (PiperRuntime.phoneme_durations)."""
         if self._closed:
             raise RuntimeError("server is closed")
-        ids = list(phoneme_ids)
-        if not ids:
-            raise ValueError("empty phoneme sequence")
-        bad = [i for i in ids if not (0 <= i < self.rt.hparams.n_vocab)]
-        if bad:
-            raise ValueError(
-                f"phoneme id(s) {bad[:5]} out of range [0, {self.rt.hparams.n_vocab})"
-            )
-        n_spk = getattr(self.rt.hparams, "n_speakers", None)
-        if speaker_id is not None and n_spk is not None and not (
-                0 <= speaker_id < max(1, n_spk)):
-            raise ValueError(
-                f"speaker_id {speaker_id} out of range [0, {max(1, n_spk)})")
-        from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
-
-        try:
-            p_bucket = bucket_for(len(ids), self.rt.options.phoneme_buckets,
-                                  "phoneme")
-        except BucketOverflowError:
-            p_bucket = "overflow"
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
                        kind="dur")
@@ -358,6 +347,13 @@ class BatchingServer:
         n = 0
         base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.rt.hparams.n_vocab for i in base]
+        # Multi-speaker voices compile DISTINCT programs for sid-present vs
+        # sid-absent groups (the jit key carries `sid is not None`), and real
+        # traffic produces both (a group carries sids iff any request set
+        # one) — prewarm both variants or the first speakered group stalls
+        # the worker on a compile.
+        sid_variants = ([None, [0]] if self.rt.hparams.n_speakers > 1
+                        else [None])
         for p_bucket in p_buckets:
             ids = (base * (-(-p_bucket // len(base))))[:p_bucket]
             budgets = [(self._rungs(p_bucket), self._budget_frames(p_bucket)),
@@ -367,22 +363,27 @@ class BatchingServer:
             for rungs, budget in budgets if self.fused else budgets[:1]:
                 for rung in rungs:
                     for ns, ls, nw in scales:
-                        if self.fused:
-                            outs, meta = self.rt.dispatch_batch(
-                                [ids], noise_scale=ns, length_scale=ls,
-                                noise_w=nw, fused=True, pad_rows_to=rung,
-                                budget_frames=budget)
-                            self.rt.fetch_batch(outs, meta)
-                        else:
-                            self.rt.synthesize_batch(
-                                [ids] * rung, noise_scale=ns,
-                                length_scale=ls, noise_w=nw)
-                        n += 1
+                        for sids in sid_variants:
+                            if self.fused:
+                                outs, meta = self.rt.dispatch_batch(
+                                    [ids], noise_scale=ns, length_scale=ls,
+                                    noise_w=nw, speaker_ids=sids, fused=True,
+                                    pad_rows_to=rung, budget_frames=budget)
+                                self.rt.fetch_batch(outs, meta)
+                            else:
+                                self.rt.synthesize_batch(
+                                    [ids] * rung, noise_scale=ns,
+                                    length_scale=ls, noise_w=nw,
+                                    speaker_ids=(sids * rung) if sids else None)
+                            n += 1
             # The durations (alignment) program: one pinned encode per
-            # bucket, so a first submit_durations can't compile mid-traffic.
-            self.rt.phoneme_durations([ids],
-                                      pad_rows_to=self._dur_rows(p_bucket))
-            n += 1
+            # bucket (and per sid variant), so a first submit_durations
+            # can't compile mid-traffic.
+            for sids in sid_variants:
+                self.rt.phoneme_durations(
+                    [ids], speaker_ids=sids,
+                    pad_rows_to=self._dur_rows(p_bucket))
+                n += 1
         return {"programs": n, "seconds": _time.perf_counter() - t0,
                 "frames_per_phoneme": self._fpp}
 

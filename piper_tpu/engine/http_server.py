@@ -344,20 +344,27 @@ class PiperHTTPServer(_HttpLifecycle):
         kwargs = {k: req[k] for k in
                   ("length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
+        hop, sr = rt.hparams.hop_length, rt.sample_rate
+        # Validate BEFORE enqueueing: an invalid gap must not spend device
+        # worker time on encodes whose result will be thrown away as a 400.
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
         ids_list = self._ids_for(req, rt)
         futs = [self.server.submit_durations(voice, ids, **kwargs)
                 for ids in ids_list]
         durs = [f.result(timeout=600) for f in futs]
         from piper_tpu.core.alignment import alignments_to_json, make_alignment
 
-        hop, sr = rt.hparams.hop_length, rt.sample_rate
-        gap_s = float(req.get("sentence_silence", 0.2))
-        if gap_s < 0:
-            raise ValueError("sentence_silence must be >= 0")
         gap = int(round(gap_s * sr)) if len(ids_list) > 1 else 0
+        # The synthesized audio is capped at the largest frame bucket (the
+        # runtime truncates and warns) — cap total_samples the same way so
+        # the alignment doc reports truncated=True with clipped spans and
+        # later utterances' offsets match the joined waveform.
+        cap = rt.options.frame_buckets[-1] * hop
         aligns, offsets, pos = [], [], 0
         for ids, d in zip(ids_list, durs):
-            n = int(d.sum()) * hop
+            n = min(max(int(d.sum()), 1) * hop, cap)
             aligns.append(make_alignment(ids, d, hop_length=hop,
                                          sample_rate=sr, total_samples=n))
             offsets.append(pos)

@@ -691,6 +691,11 @@ class PiperRuntime:
                 if pad_rows_to < b:
                     raise ValueError(
                         f"pad_rows_to {pad_rows_to} < batch size {b}")
+                # Mesh runtimes shard rows over dp — snap the pinned count
+                # up to a dp multiple here (not in every caller) so a
+                # non-divisible pin fails into padding, not into an opaque
+                # XLA sharding error.
+                pad_rows_to = -(-int(pad_rows_to) // self._dp_size) * self._dp_size
                 lengths, p_bucket, ids = self._validate_and_pad(
                     ids_batch + [ids_batch[0]] * (pad_rows_to - b),
                     pad_batch=False)

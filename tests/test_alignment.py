@@ -149,3 +149,26 @@ def test_make_alignment_validates():
                        sample_rate=16000, total_samples=96)
     with pytest.raises(ValueError):
         alignments_to_json([], [0])
+
+
+def test_multispeaker_prewarm_covers_sid_durations(tmp_path_factory):
+    """Prewarm compiles BOTH sid variants (grid + durations) for a
+    multispeaker voice — the first speakered request must not compile
+    mid-traffic (review finding: the pinned-rung guarantee was sid-blind)."""
+    from piper_tpu.engine.batcher import BatchingServer
+    from piper_tpu.models.vits.synthetic import make_synthetic_voice
+
+    model, config = make_synthetic_voice(
+        tmp_path_factory.mktemp("al_pw_ms"), quality="test", seed=4,
+        n_speakers=3, gin_channels=16,
+    )
+    rt = PiperRuntime(model, config, RuntimeOptions(mode="fused"))
+    with BatchingServer(rt, max_batch=4, max_wait_ms=20) as server:
+        server.prewarm(p_buckets=[16], calibrate=False)
+        programs = set(rt._compiled_keys)
+        a = server.submit(FIXTURE_IDS, speaker_id=2).result(timeout=300)
+        d = server.submit_durations(FIXTURE_IDS, speaker_id=2).result(
+            timeout=300)
+        assert len(a) > 0 and len(d) == len(FIXTURE_IDS)
+        new = rt._compiled_keys - programs
+        assert new == set(), f"speakered traffic compiled mid-serve: {new}"

@@ -83,3 +83,42 @@ def test_streaming_client(tmp_path_factory):
         gen.close()
         pcm3 = np.concatenate(list(c.stream(phoneme_ids=FIXTURE_IDS, seed=7)))
         np.testing.assert_array_equal(pcm3, pcm)
+
+
+def test_client_tolerates_non_json_bodies():
+    """health() returns False (not a crash) against a 200 that isn't our
+    JSON, and error decoding tolerates non-object JSON bodies (review
+    findings: proxies / wrong services answer in foreign formats)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Splash(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"<html>hi</html>"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            body = b'["boom"]'  # valid JSON, not an object
+            self.send_response(500)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Splash)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = PiperClient(*httpd.server_address)
+        assert c.health() is False
+        with pytest.raises(PiperClientError) as e:
+            c.synthesize(phoneme_ids=[1])
+        assert e.value.status == 500 and "boom" in str(e.value)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

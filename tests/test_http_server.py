@@ -418,3 +418,33 @@ def test_durations_endpoint_errors(server):
     st, _, data = _request(server, "POST", "/v1/durations",
                            {"phoneme_ids": [1], "sentence_silence": -1})
     assert st == 400
+
+
+def test_durations_endpoint_reports_truncation(tmp_path_factory):
+    """When the plan exceeds the largest frame bucket, the alignment doc
+    must clip spans to the audio the runtime actually produces and say
+    truncated=True (review finding: the raw plan silently desynced
+    subtitle offsets)."""
+    from piper_tpu.engine.runtime import RuntimeOptions
+
+    d = tmp_path_factory.mktemp("http_trunc")
+    m, _ = make_synthetic_voice(d, quality="test", seed=5)
+    rt = PiperRuntime(m, options=RuntimeOptions(frame_buckets=(8,)))
+    with PiperHTTPServer({"t": rt}, port=0, max_batch=2,
+                         max_wait_ms=10) as srv:
+        srv.start()
+        st, _, data = _request(srv, "POST", "/v1/durations",
+                               {"phoneme_ids": list(FIXTURE_IDS)})
+        assert st == 200
+        doc = json.loads(data)
+        (utt,) = doc["utterances"]
+        cap = 8 * rt.hparams.hop_length
+        assert utt["truncated"] is True
+        assert utt["total_samples"] == cap
+        assert max(p["end_sample"] for p in utt["phonemes"]) == cap
+        # ... and that's exactly the audio length the server synthesizes
+        st, _, wav = _request(srv, "POST", "/v1/synthesize",
+                              {"phoneme_ids": list(FIXTURE_IDS)})
+        assert st == 200
+        n = struct.unpack("<I", wav[40:44])[0] // 2
+        assert n == cap == doc["total_samples"]

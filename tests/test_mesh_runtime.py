@@ -166,3 +166,17 @@ def test_multivoice_batching_over_mesh(tiny_voice, mesh):
     assert all(len(a) > 0 and np.isfinite(a).all() for a in audios)
     m = srv.metrics()
     assert m["a"]["rows"] == 3 and m["b"]["rows"] == 3
+
+
+def test_phoneme_durations_on_mesh_snaps_pad_rows(mesh_runtime):
+    """A pinned row count that isn't dp-divisible snaps UP inside
+    phoneme_durations (review finding: callers shouldn't have to know the
+    mesh to pin a durations program), and durations still match audio."""
+    d = mesh_runtime.phoneme_durations([FIXTURE_IDS], pad_rows_to=3)[0]
+    assert d.shape == (len(FIXTURE_IDS),)
+    audio = mesh_runtime.synthesize(FIXTURE_IDS)
+    assert int(d.sum()) * mesh_runtime.hparams.hop_length >= len(audio)
+    # durations via the server path agree with the direct call
+    with BatchingServer(mesh_runtime, max_batch=8, max_wait_ms=20) as server:
+        d2 = server.submit_durations(FIXTURE_IDS).result(timeout=300)
+    np.testing.assert_array_equal(d, d2)
