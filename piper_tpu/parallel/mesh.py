@@ -16,24 +16,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "dp"
 SEQ_AXIS = "sp"
+TENSOR_AXIS = "tp"
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     seq_parallel: int = 1,
+    tensor_parallel: int = 1,
 ) -> Mesh:
-    """Build a (dp, sp) mesh. dp shards utterance batches; sp optionally
-    shards the waveform/frame axis of very long outputs."""
+    """Build a (dp, sp, tp) mesh. dp shards utterance batches; sp optionally
+    shards the waveform/frame axis of very long outputs; tp optionally shards
+    the vocoder/flow channel axes (Megatron-style) to cut single-utterance
+    latency when chips outnumber concurrent requests."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = list(devices)[:n_devices]
-    if n_devices % seq_parallel != 0:
-        raise ValueError(f"n_devices {n_devices} not divisible by seq_parallel {seq_parallel}")
-    grid = np.asarray(devices).reshape(n_devices // seq_parallel, seq_parallel)
-    return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
+    inner = seq_parallel * tensor_parallel
+    if n_devices % inner != 0:
+        raise ValueError(
+            f"n_devices {n_devices} not divisible by seq_parallel "
+            f"{seq_parallel} * tensor_parallel {tensor_parallel}"
+        )
+    grid = np.asarray(devices).reshape(
+        n_devices // inner, seq_parallel, tensor_parallel
+    )
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, TENSOR_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

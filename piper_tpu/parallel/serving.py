@@ -23,7 +23,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from piper_tpu.models.vits import model as vits
 from piper_tpu.models.vits.hparams import VitsHParams, receptive_field_frames
 from piper_tpu.models.vits.params import Params
-from piper_tpu.parallel.mesh import DATA_AXIS, SEQ_AXIS, batch_sharded, replicated
+from piper_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SEQ_AXIS,
+    TENSOR_AXIS,
+    batch_sharded,
+    replicated,
+)
 
 
 @dataclass
@@ -50,13 +56,27 @@ class ShardedVits:
         # PiperRuntime._build_jits keys its programs.
         self._infer_fns: dict = {}
         self._sp_decode_fns: dict = {}
+        self._tp_size = int(self.mesh.shape.get(TENSOR_AXIS, 1))
         if self.use_pallas is None:
             self.use_pallas = jax.default_backend() == "tpu"
+        if self._tp_size > 1:
+            # Pallas kernels are single-device programs — GSPMD cannot
+            # partition them, so the tp path keeps XLA's conv lowering.
+            self.use_pallas = False
 
     @classmethod
     def create(cls, mesh: Mesh, params: Params, hp: VitsHParams,
                **options) -> "ShardedVits":
-        placed = jax.device_put(params, replicated(mesh))
+        if int(mesh.shape.get(TENSOR_AXIS, 1)) > 1:
+            from piper_tpu.parallel.tp import tp_param_shardings
+
+            shardings = tp_param_shardings(params, mesh)
+            placed = {
+                name: jax.device_put(arr, shardings[name])
+                for name, arr in params.items()
+            }
+        else:
+            placed = jax.device_put(params, replicated(mesh))
         return cls(mesh=mesh, params=placed, hp=hp, **options)
 
     def infer_fn(self, max_frames: int, with_sid: bool = False):
@@ -90,7 +110,10 @@ class ShardedVits:
                     use_pallas=self.use_pallas,
                 )
 
-        in_shardings = (r_sh, b_sh, b_sh, b_sh, b_sh, r_sh) + ((b_sh,) if with_sid else ())
+        # Params get NO in_sharding constraint (None = keep the arrays'
+        # placement): replicated normally, channel-sharded under tp — a
+        # replicated constraint here would silently all-gather the tp shards.
+        in_shardings = (None, b_sh, b_sh, b_sh, b_sh, r_sh) + ((b_sh,) if with_sid else ())
         fn = jax.jit(
             step if with_sid else (lambda p, i, l, d, m, s: step(p, i, l, d, m, s)),
             in_shardings=in_shardings,
@@ -157,6 +180,11 @@ class ShardedVits:
 
         shard_map = jax.shard_map
 
+        if self._tp_size > 1:
+            raise NotImplementedError(
+                "sequence-parallel decode needs replicated params; build the "
+                "mesh with tensor_parallel=1 (tp composes with dp, not sp)"
+            )
         hp = self.hp
         h = receptive_field_frames(hp) if halo is None else int(halo)
         if use_pallas is None:
