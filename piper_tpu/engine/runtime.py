@@ -229,7 +229,7 @@ class PiperRuntime:
         from piper_tpu.models.vits.params import device_put_packed, host_arrays_from_graph
 
         if mesh is not None:
-            from piper_tpu.parallel.mesh import DATA_AXIS, replicated
+            from piper_tpu.parallel.mesh import DATA_AXIS, TENSOR_AXIS, replicated
 
             if DATA_AXIS not in mesh.axis_names:
                 raise ValueError(
@@ -237,16 +237,30 @@ class PiperRuntime:
                 )
             host = host_arrays_from_graph(onnx_model.graph)
             np_dtype = np.float32 if dtype == jnp.float32 else dtype
-            self.params: Params = {
-                k: jax.device_put(np.asarray(v, np_dtype), replicated(mesh))
-                for k, v in host.items()
-            }
+            self._tp_size = int(mesh.shape.get(TENSOR_AXIS, 1))
+            if self._tp_size > 1:
+                # Megatron-style channel sharding of the vocoder/flow weights
+                # (parallel/tp.py); the jit programs carry no param
+                # in_shardings, so GSPMD partitions them from this placement.
+                from piper_tpu.parallel.tp import tp_param_shardings
+
+                host = {k: np.asarray(v, np_dtype) for k, v in host.items()}
+                shardings = tp_param_shardings(host, mesh)
+                self.params: Params = {
+                    k: jax.device_put(v, shardings[k]) for k, v in host.items()
+                }
+            else:
+                self.params = {
+                    k: jax.device_put(np.asarray(v, np_dtype), replicated(mesh))
+                    for k, v in host.items()
+                }
             self._dp_size = int(mesh.shape[DATA_AXIS])
         else:
             self.params = device_put_packed(
                 host_arrays_from_graph(onnx_model.graph), dtype=dtype
             )
             self._dp_size = 1
+            self._tp_size = 1
         del onnx_model
 
         import threading
@@ -324,6 +338,10 @@ class PiperRuntime:
         import os
 
         if os.environ.get("PIPER_TPU_NO_PALLAS") == "1":
+            return False
+        if getattr(self, "_tp_size", 1) > 1:
+            # Pallas kernels are single-device programs — GSPMD cannot
+            # partition them across tp shards; keep XLA's conv lowering.
             return False
         if self.options.use_pallas is not None:
             return bool(self.options.use_pallas)

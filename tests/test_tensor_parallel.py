@@ -123,6 +123,45 @@ def test_tp_multispeaker_matches_replicated():
 
 
 @pytest.mark.slow
+def test_tp_runtime_serving_matches_single_device(tiny_voice):
+    """A PiperRuntime on a dp x tp mesh serves the SAME stack (fused dispatch,
+    BatchingServer) and its audio matches the single-device runtime exactly:
+    seeded noise is row-invariant, so only GSPMD reduction order differs."""
+    from piper_tpu.engine.batcher import BatchingServer
+    from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+
+    from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIX
+
+    single = PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"))
+    rt = PiperRuntime(*tiny_voice, options=RuntimeOptions(mode="fused"),
+                      mesh=make_mesh(8, tensor_parallel=2))
+    assert rt._tp_size == 2 and rt._dp_size == 4
+    # tp-sharded weight actually sharded, not replicated.
+    w = rt.params["dec.conv_pre.weight"]
+    assert not w.sharding.is_fully_replicated
+    ref = single.synthesize(FIX, seed=5)
+    a = rt.synthesize(FIX, seed=5)
+    np.testing.assert_allclose(a, ref, atol=2e-5, rtol=0)
+    # Served audio depends on the (seed, f_bucket) realization the scheduler
+    # picks, so the exactness oracle is the SAME server config on the
+    # single-device runtime (row-invariant noise makes row rungs moot).
+    def serve(runtime):
+        with BatchingServer(runtime, max_batch=8, max_wait_ms=20) as server:
+            futs = [server.submit(FIX) for _ in range(5)]
+            futs += [server.submit(FIX[:6]) for _ in range(3)]
+            out = [f.result(timeout=600) for f in futs]
+        m = server.metrics()
+        assert m["completed"] == 8 and m["failed"] == 0
+        return out
+
+    audios = serve(rt)
+    ref_audios = serve(single)
+    assert all(np.isfinite(x).all() and len(x) > 0 for x in audios)
+    for got, want in zip(audios, ref_audios):
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+@pytest.mark.slow
 def test_tp_rejects_sp_decode():
     params = params_from_arrays(synthetic_params(TINY, seed=3))
     sharded = ShardedVits.create(
