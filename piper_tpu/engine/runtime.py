@@ -200,8 +200,9 @@ class PiperRuntime:
         mesh=None,
     ):
         """`mesh` (jax.sharding.Mesh, optional) turns this runtime into a
-        data-parallel multi-chip one: weights replicate across the mesh,
-        every batched program shards its rows over the `dp` axis, and the
+        multi-chip one: weights replicate across the mesh (channel-sharded
+        instead when the mesh has a `tp` axis — parallel/tp.py), every
+        batched program shards its rows over the `dp` axis, and the
         batch-bucket ladder is restricted to dp-divisible rungs — so the
         SAME serving stack (BatchingServer, ServingPipeline, bucketing,
         prewarm) drives a slice exactly the way it drives one chip
@@ -224,8 +225,9 @@ class PiperRuntime:
         dtype = jnp.bfloat16 if self.options.precision == "bfloat16" else jnp.float32
         # Weights go to device once (packed single transfer) and stay
         # resident (the analog of the reference's persistentF32Buffers cache,
-        # GraphExecutor.swift:27). With a mesh they are replicated across
-        # every device instead (the ShardedVits.create placement).
+        # GraphExecutor.swift:27). With a mesh they are placed across every
+        # device instead: replicated on dp/sp meshes, channel-sharded under
+        # tp (the ShardedVits.create placement).
         from piper_tpu.models.vits.params import device_put_packed, host_arrays_from_graph
 
         if mesh is not None:
@@ -340,9 +342,11 @@ class PiperRuntime:
         if os.environ.get("PIPER_TPU_NO_PALLAS") == "1":
             return False
         if getattr(self, "_tp_size", 1) > 1:
-            # Pallas kernels are single-device programs — GSPMD cannot
-            # partition them across tp shards; keep XLA's conv lowering.
-            return False
+            from piper_tpu.parallel.tp import resolve_pallas_under_tp
+
+            # False for the tp path; raises on an explicit use_pallas=True.
+            return bool(resolve_pallas_under_tp(
+                self._tp_size, self.options.use_pallas))
         if self.options.use_pallas is not None:
             return bool(self.options.use_pallas)
         try:

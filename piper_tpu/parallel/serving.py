@@ -1,12 +1,13 @@
 """Sharded batched synthesis across a device mesh.
 
-Weights are replicated once (`jax.device_put` with a replicated sharding —
-the multi-chip analog of the reference's persistent GPU weight-buffer cache,
-GraphExecutor.swift:27); utterance batches are sharded over the `dp` mesh
-axis so throughput scales with chips over ICI. The whole graph stays inside
-one jit, so XLA inserts any needed collectives (there are none on the dp-only
-path — it is embarrassingly parallel, which is the honest structure of TTS
-serving).
+Weights are placed once (`jax.device_put` — the multi-chip analog of the
+reference's persistent GPU weight-buffer cache, GraphExecutor.swift:27):
+replicated on dp/sp meshes, channel-sharded Megatron-style under a tp axis
+(parallel/tp.py). Utterance batches are sharded over the `dp` mesh axis so
+throughput scales with chips over ICI. The whole graph stays inside one jit,
+so XLA inserts any needed collectives — none on the dp-only path (it is
+embarrassingly parallel, which is the honest structure of TTS serving), the
+GSPMD-derived psums/all-gathers under tp.
 """
 
 from __future__ import annotations
@@ -57,12 +58,11 @@ class ShardedVits:
         self._infer_fns: dict = {}
         self._sp_decode_fns: dict = {}
         self._tp_size = int(self.mesh.shape.get(TENSOR_AXIS, 1))
+        from piper_tpu.parallel.tp import resolve_pallas_under_tp
+
+        self.use_pallas = resolve_pallas_under_tp(self._tp_size, self.use_pallas)
         if self.use_pallas is None:
             self.use_pallas = jax.default_backend() == "tpu"
-        if self._tp_size > 1:
-            # Pallas kernels are single-device programs — GSPMD cannot
-            # partition them, so the tp path keeps XLA's conv lowering.
-            self.use_pallas = False
 
     @classmethod
     def create(cls, mesh: Mesh, params: Params, hp: VitsHParams,
@@ -236,6 +236,13 @@ class ShardedVits:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Encode once (replicated), then decode with the frame axis sharded
         over `sp`. Covers total_frames = n_sp * span."""
+        if self._tp_size > 1:
+            # Fail BEFORE the encoder jit below — compiling it just to raise
+            # inside sp_decode_fn would waste tens of device seconds.
+            raise NotImplementedError(
+                "sequence-parallel decode needs replicated params; build the "
+                "mesh with tensor_parallel=1 (tp composes with dp, not sp)"
+            )
         ns, ls, nw = scales
         r_sh = replicated(self.mesh)
 

@@ -84,6 +84,24 @@ def _spec_for(name: str, shape, tp: int) -> PartitionSpec:
     return P()
 
 
+def resolve_pallas_under_tp(tp_size: int, requested):
+    """The one place the "tp disables Pallas" rule lives: Pallas kernels are
+    single-device programs GSPMD cannot partition, so under tp the conv path
+    must stay on XLA's lowering. An EXPLICIT use_pallas=True request is a
+    contradiction and raises rather than being silently ignored; None/False
+    pass through (None resolves to False so callers needn't re-check)."""
+    if tp_size <= 1:
+        return requested
+    if requested:
+        raise ValueError(
+            "use_pallas=True is impossible on a tensor-parallel mesh: Pallas "
+            "kernels are single-device programs that GSPMD cannot partition "
+            "across tp shards; drop use_pallas or build the mesh with "
+            "tensor_parallel=1"
+        )
+    return False
+
+
 def tp_param_shardings(
     params: Dict[str, object], mesh: Mesh
 ) -> Dict[str, NamedSharding]:

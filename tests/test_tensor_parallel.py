@@ -169,3 +169,24 @@ def test_tp_rejects_sp_decode():
     )
     with pytest.raises(NotImplementedError):
         sharded.sp_decode_fn(span=16)
+    # synthesize_long must fail up front too — not after compiling the
+    # encoder just to hit sp_decode_fn's raise.
+    with pytest.raises(NotImplementedError):
+        sharded.synthesize_long(
+            np.zeros((1, 8), np.int32), np.full((1,), 8, np.int32), span=16
+        )
+
+
+def test_tp_rejects_explicit_pallas(tiny_voice):
+    """use_pallas=True contradicts tp (single-device Pallas programs can't be
+    GSPMD-partitioned): both serving surfaces raise instead of silently
+    measuring XLA's lowering."""
+    from piper_tpu.engine.runtime import PiperRuntime, RuntimeOptions
+
+    params = params_from_arrays(synthetic_params(TINY, seed=3))
+    mesh = make_mesh(4, tensor_parallel=2)
+    with pytest.raises(ValueError, match="use_pallas"):
+        ShardedVits.create(mesh, params, TINY, use_pallas=True)
+    with pytest.raises(ValueError, match="use_pallas"):
+        PiperRuntime(*tiny_voice, options=RuntimeOptions(use_pallas=True),
+                     mesh=make_mesh(8, tensor_parallel=2))
