@@ -133,21 +133,25 @@ def _batch_synth_args(args, n_rows: int) -> dict:
 
 
 def _write_alignment(path, rt: PiperRuntime, ids_list, audios,
-                     gap_samples: int, args) -> None:
+                     gap_samples: int, args, forced_durs=None) -> None:
     """Write the phoneme-level alignment JSON for the utterances just
     synthesized: per-utterance spans from PiperRuntime.phoneme_durations
     (exact — same seeded plan the decode realized), offsets from the ACTUAL
-    audio lengths plus the sentence gaps."""
+    audio lengths plus the sentence gaps. A --force-durations run's plan IS
+    the alignment — no encoder pass needed."""
     import json
 
     from piper_tpu.core.alignment import alignments_to_json, make_alignment
 
-    dur_args = _synth_args(args)
-    dur_args.pop("noise_scale", None)  # durations don't depend on it
-    sid = dur_args.pop("speaker_id", None)
-    if sid is not None:
-        dur_args["speaker_ids"] = [sid] * len(ids_list)
-    durs = rt.phoneme_durations(ids_list, **dur_args)
+    if forced_durs is not None:
+        durs = [np.asarray(forced_durs, np.int64)]
+    else:
+        dur_args = _synth_args(args)
+        dur_args.pop("noise_scale", None)  # durations don't depend on it
+        sid = dur_args.pop("speaker_id", None)
+        if sid is not None:
+            dur_args["speaker_ids"] = [sid] * len(ids_list)
+        durs = rt.phoneme_durations(ids_list, **dur_args)
     hop, sr = rt.hparams.hop_length, rt.sample_rate
     aligns, offsets, pos = [], [], 0
     for ids, d, a in zip(ids_list, durs, audios):
@@ -180,7 +184,25 @@ def run_oneshot(args) -> None:
         raise SystemExit("--alignment is not supported with --stream "
                          "(streamed windows decode incrementally; run "
                          "without --stream for timing JSON)")
+    forced_durs = None
+    if args.force_durations:
+        if args.stream:
+            raise SystemExit("--force-durations is not supported with "
+                             "--stream (a forced plan decodes in one pass)")
+        if args.length_scale is not None or args.noise_w is not None:
+            raise SystemExit("--length-scale/--noise-w have no effect with "
+                             "--force-durations (they shape the predictor "
+                             "the plan replaces); scale the plan instead")
+        try:
+            forced_durs = [int(x) for x in args.force_durations.split(",")]
+        except ValueError:
+            raise SystemExit("--force-durations must be comma-separated "
+                             "integer frame counts")
     ids_list = _sentence_ids_for(args, rt)
+    if forced_durs is not None and len(ids_list) > 1:
+        raise SystemExit("--force-durations needs a single utterance (the "
+                         "plan maps 1:1 onto its phonemes); use "
+                         "--no-sentence-split or pass --phoneme-ids")
     ids = ids_list[0]
     gap_samples = int(round(args.sentence_silence * rt.sample_rate))
     out = args.output or "out.wav"
@@ -252,10 +274,17 @@ def run_oneshot(args) -> None:
         if args.play and player is None:
             _play(str(out))
     else:
-        audio = rt.synthesize(ids, **_synth_args(args))
+        if forced_durs is not None:
+            kwargs = _synth_args(args)
+            kwargs.pop("length_scale", None)
+            kwargs.pop("noise_w", None)
+            audio = rt.synthesize_forced(ids, forced_durs, **kwargs)
+        else:
+            audio = rt.synthesize(ids, **_synth_args(args))
         write_wav(out, audio, rt.sample_rate)
         if args.alignment:
-            _write_alignment(args.alignment, rt, [ids], [audio], 0, args)
+            _write_alignment(args.alignment, rt, [ids], [audio], 0, args,
+                             forced_durs=forced_durs)
         t = rt.last_run_timings
         print(
             f"wrote {out}: {len(audio)} samples ({len(audio) / rt.sample_rate:.2f}s) "
@@ -658,6 +687,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write phoneme-level timing JSON (per-phoneme "
                         "sample/second spans of the synthesized audio; "
                         "not supported with --stream)")
+    p.add_argument("--force-durations", metavar="FRAMES",
+                   help="comma-separated per-phoneme frame counts: skip the "
+                        "duration predictor and force this timing plan "
+                        "(pairs with --alignment's frames; single utterance "
+                        "only; length/noise_w scales do not apply)")
     p.add_argument("--play", action="store_true", help="play the output WAV")
     p.add_argument("--stream", action="store_true",
                    help="incremental windowed decode (first audio before completion)")

@@ -139,11 +139,16 @@ class PiperClient(_BaseClient):
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
+        durations: Optional[Sequence[int]] = None,
     ) -> tuple[np.ndarray, int]:
         """Synthesize one of text / ipa / phoneme_ids.
 
         Returns (float32 PCM in [-1, 1], sample_rate). Multi-sentence text is
         one batched decode on the server, joined with sentence_silence gaps.
+
+        `durations` forces per-phoneme frame counts (replacing the duration
+        predictor — e.g. an edited durations() plan); single utterance only,
+        incompatible with length_scale/noise_w.
         """
         from piper_tpu.utils.wav import parse_wav_bytes
 
@@ -153,6 +158,8 @@ class PiperClient(_BaseClient):
             noise_w=noise_w, speaker_id=speaker_id,
             sentence_silence=sentence_silence,
         )
+        if durations is not None:
+            body["durations"] = [int(d) for d in durations]
         ctype, data = self._call("POST", "/v1/synthesize", body)
         if "wav" not in ctype:
             raise PiperClientError(500, f"unexpected content type {ctype!r}")

@@ -52,8 +52,10 @@ class _Request:
     future: "Future[np.ndarray]"
     t_submit: float = field(default_factory=time.perf_counter)
     # "synth" -> future resolves to audio; "dur" -> to the per-phoneme frame
-    # durations (the alignment plan; encoder-only, no vocoder FLOPs).
+    # durations (the alignment plan; encoder-only, no vocoder FLOPs);
+    # "forced" -> audio from a caller-supplied duration plan.
     kind: str = "synth"
+    durations: Optional[List[int]] = None
 
 
 class BatchingServer:
@@ -209,6 +211,39 @@ class BatchingServer:
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
                        kind="dur")
+        return self._enqueue(req, p_bucket)
+
+    def submit_forced(
+        self,
+        phoneme_ids: Sequence[int],
+        durations: Sequence[int],
+        noise_scale: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+    ) -> "Future[np.ndarray]":
+        """Queue a duration-forced synthesis (see
+        PiperRuntime.synthesize_forced): the caller's per-phoneme frame plan
+        replaces the duration predictor. Served on the SAME worker thread,
+        batched with other forced requests of the same (scales, bucket).
+
+        Forced groups dispatch synchronously (the forced program is a single
+        round trip — there is no dispatch/fetch split to pipeline); its
+        compiled-program grid is bounded by the frame-bucket ladder rather
+        than the pinned 3-rung fused grid, which is fine at the low rates
+        duration-editing traffic runs at."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
+        durs = [int(d) for d in durations]
+        if len(durs) != len(ids):
+            raise ValueError(
+                f"durations length {len(durs)} != phoneme count {len(ids)}")
+        if any(d < 0 for d in durs):
+            raise ValueError("durations must be non-negative frame counts")
+        if sum(durs) < 1:
+            raise ValueError("at least one phoneme needs a non-zero duration")
+        fut: "Future[np.ndarray]" = Future()
+        req = _Request(ids, (noise_scale, None, None), speaker_id, fut,
+                       kind="forced", durations=durs)
         return self._enqueue(req, p_bucket)
 
     def _enqueue(self, req: _Request, p_bucket) -> "Future[np.ndarray]":
@@ -402,6 +437,11 @@ class BatchingServer:
         m["rows"] += len(group)
         if group[0].kind == "dur" and isinstance(key[1], int):
             m["padded_rows"] += self._dur_rows(key[1]) - len(group)
+        elif group[0].kind == "forced":
+            ladder = getattr(self.rt, "batch_ladder",
+                             self.rt.options.batch_buckets)
+            bp = next((x for x in ladder if x >= len(group)), len(group))
+            m["padded_rows"] += bp - len(group)
         elif self.fused and isinstance(key[1], int):
             bp = self._pad_rows_for(key[1], len(group))
             m["padded_rows"] += bp - len(group)
@@ -492,6 +532,28 @@ class BatchingServer:
                     self._metrics["completed"] += len(group)
                 for r, d in zip(group, durs):
                     r.future.set_result(d)
+            except Exception as e:  # noqa: BLE001 — per-request surfacing
+                with self._cond:
+                    self._metrics["failed"] += len(group)
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+            return None
+        if group[0].kind == "forced":
+            # One round trip (the frame bucket is known from the plan
+            # totals up front): run synchronously, nothing to fetch later.
+            try:
+                ns = group[0].scales[0]
+                speaker_ids = None
+                if any(r.speaker_id is not None for r in group):
+                    speaker_ids = [r.speaker_id or 0 for r in group]
+                audios = self.rt.synthesize_batch_forced(
+                    [r.ids for r in group], [r.durations for r in group],
+                    noise_scale=ns, speaker_ids=speaker_ids)
+                with self._cond:
+                    self._metrics["completed"] += len(group)
+                for r, a in zip(group, audios):
+                    r.future.set_result(a)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
@@ -761,6 +823,16 @@ class MultiVoiceBatchingServer:
         if self._closed:
             raise RuntimeError("server is closed")
         return self._snapshot()[voice].submit_durations(phoneme_ids, **kwargs)
+
+    def submit_forced(self, voice: str, phoneme_ids: Sequence[int],
+                      durations: Sequence[int],
+                      **kwargs) -> "Future[np.ndarray]":
+        """Queue a duration-forced synthesis for `voice`; same contract as
+        BatchingServer.submit_forced."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        return self._snapshot()[voice].submit_forced(
+            phoneme_ids, durations, **kwargs)
 
     def metrics(self) -> Dict[str, dict]:
         return {key: s.metrics() for key, s in self._snapshot().items()}

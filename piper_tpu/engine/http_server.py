@@ -13,6 +13,9 @@ Endpoints (JSON in, WAV or JSON out):
                         espeak-ng; sentences batch with "sentence_silence"
                         seconds of gap, default 0.2). Optional
                         noise_scale / length_scale / noise_w / speaker_id.
+                        Optional "durations": per-phoneme frame counts
+                        (duration forcing — replaces the predictor; single
+                        utterance only; e.g. an edited /v1/durations plan).
                         Returns audio/wav (or audio/x-raw-int16 with
                         "format": "pcm").
   GET  /v1/voices       voice keys + sample rate / speaker count.
@@ -313,6 +316,27 @@ class PiperHTTPServer(_HttpLifecycle):
                   ("noise_scale", "length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
         ids_list = self._ids_for(req, rt)
+        if req.get("durations") is not None:
+            # Duration forcing: one frame count per phoneme replaces the
+            # duration predictor (see PiperRuntime.synthesize_forced) —
+            # e.g. replaying an edited /v1/durations plan.
+            if len(ids_list) != 1:
+                raise ValueError(
+                    "durations require a single utterance (phoneme_ids or "
+                    "one sentence) — the plan maps 1:1 onto its phonemes")
+            for k in ("length_scale", "noise_w"):
+                if req.get(k) is not None:
+                    raise ValueError(
+                        f"{k} has no effect with durations (they replace "
+                        f"the duration predictor it shapes) — scale the "
+                        f"durations instead")
+            kwargs.pop("length_scale", None)
+            kwargs.pop("noise_w", None)
+            fut = self.server.submit_forced(
+                voice, ids_list[0], req["durations"], **kwargs)
+            from piper_tpu.core.audio import pcm_to_float32
+
+            return pcm_to_float32(fut.result(timeout=600)), rt
         futs = [self.server.submit(voice, ids, **kwargs) for ids in ids_list]
         from piper_tpu.core.audio import join_with_silence, pcm_to_float32
 

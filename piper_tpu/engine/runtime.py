@@ -459,6 +459,33 @@ class PiperRuntime:
                 # from the same fetch as the audio.
                 return to_pcm(audio), y_len, enc.y_total
 
+        def fused_forced(params, ids, lengths, durations, seed, noise_scale,
+                         sid, *, max_frames):
+            # Duration forcing: the caller supplies the per-phoneme frame
+            # plan, so the duration predictor is skipped and the host knows
+            # the frame bucket up front — ONE round trip, no y_total fetch.
+            # The prior-noise derivation is bit-identical to decode_keyed /
+            # fused_keyed (fold_in(base, 1), per-row draw broadcast), so
+            # forcing the plan phoneme_durations() returned at the same
+            # (seed, f_bucket) reproduces the predicted-duration audio
+            # exactly.
+            with jax.default_matmul_precision(prec):
+                base = jax.random.PRNGKey(seed)
+                main_noise = jnp.broadcast_to(
+                    jax.random.normal(
+                        jax.random.fold_in(base, 1),
+                        (hp.inter_channels, max_frames), dtype=jnp.float32),
+                    (ids.shape[0], hp.inter_channels, max_frames))
+                enc = vits.encode_forced(params, hp, ids, lengths, durations,
+                                         sid=sid)
+                audio, y_len = vits.decode(params, hp, enc, main_noise,
+                                           max_frames=max_frames,
+                                           noise_scale=noise_scale,
+                                           vocoder_precision=voc_prec,
+                                           flow_precision=flow_prec,
+                                           use_pallas=use_pallas)
+                return to_pcm(audio), y_len
+
         def decode_window_keyed(params, enc, seed, t_offset, total_frames,
                                 noise_scale, *, window):
             with jax.default_matmul_precision(prec):
@@ -585,6 +612,7 @@ class PiperRuntime:
         self._decode_keyed = jax.jit(decode_keyed, static_argnames=("max_frames",))
         self._decode_injected = jax.jit(decode_injected)
         self._fused_keyed = jax.jit(fused_keyed, static_argnames=("max_frames",))
+        self._fused_forced = jax.jit(fused_forced, static_argnames=("max_frames",))
         self._decode_window_keyed = jax.jit(decode_window_keyed,
                                             static_argnames=("window",))
         self._decode_window_injected = jax.jit(decode_window_injected)
@@ -770,6 +798,125 @@ class PiperRuntime:
             ids, durations, hop_length=self.hparams.hop_length,
             sample_rate=self.sample_rate, total_samples=len(audio),
         )
+
+    def synthesize_forced(
+        self,
+        phoneme_ids: Sequence[int],
+        durations: Sequence[int],
+        noise_scale: Optional[float] = None,
+        speaker_id: Optional[int] = None,
+        seed: Optional[int] = None,
+    ) -> np.ndarray:
+        """Synthesize with a CALLER-SUPPLIED per-phoneme frame plan
+        (duration forcing): `durations[i]` frames are allotted to
+        `phoneme_ids[i]` and the stochastic duration predictor is skipped —
+        the knob the reference never surfaces (its RandomNormalLike duration
+        noise is baked into the graph). Use cases: dubbing/karaoke timing,
+        prosody editing (stretch one word), and replaying an edited
+        `phoneme_durations()` plan. Forcing the UNEDITED plan at the same
+        seed reproduces `synthesize()`'s split-mode audio exactly — the
+        prior-noise derivation matches decode_keyed bit-for-bit.
+
+        `length_scale`/`noise_w` have no effect here (they only shape the
+        predictor this path skips); scale the durations instead. One device
+        round trip: the frame bucket is known from sum(durations) up front.
+        """
+        audios, timings = self._synthesize_forced_impl(
+            [list(phoneme_ids)], [list(durations)],
+            noise_scale=noise_scale,
+            speaker_ids=[speaker_id] if speaker_id is not None else None,
+            seed=seed,
+        )
+        self.last_run_timings = timings
+        return audios[0]
+
+    def synthesize_batch_forced(
+        self,
+        phoneme_ids_batch: Sequence[Sequence[int]],
+        durations_batch: Sequence[Sequence[int]],
+        noise_scale: Optional[float] = None,
+        speaker_ids: Optional[Sequence[int]] = None,
+        seed: Optional[int] = None,
+    ) -> List[np.ndarray]:
+        """Batched duration forcing (see synthesize_forced)."""
+        audios, timings = self._synthesize_forced_impl(
+            [list(x) for x in phoneme_ids_batch],
+            [list(d) for d in durations_batch],
+            noise_scale=noise_scale,
+            speaker_ids=list(speaker_ids) if speaker_ids is not None else None,
+            seed=seed,
+        )
+        self.last_run_timings = timings
+        return audios
+
+    def _synthesize_forced_impl(
+        self,
+        ids_batch: List[List[int]],
+        durations_batch: List[List[int]],
+        *,
+        noise_scale,
+        speaker_ids,
+        seed=None,
+    ) -> Tuple[List[np.ndarray], "RunTimings"]:
+        if len(durations_batch) != len(ids_batch):
+            raise ValueError(
+                f"{len(ids_batch)} utterances but {len(durations_batch)} "
+                f"duration rows")
+        totals = []
+        for ids, durs in zip(ids_batch, durations_batch):
+            if len(durs) != len(ids):
+                raise ValueError(
+                    f"durations length {len(durs)} != phoneme count "
+                    f"{len(ids)} — one frame count per phoneme")
+            if any(d < 0 for d in durs):
+                raise ValueError("durations must be non-negative frame counts")
+            totals.append(int(sum(durs)))
+        if max(totals) < 1:
+            raise ValueError("at least one phoneme needs a non-zero duration")
+        with self._lock:
+            t_start = time.perf_counter()
+            b = len(ids_batch)
+            lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+            bp = ids.shape[0]
+            # Pad duration rows to (bp, p_bucket); dummy rows copy row 0 so
+            # they cannot raise the frame bucket (same rule as the ids pad).
+            durs = np.zeros((bp, p_bucket), np.int32)
+            for i in range(bp):
+                row = durations_batch[i] if i < b else durations_batch[0]
+                durs[i, : len(row)] = row
+            if speaker_ids is not None and bp > b:
+                speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
+            sid = self._sid_array(speaker_ids, bp, putter=self._put_batch)
+            ns, _, _ = self._scales(noise_scale, None, None)
+            f_bucket = self._frame_bucket_or_clamp(max(totals))
+            seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
+            compiled = self._mark("forced", (bp, p_bucket, f_bucket, sid is not None))
+            audio_d, _ = self._fused_forced(
+                self.params, self._put_batch(ids), self._put_batch(lengths),
+                self._put_batch(durs), seed_j, jnp.float32(ns), sid,
+                max_frames=f_bucket,
+            )
+            audio = self._as_output(jax.device_get(audio_d))
+            t_end = time.perf_counter()
+            hop = self.hparams.hop_length
+            y_len = np.clip(np.asarray(totals, np.int64), 1, f_bucket)
+            out = [audio[i, : int(y_len[i]) * hop] for i in range(b)]
+            wall = t_end - t_start
+            self.profiler.record("forced", f_bucket, wall * 1e3, compiled)
+            total_samples = int(sum(len(a) for a in out))
+            timings = RunTimings(
+                wall_ms=wall * 1e3,
+                encode_ms=0.0,
+                decode_ms=wall * 1e3,
+                phoneme_bucket=p_bucket,
+                frame_bucket=f_bucket,
+                frames=int(y_len.sum()),
+                samples=total_samples,
+                compiled=compiled,
+                compile_count=len(self._compiled_keys),
+                rtf=(total_samples / self.sample_rate) / wall if wall > 0 else 0.0,
+            )
+            return out, timings
 
     def prewarm(
         self,

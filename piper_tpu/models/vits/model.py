@@ -92,6 +92,31 @@ def encode(
     )
 
 
+def encode_forced(
+    params: Params,
+    hp: VitsHParams,
+    phoneme_ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    durations: jnp.ndarray,
+    *,
+    sid: Optional[jnp.ndarray] = None,
+) -> EncodeResult:
+    """Text encoder with CALLER-SUPPLIED per-phoneme frame durations
+    (B, P): the stochastic duration predictor is skipped entirely — no dp
+    noise, no flow FLOPs — and `durations` becomes the alignment plan the
+    decoder expands (duration forcing, e.g. for dubbing/karaoke timing or
+    replaying an edited `phoneme_durations()` plan). Entries beyond each
+    row's length are masked to zero; the decode path treats the result
+    exactly like a predicted w_ceil."""
+    x, m_p, logs_p, x_mask = text_encoder(phoneme_ids, lengths, params, hp)
+    g = speaker_embedding(params, hp, sid)
+    w_ceil = durations.astype(m_p.dtype) * x_mask[:, 0]
+    y_total = jnp.sum(w_ceil, axis=-1)
+    return EncodeResult(
+        m_p=m_p, logs_p=logs_p, x_mask=x_mask, w_ceil=w_ceil, y_total=y_total, g=g
+    )
+
+
 def decode(
     params: Params,
     hp: VitsHParams,
