@@ -199,10 +199,21 @@ def run_oneshot(args) -> None:
             raise SystemExit("--force-durations must be comma-separated "
                              "integer frame counts")
     ids_list = _sentence_ids_for(args, rt)
-    if forced_durs is not None and len(ids_list) > 1:
-        raise SystemExit("--force-durations needs a single utterance (the "
-                         "plan maps 1:1 onto its phonemes); use "
-                         "--no-sentence-split or pass --phoneme-ids")
+    if forced_durs is not None:
+        if len(ids_list) > 1:
+            raise SystemExit("--force-durations needs a single utterance "
+                             "(the plan maps 1:1 onto its phonemes); use "
+                             "--no-sentence-split or pass --phoneme-ids")
+        # Surface plan mistakes as tidy messages, not tracebacks.
+        if len(forced_durs) != len(ids_list[0]):
+            raise SystemExit(
+                f"--force-durations has {len(forced_durs)} frame counts "
+                f"but the utterance has {len(ids_list[0])} phonemes")
+        if any(d < 0 for d in forced_durs):
+            raise SystemExit("--force-durations frame counts must be >= 0")
+        if sum(forced_durs) < 1:
+            raise SystemExit("--force-durations needs at least one non-zero "
+                             "frame count")
     ids = ids_list[0]
     gap_samples = int(round(args.sentence_silence * rt.sample_rate))
     out = args.output or "out.wav"
@@ -275,10 +286,9 @@ def run_oneshot(args) -> None:
             _play(str(out))
     else:
         if forced_durs is not None:
-            kwargs = _synth_args(args)
-            kwargs.pop("length_scale", None)
-            kwargs.pop("noise_w", None)
-            audio = rt.synthesize_forced(ids, forced_durs, **kwargs)
+            # _synth_args can't contain length_scale/noise_w here — setting
+            # them with --force-durations already raised above.
+            audio = rt.synthesize_forced(ids, forced_durs, **_synth_args(args))
         else:
             audio = rt.synthesize(ids, **_synth_args(args))
         write_wav(out, audio, rt.sample_rate)

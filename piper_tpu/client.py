@@ -159,7 +159,12 @@ class PiperClient(_BaseClient):
             sentence_silence=sentence_silence,
         )
         if durations is not None:
-            body["durations"] = [int(d) for d in durations]
+            durs = [int(d) for d in durations]
+            if any(i != d for i, d in zip(durs, durations)):
+                raise ValueError(
+                    "durations must be integer frame counts (a float plan "
+                    "would silently truncate)")
+            body["durations"] = durs
         ctype, data = self._call("POST", "/v1/synthesize", body)
         if "wav" not in ctype:
             raise PiperClientError(500, f"unexpected content type {ctype!r}")

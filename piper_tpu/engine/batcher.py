@@ -226,10 +226,9 @@ class BatchingServer:
         batched with other forced requests of the same (scales, bucket).
 
         Forced groups dispatch synchronously (the forced program is a single
-        round trip — there is no dispatch/fetch split to pipeline); its
-        compiled-program grid is bounded by the frame-bucket ladder rather
-        than the pinned 3-rung fused grid, which is fine at the low rates
-        duration-editing traffic runs at."""
+        round trip — there is no dispatch/fetch split to pipeline). Rows pin
+        to the fused grid's <=3 rungs per phoneme bucket; the frame axis
+        varies with the plans' totals, bounded by the frame-bucket ladder."""
         if self._closed:
             raise RuntimeError("server is closed")
         ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
@@ -437,12 +436,10 @@ class BatchingServer:
         m["rows"] += len(group)
         if group[0].kind == "dur" and isinstance(key[1], int):
             m["padded_rows"] += self._dur_rows(key[1]) - len(group)
-        elif group[0].kind == "forced":
-            ladder = getattr(self.rt, "batch_ladder",
-                             self.rt.options.batch_buckets)
-            bp = next((x for x in ladder if x >= len(group)), len(group))
-            m["padded_rows"] += bp - len(group)
-        elif self.fused and isinstance(key[1], int):
+        elif isinstance(key[1], int) and (group[0].kind == "forced"
+                                          or self.fused):
+            # Forced groups pin rows to the same <=3-rung grid as fused
+            # groups (see _dispatch_group) — count their padding the same.
             bp = self._pad_rows_for(key[1], len(group))
             m["padded_rows"] += bp - len(group)
         elif len(group) > 1:
@@ -542,14 +539,24 @@ class BatchingServer:
         if group[0].kind == "forced":
             # One round trip (the frame bucket is known from the plan
             # totals up front): run synchronously, nothing to fetch later.
+            # Rows pin to the fused grid's <=3 rungs per phoneme bucket so
+            # traffic-dependent group sizes cannot compile mid-serve; the
+            # frame axis still varies with plan totals, bounded by the
+            # frame-bucket ladder.
             try:
                 ns = group[0].scales[0]
                 speaker_ids = None
                 if any(r.speaker_id is not None for r in group):
                     speaker_ids = [r.speaker_id or 0 for r in group]
+                from piper_tpu.engine.bucketing import bucket_for
+
+                p_bucket = bucket_for(max(len(r.ids) for r in group),
+                                      self.rt.options.phoneme_buckets,
+                                      "phoneme")
                 audios = self.rt.synthesize_batch_forced(
                     [r.ids for r in group], [r.durations for r in group],
-                    noise_scale=ns, speaker_ids=speaker_ids)
+                    noise_scale=ns, speaker_ids=speaker_ids,
+                    pad_rows_to=self._pad_rows_for(p_bucket, len(group)))
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, a in zip(group, audios):

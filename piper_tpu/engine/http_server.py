@@ -320,6 +320,16 @@ class PiperHTTPServer(_HttpLifecycle):
             # Duration forcing: one frame count per phoneme replaces the
             # duration predictor (see PiperRuntime.synthesize_forced) —
             # e.g. replaying an edited /v1/durations plan.
+            durs = req["durations"]
+            # Type-check here so a malformed body is a 400, not a 500 from
+            # submit_forced's int() cast (bool is an int subclass; floats
+            # would silently truncate).
+            if (not isinstance(durs, list) or not durs
+                    or not all(isinstance(d, int) and not isinstance(d, bool)
+                               for d in durs)):
+                raise ValueError(
+                    "durations must be a non-empty list of integer frame "
+                    "counts, one per phoneme")
             if len(ids_list) != 1:
                 raise ValueError(
                     "durations require a single utterance (phoneme_ids or "
@@ -330,10 +340,8 @@ class PiperHTTPServer(_HttpLifecycle):
                         f"{k} has no effect with durations (they replace "
                         f"the duration predictor it shapes) — scale the "
                         f"durations instead")
-            kwargs.pop("length_scale", None)
-            kwargs.pop("noise_w", None)
             fut = self.server.submit_forced(
-                voice, ids_list[0], req["durations"], **kwargs)
+                voice, ids_list[0], durs, **kwargs)
             from piper_tpu.core.audio import pcm_to_float32
 
             return pcm_to_float32(fut.result(timeout=600)), rt

@@ -837,14 +837,18 @@ class PiperRuntime:
         noise_scale: Optional[float] = None,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        pad_rows_to: Optional[int] = None,
     ) -> List[np.ndarray]:
-        """Batched duration forcing (see synthesize_forced)."""
+        """Batched duration forcing (see synthesize_forced). `pad_rows_to`
+        pins the padded row count (the serving layer uses it to bound the
+        compiled-program grid — same contract as phoneme_durations)."""
         audios, timings = self._synthesize_forced_impl(
             [list(x) for x in phoneme_ids_batch],
             [list(d) for d in durations_batch],
             noise_scale=noise_scale,
             speaker_ids=list(speaker_ids) if speaker_ids is not None else None,
             seed=seed,
+            pad_rows_to=pad_rows_to,
         )
         self.last_run_timings = timings
         return audios
@@ -857,6 +861,7 @@ class PiperRuntime:
         noise_scale,
         speaker_ids,
         seed=None,
+        pad_rows_to=None,
     ) -> Tuple[List[np.ndarray], "RunTimings"]:
         if len(durations_batch) != len(ids_batch):
             raise ValueError(
@@ -870,13 +875,27 @@ class PiperRuntime:
                     f"{len(ids)} — one frame count per phoneme")
             if any(d < 0 for d in durs):
                 raise ValueError("durations must be non-negative frame counts")
+            # Per ROW: an all-zero plan would otherwise clip to one frame
+            # of prior-noise garbage instead of erroring.
+            if sum(durs) < 1:
+                raise ValueError(
+                    "at least one phoneme needs a non-zero duration")
             totals.append(int(sum(durs)))
-        if max(totals) < 1:
-            raise ValueError("at least one phoneme needs a non-zero duration")
         with self._lock:
             t_start = time.perf_counter()
             b = len(ids_batch)
-            lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
+            if pad_rows_to is not None:
+                if pad_rows_to < b:
+                    raise ValueError(
+                        f"pad_rows_to {pad_rows_to} < batch size {b}")
+                # Snap to a dp multiple on mesh runtimes (see
+                # phoneme_durations for why this lives here).
+                pad_rows_to = -(-int(pad_rows_to) // self._dp_size) * self._dp_size
+                lengths, p_bucket, ids = self._validate_and_pad(
+                    ids_batch + [ids_batch[0]] * (pad_rows_to - b),
+                    pad_batch=False)
+            else:
+                lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
             bp = ids.shape[0]
             # Pad duration rows to (bp, p_bucket); dummy rows copy row 0 so
             # they cannot raise the frame bucket (same rule as the ids pad).
