@@ -109,6 +109,21 @@ def _sentence_ids_for(args, rt: PiperRuntime) -> List[List[int]]:
     return [_phoneme_ids_for(args, rt)]
 
 
+def _parse_speaker_mix(spec: str) -> dict:
+    """'0:0.6,3:0.4' -> {0: 0.6, 3: 0.4} with tidy errors."""
+    mix = {}
+    try:
+        for part in spec.split(","):
+            sid, w = part.split(":")
+            mix[int(sid)] = float(w)
+    except ValueError:
+        raise SystemExit("--speaker-mix must be ID:WEIGHT pairs, e.g. "
+                         "'0:0.6,3:0.4'")
+    if not mix:
+        raise SystemExit("--speaker-mix must name at least one speaker")
+    return mix
+
+
 def _synth_args(args) -> dict:
     out = {}
     if args.noise_scale is not None:
@@ -119,16 +134,23 @@ def _synth_args(args) -> dict:
         out["noise_w"] = args.noise_w
     if args.speaker_id is not None:
         out["speaker_id"] = args.speaker_id
+    if getattr(args, "speaker_mix", None):
+        if args.speaker_id is not None:
+            raise SystemExit("pass --speaker-id OR --speaker-mix, not both")
+        out["speaker_mix"] = _parse_speaker_mix(args.speaker_mix)
     return out
 
 
 def _batch_synth_args(args, n_rows: int) -> dict:
     """_synth_args translated for synthesize_batch, which takes
-    speaker_ids (one per row) instead of a scalar speaker_id."""
+    speaker_ids / speaker_mixes (one per row) instead of scalars."""
     out = _synth_args(args)
     sid = out.pop("speaker_id", None)
     if sid is not None:
         out["speaker_ids"] = [sid] * n_rows
+    mix = out.pop("speaker_mix", None)
+    if mix is not None:
+        out["speaker_mixes"] = [mix] * n_rows
     return out
 
 
@@ -151,6 +173,9 @@ def _write_alignment(path, rt: PiperRuntime, ids_list, audios,
         sid = dur_args.pop("speaker_id", None)
         if sid is not None:
             dur_args["speaker_ids"] = [sid] * len(ids_list)
+        mix = dur_args.pop("speaker_mix", None)
+        if mix is not None:
+            dur_args["speaker_mixes"] = [mix] * len(ids_list)
         durs = rt.phoneme_durations(ids_list, **dur_args)
     hop, sr = rt.hparams.hop_length, rt.sample_rate
     aligns, offsets, pos = [], [], 0
@@ -660,6 +685,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length-scale", type=float, default=None)
     p.add_argument("--noise-w", type=float, default=None)
     p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--speaker-mix", metavar="ID:W,ID:W",
+                   help="blend speaker embeddings by weight (multi-speaker "
+                        "voices): e.g. '0:0.6,3:0.4'; weights needn't sum "
+                        "to 1 (extrapolation is allowed); mutually "
+                        "exclusive with --speaker-id")
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--precision", default=None,
                    choices=["highest", "high", "default", "bfloat16"],

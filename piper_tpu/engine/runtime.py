@@ -656,6 +656,7 @@ class PiperRuntime:
         seed: Optional[int] = None,
         dp_noise: Optional[np.ndarray] = None,
         main_noise: Optional[np.ndarray] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> np.ndarray:
         """Synthesize one utterance. Returns PCM in the runtime's
         output_dtype: float32 in [-1, 1] (the default), or int16 when
@@ -675,6 +676,7 @@ class PiperRuntime:
             seed=seed,
             dp_noise=dp_noise,
             main_noise=main_noise,
+            speaker_mixes=[speaker_mix] if speaker_mix is not None else None,
         )
         self.last_run_timings = timings
         return audios[0]
@@ -687,6 +689,7 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ) -> List[np.ndarray]:
         """Batched multi-utterance synthesis (pads to a common bucket)."""
         audios, timings = self._synthesize_batch_impl(
@@ -696,6 +699,7 @@ class PiperRuntime:
             noise_w=noise_w,
             speaker_ids=list(speaker_ids) if speaker_ids is not None else None,
             seed=seed,
+            speaker_mixes=list(speaker_mixes) if speaker_mixes is not None else None,
         )
         self.last_run_timings = timings
         return audios
@@ -709,6 +713,7 @@ class PiperRuntime:
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
         pad_rows_to: Optional[int] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ) -> List[np.ndarray]:
         """Per-phoneme frame durations for each utterance — the alignment
         plan the decoder expands. Runs ONLY the encoder (text encoder +
@@ -755,10 +760,10 @@ class PiperRuntime:
             _, ls, nw = self._scales(None, length_scale, noise_w)
             if speaker_ids is not None and bp > b:
                 speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-            sid = self._sid_array(speaker_ids, bp)
+            sid = self._sid_array(speaker_ids, bp, mixes=speaker_mixes)
             seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
             t0 = time.perf_counter()
-            compiled = self._mark("enc_key", (bp, p_bucket, sid is not None))
+            compiled = self._mark("enc_key", (bp, p_bucket, self._sid_kind(sid)))
             enc = self._encode_keyed(self.params, self._put_batch(ids),
                                      self._put_batch(lengths), seed_j, ls, nw, sid)
             w = np.asarray(jax.device_get(enc.w_ceil)).astype(np.int64)
@@ -774,6 +779,7 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         seed: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ):
         """Synthesize one utterance AND its phoneme-level timing.
 
@@ -788,11 +794,13 @@ class PiperRuntime:
         audio = self.synthesize(
             ids, noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id, seed=seed,
+            speaker_mix=speaker_mix,
         )
         durations = self.phoneme_durations(
             [ids], length_scale=length_scale, noise_w=noise_w,
             speaker_ids=[speaker_id] if speaker_id is not None else None,
             seed=seed,
+            speaker_mixes=[speaker_mix] if speaker_mix is not None else None,
         )[0]
         return audio, make_alignment(
             ids, durations, hop_length=self.hparams.hop_length,
@@ -806,6 +814,7 @@ class PiperRuntime:
         noise_scale: Optional[float] = None,
         speaker_id: Optional[int] = None,
         seed: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> np.ndarray:
         """Synthesize with a CALLER-SUPPLIED per-phoneme frame plan
         (duration forcing): `durations[i]` frames are allotted to
@@ -826,6 +835,7 @@ class PiperRuntime:
             noise_scale=noise_scale,
             speaker_ids=[speaker_id] if speaker_id is not None else None,
             seed=seed,
+            speaker_mixes=[speaker_mix] if speaker_mix is not None else None,
         )
         self.last_run_timings = timings
         return audios[0]
@@ -838,6 +848,7 @@ class PiperRuntime:
         speaker_ids: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
         pad_rows_to: Optional[int] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ) -> List[np.ndarray]:
         """Batched duration forcing (see synthesize_forced). `pad_rows_to`
         pins the padded row count (the serving layer uses it to bound the
@@ -849,6 +860,7 @@ class PiperRuntime:
             speaker_ids=list(speaker_ids) if speaker_ids is not None else None,
             seed=seed,
             pad_rows_to=pad_rows_to,
+            speaker_mixes=list(speaker_mixes) if speaker_mixes is not None else None,
         )
         self.last_run_timings = timings
         return audios
@@ -862,6 +874,7 @@ class PiperRuntime:
         speaker_ids,
         seed=None,
         pad_rows_to=None,
+        speaker_mixes=None,
     ) -> Tuple[List[np.ndarray], "RunTimings"]:
         if len(durations_batch) != len(ids_batch):
             raise ValueError(
@@ -905,11 +918,12 @@ class PiperRuntime:
                 durs[i, : len(row)] = row
             if speaker_ids is not None and bp > b:
                 speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-            sid = self._sid_array(speaker_ids, bp, putter=self._put_batch)
+            sid = self._sid_array(speaker_ids, bp, putter=self._put_batch,
+                                  mixes=speaker_mixes)
             ns, _, _ = self._scales(noise_scale, None, None)
             f_bucket = self._frame_bucket_or_clamp(max(totals))
             seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
-            compiled = self._mark("forced", (bp, p_bucket, f_bucket, sid is not None))
+            compiled = self._mark("forced", (bp, p_bucket, f_bucket, self._sid_kind(sid)))
             audio_d, _ = self._fused_forced(
                 self.params, self._put_batch(ids), self._put_batch(lengths),
                 self._put_batch(durs), seed_j, jnp.float32(ns), sid,
@@ -1232,7 +1246,7 @@ class PiperRuntime:
         sid = self._sid_array([speaker_id] if speaker_id is not None else None,
                               1, putter=self._put_repl)
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
-        self._mark("stream_head", (p_bucket, c0, halo, sid is not None))
+        self._mark("stream_head", (p_bucket, c0, halo, self._sid_kind(sid)))
         enc, audio0, total = self._stream_head_keyed(
             self.params, ids_j, lengths_j, seed_j, ls, nw, sid, ns,
             window=c0 + 2 * halo, halo=halo)
@@ -1295,7 +1309,7 @@ class PiperRuntime:
             _seed_u32(self.options.seed if seeds is None or seeds[i] is None
                       else seeds[i]) for i in range(b)]
         self._mark("stream_head_batch",
-                   (b, p_bucket, c0, halo, sid is not None))
+                   (b, p_bucket, c0, halo, self._sid_kind(sid)))
         enc, audio0, totals = self._stream_head_batch_keyed(
             self.params, self._put_repl(ids_np), self._put_repl(lengths),
             self._put_repl(np.asarray(seed_vals, np.uint32)),
@@ -1375,7 +1389,7 @@ class PiperRuntime:
         except BucketOverflowError:
             f_bucket = self.options.frame_buckets[-1]
         scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
-        self._mark("fused", (1, p_bucket, f_bucket, sid is not None))
+        self._mark("fused", (1, p_bucket, f_bucket, self._sid_kind(sid)))
         outs = self._fused_keyed(
             self.params, ids_j, lengths_j, seed_j, scales_j, sid, max_frames=f_bucket
         )
@@ -1506,7 +1520,7 @@ class PiperRuntime:
         ids_j = self._put_batch(ids)
         lengths_j = self._put_batch(lengths)
         t_start = time.perf_counter()
-        compiled_enc = self._mark("enc_key", (bp, p_bucket, sid is not None))
+        compiled_enc = self._mark("enc_key", (bp, p_bucket, self._sid_kind(sid)))
         enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j, ls, nw, sid)
         # Host sync: frame counts decide the decode bucket (same one
         # unavoidable flush as the blocking path).
@@ -1514,7 +1528,7 @@ class PiperRuntime:
         self.profiler.record("encode", p_bucket,
                              (time.perf_counter() - t_start) * 1e3, compiled_enc)
         f_bucket = self._frame_bucket_or_clamp(int(y_lengths[:b].max()))
-        compiled_dec = self._mark("dec_key", (bp, f_bucket, sid is not None))
+        compiled_dec = self._mark("dec_key", (bp, f_bucket, self._sid_kind(sid)))
         audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                       max_frames=f_bucket)
         return audio, {"y_len": np.clip(y_lengths[:b], 1, f_bucket),
@@ -1572,7 +1586,7 @@ class PiperRuntime:
         except BucketOverflowError:
             f_bucket = self.options.frame_buckets[-1]
         scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
-        compiled = self._mark("fused", (bp, p_bucket, f_bucket, sid is not None))
+        compiled = self._mark("fused", (bp, p_bucket, f_bucket, self._sid_kind(sid)))
         outs = self._fused_keyed(
             self.params, self._put_batch(ids), self._put_batch(lengths),
             seed_j, scales_j, sid, max_frames=f_bucket,
@@ -1752,13 +1766,49 @@ class PiperRuntime:
         return ns, ls, nw
 
     def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int,
-                   putter=None):
-        if self.hparams.n_speakers <= 1:
+                   putter=None, mixes=None):
+        """Speaker conditioning argument: (B,) int32 ids, or — when `mixes`
+        (a list of {speaker_id: weight} dicts) is given — (B, n_speakers)
+        float32 blending weights (see vits.speaker_embedding). Rows beyond
+        len(mixes) copy row 0 (batch-ladder dummy rows)."""
+        n_spk = self.hparams.n_speakers
+        if mixes is not None:
+            if n_spk <= 1:
+                raise ValueError(
+                    "speaker_mix requires a multi-speaker voice")
+            if speaker_ids is not None:
+                raise ValueError("pass speaker_id OR speaker_mix, not both")
+            w = np.zeros((batch, n_spk), np.float32)
+            for i in range(batch):
+                mix = mixes[i] if i < len(mixes) else mixes[0]
+                if not mix:
+                    raise ValueError("speaker_mix must not be empty")
+                for s, wt in mix.items():
+                    s = int(s)
+                    if not 0 <= s < n_spk:
+                        raise ValueError(
+                            f"speaker_mix id {s} out of range [0, {n_spk})")
+                    w[i, s] = float(wt)
+                if not np.isfinite(w[i]).all() or not w[i].any():
+                    raise ValueError(
+                        "speaker_mix weights must be finite with at least "
+                        "one non-zero entry")
+            putter = putter or self._put_batch
+            return putter(w)
+        if n_spk <= 1:
             return None
         if speaker_ids is None:
             speaker_ids = [0] * batch
         putter = putter or self._put_batch
         return putter(np.asarray(speaker_ids, dtype=np.int32))
+
+    @staticmethod
+    def _sid_kind(sid):
+        """Program-cache tag for the speaker argument: None / "id" (int
+        lookup) / "mix" (blending weights) — the three compile distinctly."""
+        if sid is None:
+            return None
+        return "mix" if getattr(sid, "ndim", 1) == 2 else "id"
 
     def _mark(self, kind: str, key) -> bool:
         with self._lock:
@@ -1779,12 +1829,14 @@ class PiperRuntime:
         seed=None,
         dp_noise: Optional[np.ndarray] = None,
         main_noise: Optional[np.ndarray] = None,
+        speaker_mixes=None,
     ) -> Tuple[List[np.ndarray], RunTimings]:
         with self._lock:
             return self._synthesize_batch_locked(
                 ids_batch, noise_scale=noise_scale, length_scale=length_scale,
                 noise_w=noise_w, speaker_ids=speaker_ids, seed=seed,
                 dp_noise=dp_noise, main_noise=main_noise,
+                speaker_mixes=speaker_mixes,
             )
 
     def _synthesize_batch_locked(
@@ -1798,6 +1850,7 @@ class PiperRuntime:
         seed=None,
         dp_noise: Optional[np.ndarray] = None,
         main_noise: Optional[np.ndarray] = None,
+        speaker_mixes=None,
     ) -> Tuple[List[np.ndarray], RunTimings]:
         t_start = time.perf_counter()
         hp = self.hparams
@@ -1813,7 +1866,8 @@ class PiperRuntime:
         if speaker_ids is not None and bp > b:
             speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         putter = self._put_repl if injected else self._put_batch
-        sid = self._sid_array(speaker_ids, bp, putter=putter)
+        sid = self._sid_array(speaker_ids, bp, putter=putter,
+                              mixes=speaker_mixes)
         base_seed = _seed_u32(self.options.seed if seed is None else seed)
         seed_j = jnp.uint32(base_seed)
 
@@ -1838,7 +1892,7 @@ class PiperRuntime:
             except BucketOverflowError:
                 f_bucket = self.options.frame_buckets[-1]
             scales_j = jnp.asarray([ns, ls, nw], jnp.float32)
-            compiled |= self._mark("fused", (bp, p_bucket, f_bucket, sid is not None))
+            compiled |= self._mark("fused", (bp, p_bucket, f_bucket, self._sid_kind(sid)))
             audio, y_len_d, y_total_d = self._fused_keyed(
                 self.params, ids_j, lengths_j, seed_j, scales_j, sid,
                 max_frames=f_bucket,
@@ -1859,11 +1913,11 @@ class PiperRuntime:
                 dpn = np.zeros((b, 2, p_bucket), np.float32)
                 src = np.asarray(dp_noise, np.float32).reshape(b, 2, -1)
                 dpn[:, :, : src.shape[-1]] = src
-                compiled |= self._mark("enc_inj", (bp, p_bucket, sid is not None))
+                compiled |= self._mark("enc_inj", (bp, p_bucket, self._sid_kind(sid)))
                 enc = self._encode_injected(self.params, ids_j, lengths_j,
                                             putter(dpn), ls, nw, sid)
             else:
-                compiled |= self._mark("enc_key", (bp, p_bucket, sid is not None))
+                compiled |= self._mark("enc_key", (bp, p_bucket, self._sid_kind(sid)))
                 enc = self._encode_keyed(self.params, ids_j, lengths_j, seed_j,
                                          ls, nw, sid)
 
@@ -1890,10 +1944,10 @@ class PiperRuntime:
                     src = src[:, :, :f_bucket]
                 mn = np.zeros((b, hp.inter_channels, f_bucket), np.float32)
                 mn[:, :, : src.shape[-1]] = src
-                compiled |= self._mark("dec_inj", (bp, f_bucket, sid is not None))
+                compiled |= self._mark("dec_inj", (bp, f_bucket, self._sid_kind(sid)))
                 audio, _ = self._decode_injected(self.params, enc, putter(mn), ns)
             else:
-                compiled |= self._mark("dec_key", (bp, f_bucket, sid is not None))
+                compiled |= self._mark("dec_key", (bp, f_bucket, self._sid_kind(sid)))
                 audio, _ = self._decode_keyed(self.params, enc, seed_j, ns,
                                               max_frames=f_bucket)
             # y_len is derivable on the host — fetch only the audio (second

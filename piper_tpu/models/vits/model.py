@@ -59,10 +59,20 @@ class EncodeResult:
 def speaker_embedding(
     params: Params, hp: VitsHParams, sid: Optional[jnp.ndarray]
 ) -> Optional[jnp.ndarray]:
+    """Speaker conditioning vector. `sid` is either (B,) int speaker ids
+    (embedding lookup) or (B, n_speakers) float mixture weights — voice
+    blending: g = weights @ emb_g, at HIGHEST precision so a one-hot row is
+    bit-identical to the id lookup (adding exact zeros). Weights need not
+    sum to 1; extrapolation (1.2*A - 0.2*B) is deliberate creative range."""
     if hp.n_speakers <= 1 or "emb_g.weight" not in params:
         return None
     if sid is None:
         raise ValueError("multi-speaker model requires a speaker id")
+    if sid.ndim == 2:
+        g = jnp.einsum("bs,sg->bg", sid.astype(jnp.float32),
+                       params["emb_g.weight"],
+                       precision=jax.lax.Precision.HIGHEST)
+        return g[..., None]  # (B, gin, 1)
     return params["emb_g.weight"][sid][..., None]  # (B, gin, 1)
 
 

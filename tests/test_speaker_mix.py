@@ -1,0 +1,138 @@
+"""Speaker mixing (voice blending) for multi-speaker voices.
+
+`speaker_mix={id: weight, ...}` replaces the integer embedding lookup with
+a weighted blend of speaker embeddings (g = weights @ emb_g). The reference
+exposes only integer sid (speaker conditioning per
+/root/reference/Sources/PiperMetal/PiperMetalRuntime.swift); blending is a
+piper-tpu extension that falls out of the TPU-native design (the lookup is
+already a gather on a device-resident (S, gin) matrix).
+
+Key invariant: a one-hot mix is BIT-IDENTICAL to the integer lookup (the
+einsum runs at HIGHEST precision; adding exact zeros is exact).
+"""
+
+import numpy as np
+import pytest
+
+from piper_tpu import cli
+from piper_tpu.engine.runtime import PiperRuntime
+from piper_tpu.models.vits.synthetic import make_synthetic_voice
+from piper_tpu.utils.wav import read_wav
+
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
+
+
+@pytest.fixture(scope="module")
+def ms_voice(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mix_voice")
+    return make_synthetic_voice(d, quality="test", seed=6, n_speakers=4,
+                                gin_channels=32)
+
+
+@pytest.fixture(scope="module")
+def runtime(ms_voice):
+    return PiperRuntime(*ms_voice)
+
+
+def test_one_hot_mix_bit_identical_to_id(runtime):
+    a_id = runtime.synthesize(FIXTURE_IDS, speaker_id=2)
+    a_mix = runtime.synthesize(FIXTURE_IDS, speaker_mix={2: 1.0})
+    assert np.array_equal(a_id, a_mix)
+
+
+def test_blend_differs_from_endpoints_and_is_finite(runtime):
+    a0 = runtime.synthesize(FIXTURE_IDS, speaker_id=0)
+    a2 = runtime.synthesize(FIXTURE_IDS, speaker_id=2)
+    blend = runtime.synthesize(FIXTURE_IDS, speaker_mix={0: 0.5, 2: 0.5})
+    assert np.isfinite(blend).all()
+    for ref in (a0, a2):
+        if blend.shape == ref.shape:
+            assert not np.allclose(blend, ref)
+
+
+def test_extrapolation_allowed(runtime):
+    # Weights needn't sum to 1 — 1.2*A - 0.2*B is deliberately legal.
+    audio = runtime.synthesize(FIXTURE_IDS, speaker_mix={0: 1.2, 1: -0.2})
+    assert np.isfinite(audio).all() and len(audio) > 0
+
+
+def test_batch_mixes_match_single(runtime):
+    singles = [
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={0: 1.0}),
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={2: 0.3, 3: 0.7}),
+    ]
+    batch = runtime.synthesize_batch(
+        [FIXTURE_IDS, FIXTURE_IDS],
+        speaker_mixes=[{0: 1.0}, {2: 0.3, 3: 0.7}])
+    for s, b in zip(singles, batch):
+        # Same rows through the batch path: row-invariant noise makes the
+        # realization identical when the frame bucket matches.
+        if s.shape == b.shape:
+            np.testing.assert_allclose(s, b, atol=1e-4)
+        assert np.isfinite(b).all()
+
+
+def test_durations_and_forced_roundtrip(runtime):
+    durs_mix = runtime.phoneme_durations([FIXTURE_IDS],
+                                         speaker_mixes=[{1: 1.0}])[0]
+    durs_id = runtime.phoneme_durations([FIXTURE_IDS], speaker_ids=[1])[0]
+    assert list(durs_mix) == list(durs_id)
+    forced_mix = runtime.synthesize_forced(FIXTURE_IDS, durs_mix,
+                                           speaker_mix={1: 1.0})
+    forced_id = runtime.synthesize_forced(FIXTURE_IDS, durs_id, speaker_id=1)
+    assert np.array_equal(forced_mix, forced_id)
+
+
+def test_alignment_with_mix(runtime):
+    audio, align = runtime.synthesize_with_alignment(
+        FIXTURE_IDS, speaker_mix={2: 0.5, 3: 0.5})
+    assert len(audio) > 0
+    assert sum(align.durations_frames) > 0
+    assert align.total_samples == len(audio)
+
+
+def test_validation_errors(runtime):
+    with pytest.raises(ValueError):
+        runtime.synthesize_batch([FIXTURE_IDS], speaker_ids=[1],
+                                 speaker_mixes=[{0: 1.0}])
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={9: 1.0})  # out of range
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={})  # empty
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={0: float("nan")})
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={0: 0.0})  # all-zero
+
+
+def test_single_speaker_voice_rejects_mix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("single_voice")
+    rt = PiperRuntime(*make_synthetic_voice(d, quality="test", seed=3))
+    with pytest.raises(ValueError):
+        rt.synthesize(FIXTURE_IDS, speaker_mix={0: 1.0})
+
+
+def test_cli_speaker_mix(ms_voice, tmp_path):
+    model, _ = ms_voice
+    out_mix = tmp_path / "mix.wav"
+    out_id = tmp_path / "id.wav"
+    ids_arg = ",".join(map(str, FIXTURE_IDS))
+    cli.main(["--model", str(model), "--phoneme-ids", ids_arg,
+              "--speaker-mix", "2:1.0", "-o", str(out_mix)])
+    cli.main(["--model", str(model), "--phoneme-ids", ids_arg,
+              "--speaker-id", "2", "-o", str(out_id)])
+    a_mix, _ = read_wav(out_mix)
+    a_id, _ = read_wav(out_id)
+    assert np.array_equal(a_mix, a_id)
+
+
+def test_cli_speaker_mix_arg_errors(ms_voice, tmp_path):
+    model, _ = ms_voice
+    ids_arg = ",".join(map(str, FIXTURE_IDS))
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids", ids_arg,
+                  "--speaker-mix", "bogus", "-o", str(tmp_path / "x.wav")])
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids", ids_arg,
+                  "--speaker-id", "1", "--speaker-mix", "0:1",
+                  "-o", str(tmp_path / "y.wav")])
