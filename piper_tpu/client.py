@@ -140,6 +140,7 @@ class PiperClient(_BaseClient):
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
         durations: Optional[Sequence[int]] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> tuple[np.ndarray, int]:
         """Synthesize one of text / ipa / phoneme_ids.
 
@@ -149,6 +150,9 @@ class PiperClient(_BaseClient):
         `durations` forces per-phoneme frame counts (replacing the duration
         predictor — e.g. an edited durations() plan); single utterance only,
         incompatible with length_scale/noise_w.
+
+        `speaker_mix` ({speaker_id: weight}) blends speaker embeddings on
+        multi-speaker voices; mutually exclusive with speaker_id.
         """
         from piper_tpu.utils.wav import parse_wav_bytes
 
@@ -156,7 +160,7 @@ class PiperClient(_BaseClient):
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
             noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id,
-            sentence_silence=sentence_silence,
+            sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )
         if durations is not None:
             durs = [int(d) for d in durations]
@@ -181,6 +185,7 @@ class PiperClient(_BaseClient):
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> dict:
         """Phoneme-level timing WITHOUT synthesizing audio (encoder-only on
         the server). Returns the alignment document: one entry per utterance
@@ -190,6 +195,7 @@ class PiperClient(_BaseClient):
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
             length_scale=length_scale, noise_w=noise_w,
             speaker_id=speaker_id, sentence_silence=sentence_silence,
+            speaker_mix=speaker_mix,
         )
         _, data = self._call("POST", "/v1/durations", body)
         return json.loads(data)

@@ -56,6 +56,12 @@ class _Request:
     # "forced" -> audio from a caller-supplied duration plan.
     kind: str = "synth"
     durations: Optional[List[int]] = None
+    # Speaker blending weights {id: w} (PiperRuntime speaker_mix). Mix
+    # requests queue SEPARATELY from integer-sid requests (the queue key
+    # carries a mix flag): a (B, n_speakers) conditioning array compiles a
+    # distinct program variant, and mixing the two in one group would
+    # silently route plain-id traffic through the unprewarmed mix program.
+    speaker_mix: Optional[dict] = None
 
 
 class BatchingServer:
@@ -151,17 +157,20 @@ class BatchingServer:
         length_scale: Optional[float] = None,
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> "Future[np.ndarray]":
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
+                                               speaker_mix)
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, length_scale, noise_w),
-                       speaker_id, fut)
+                       speaker_id, fut, speaker_mix=speaker_mix)
         return self._enqueue(req, p_bucket)
 
     def _validate_request(self, phoneme_ids: Sequence[int],
-                          speaker_id: Optional[int]):
+                          speaker_id: Optional[int],
+                          speaker_mix: Optional[dict] = None):
         """Validate up front so one bad request can't fail a whole group
         (shared by submit and submit_durations). Returns (ids, p_bucket);
         beyond-ladder lengths get the 'overflow' bucket and fail on their
@@ -181,6 +190,30 @@ class BatchingServer:
             # return the LAST speaker's voice instead of an error.
             raise ValueError(
                 f"speaker_id {speaker_id} out of range [0, {max(1, n_spk)})")
+        if speaker_mix is not None:
+            # Validate at the door so one bad mix can't fail its whole
+            # group at dispatch (the runtime re-validates, but then the
+            # error lands on every co-batched future).
+            if speaker_id is not None:
+                raise ValueError("pass speaker_id OR speaker_mix, not both")
+            if n_spk is None or n_spk <= 1:
+                raise ValueError("speaker_mix requires a multi-speaker voice")
+            if not speaker_mix:
+                raise ValueError("speaker_mix must not be empty")
+            import math
+
+            any_nonzero = False
+            for s, w in speaker_mix.items():
+                s, w = int(s), float(w)
+                if not 0 <= s < n_spk:
+                    raise ValueError(
+                        f"speaker_mix id {s} out of range [0, {n_spk})")
+                if not math.isfinite(w):
+                    raise ValueError("speaker_mix weights must be finite")
+                any_nonzero |= w != 0.0
+            if not any_nonzero:
+                raise ValueError(
+                    "speaker_mix needs at least one non-zero weight")
         from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
         try:
@@ -196,6 +229,7 @@ class BatchingServer:
         length_scale: Optional[float] = None,
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> "Future[np.ndarray]":
         """Queue a phoneme-durations (alignment) request; the future resolves
         to the per-phoneme frame durations (int64, one per input id).
@@ -207,10 +241,11 @@ class BatchingServer:
         grouping does not change it (PiperRuntime.phoneme_durations)."""
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
+                                               speaker_mix)
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
-                       kind="dur")
+                       kind="dur", speaker_mix=speaker_mix)
         return self._enqueue(req, p_bucket)
 
     def submit_forced(
@@ -219,6 +254,7 @@ class BatchingServer:
         durations: Sequence[int],
         noise_scale: Optional[float] = None,
         speaker_id: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> "Future[np.ndarray]":
         """Queue a duration-forced synthesis (see
         PiperRuntime.synthesize_forced): the caller's per-phoneme frame plan
@@ -231,7 +267,8 @@ class BatchingServer:
         varies with the plans' totals, bounded by the frame-bucket ladder."""
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id)
+        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
+                                               speaker_mix)
         durs = [int(d) for d in durations]
         if len(durs) != len(ids):
             raise ValueError(
@@ -242,7 +279,7 @@ class BatchingServer:
             raise ValueError("at least one phoneme needs a non-zero duration")
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, None, None), speaker_id, fut,
-                       kind="forced", durations=durs)
+                       kind="forced", durations=durs, speaker_mix=speaker_mix)
         return self._enqueue(req, p_bucket)
 
     def _enqueue(self, req: _Request, p_bucket) -> "Future[np.ndarray]":
@@ -257,7 +294,8 @@ class BatchingServer:
                 )
             self._metrics["submitted"] += 1
             self._pending += 1
-            key = (req.scales, p_bucket, req.kind)
+            key = (req.scales, p_bucket, req.kind,
+                   req.speaker_mix is not None)
             self._queues.setdefault(key, deque()).append(req)
             self._cond.notify()
         return req.future
@@ -363,13 +401,20 @@ class BatchingServer:
 
     def prewarm(self, p_buckets: Optional[Sequence[int]] = None,
                 scales: Sequence[tuple] = ((None, None, None),),
-                calibrate: bool = True) -> dict:
+                calibrate: bool = True,
+                speaker_mix_programs: bool = False) -> dict:
         """Compile the server's whole fused program grid ahead of traffic:
         calibrate the voice's frames-per-phoneme, then run one dummy group
         through the exact dispatch path for each (phoneme bucket, row rung).
         Returns {"programs": n, "seconds": wall, "frames_per_phoneme": fpp}.
         Only meaningful in fused mode (split mode's decode bucket tracks
-        real durations)."""
+        real durations).
+
+        `speaker_mix_programs` additionally warms the speaker-BLENDING
+        program variant at every grid point (mix requests queue and compile
+        separately from integer-sid ones). Off by default: it grows the
+        grid ~50% on multi-speaker voices, so opt in only on deployments
+        that actually take speaker_mix traffic."""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -381,13 +426,18 @@ class BatchingServer:
         n = 0
         base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.rt.hparams.n_vocab for i in base]
-        # Multi-speaker voices compile DISTINCT programs for sid-present vs
-        # sid-absent groups (the jit key carries `sid is not None`), and real
-        # traffic produces both (a group carries sids iff any request set
-        # one) — prewarm both variants or the first speakered group stalls
-        # the worker on a compile.
-        sid_variants = ([None, [0]] if self.rt.hparams.n_speakers > 1
-                        else [None])
+        # Multi-speaker voices compile DISTINCT programs for sid-absent,
+        # sid-present, and (opt-in) mix-present groups (the jit key carries
+        # the conditioning kind), and real traffic produces each — prewarm
+        # every variant in use or the first such group stalls the worker on
+        # a compile. Variants are (speaker_ids, speaker_mixes) argument
+        # pairs for one prewarm row.
+        if self.rt.hparams.n_speakers > 1:
+            variants = [(None, None), ([0], None)]
+            if speaker_mix_programs:
+                variants.append((None, [{0: 1.0}]))
+        else:
+            variants = [(None, None)]
         for p_bucket in p_buckets:
             ids = (base * (-(-p_bucket // len(base))))[:p_bucket]
             budgets = [(self._rungs(p_bucket), self._budget_frames(p_bucket)),
@@ -397,25 +447,28 @@ class BatchingServer:
             for rungs, budget in budgets if self.fused else budgets[:1]:
                 for rung in rungs:
                     for ns, ls, nw in scales:
-                        for sids in sid_variants:
+                        for sids, mixes in variants:
                             if self.fused:
                                 outs, meta = self.rt.dispatch_batch(
                                     [ids], noise_scale=ns, length_scale=ls,
-                                    noise_w=nw, speaker_ids=sids, fused=True,
+                                    noise_w=nw, speaker_ids=sids,
+                                    speaker_mixes=mixes, fused=True,
                                     pad_rows_to=rung, budget_frames=budget)
                                 self.rt.fetch_batch(outs, meta)
                             else:
                                 self.rt.synthesize_batch(
                                     [ids] * rung, noise_scale=ns,
                                     length_scale=ls, noise_w=nw,
-                                    speaker_ids=(sids * rung) if sids else None)
+                                    speaker_ids=(sids * rung) if sids else None,
+                                    speaker_mixes=(mixes * rung) if mixes
+                                    else None)
                             n += 1
             # The durations (alignment) program: one pinned encode per
-            # bucket (and per sid variant), so a first submit_durations
-            # can't compile mid-traffic.
-            for sids in sid_variants:
+            # bucket (and per conditioning variant), so a first
+            # submit_durations can't compile mid-traffic.
+            for sids, mixes in variants:
                 self.rt.phoneme_durations(
-                    [ids], speaker_ids=sids,
+                    [ids], speaker_ids=sids, speaker_mixes=mixes,
                     pad_rows_to=self._dur_rows(p_bucket))
                 n += 1
         return {"programs": n, "seconds": _time.perf_counter() - t0,
@@ -510,6 +563,10 @@ class BatchingServer:
         Durations groups (kind "dur") are encoder-only — cheap enough to run
         synchronously here (one dispatch + one small fetch); their futures
         resolve immediately and nothing is returned for a later fetch."""
+        # All rows of a group share the mix flag (it is part of the queue
+        # key), so a group is either all-mix or all-id/none.
+        mixes = ([r.speaker_mix for r in group]
+                 if group[0].speaker_mix is not None else None)
         if group[0].kind == "dur":
             try:
                 _, ls, nw = group[0].scales
@@ -523,7 +580,7 @@ class BatchingServer:
                                       "phoneme")
                 durs = self.rt.phoneme_durations(
                     [r.ids for r in group], length_scale=ls, noise_w=nw,
-                    speaker_ids=speaker_ids,
+                    speaker_ids=speaker_ids, speaker_mixes=mixes,
                     pad_rows_to=self._dur_rows(p_bucket))
                 with self._cond:
                     self._metrics["completed"] += len(group)
@@ -556,6 +613,7 @@ class BatchingServer:
                 audios = self.rt.synthesize_batch_forced(
                     [r.ids for r in group], [r.durations for r in group],
                     noise_scale=ns, speaker_ids=speaker_ids,
+                    speaker_mixes=mixes,
                     pad_rows_to=self._pad_rows_for(p_bucket, len(group)))
                 with self._cond:
                     self._metrics["completed"] += len(group)
@@ -591,7 +649,8 @@ class BatchingServer:
             outs, meta = self.rt.dispatch_batch(
                 [r.ids for r in group],
                 noise_scale=ns, length_scale=ls, noise_w=nw,
-                speaker_ids=speaker_ids, fused=self.fused, **kwargs,
+                speaker_ids=speaker_ids, speaker_mixes=mixes,
+                fused=self.fused, **kwargs,
             )
             return group, outs, meta
         except Exception as e:  # noqa: BLE001 — per-request surfacing

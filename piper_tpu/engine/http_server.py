@@ -12,7 +12,10 @@ Endpoints (JSON in, WAV or JSON out):
                         {"ipa": "..."} or {"text": "..."} (text needs
                         espeak-ng; sentences batch with "sentence_silence"
                         seconds of gap, default 0.2). Optional
-                        noise_scale / length_scale / noise_w / speaker_id.
+                        noise_scale / length_scale / noise_w / speaker_id,
+                        or "speaker_mix": {"0": 0.6, "3": 0.4} to blend
+                        speaker embeddings (multi-speaker voices; mutually
+                        exclusive with speaker_id).
                         Optional "durations": per-phoneme frame counts
                         (duration forcing — replaces the predictor; single
                         utterance only; e.g. an edited /v1/durations plan).
@@ -81,6 +84,30 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
             raise ValueError("empty text")
         return [ph.phoneme_ids(s) for s in sents]
     raise ValueError("pass phoneme_ids, ipa, or text")
+
+
+def _speaker_mix_from(req: dict) -> Optional[dict]:
+    """Parse an optional "speaker_mix" body field: a JSON object mapping
+    speaker id -> blend weight (keys arrive as strings). Range/finiteness
+    checks live in BatchingServer._validate_request; here we only coerce
+    types so a malformed body is a 400, not a 500."""
+    mix = req.get("speaker_mix")
+    if mix is None:
+        return None
+    if not isinstance(mix, dict) or not mix:
+        raise ValueError(
+            'speaker_mix must be a non-empty object of {"id": weight}, '
+            'e.g. {"0": 0.6, "3": 0.4}')
+    out = {}
+    for k, v in mix.items():
+        try:
+            sid = int(k)
+        except (TypeError, ValueError):
+            raise ValueError(f"speaker_mix key {k!r} is not a speaker id")
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(f"speaker_mix weight for {k!r} must be a number")
+        out[sid] = float(v)
+    return out
 
 
 def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
@@ -315,6 +342,9 @@ class PiperHTTPServer(_HttpLifecycle):
         kwargs = {k: req[k] for k in
                   ("noise_scale", "length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
+        mix = _speaker_mix_from(req)
+        if mix is not None:
+            kwargs["speaker_mix"] = mix
         ids_list = self._ids_for(req, rt)
         if req.get("durations") is not None:
             # Duration forcing: one frame count per phoneme replaces the
@@ -376,6 +406,9 @@ class PiperHTTPServer(_HttpLifecycle):
         kwargs = {k: req[k] for k in
                   ("length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
+        mix = _speaker_mix_from(req)
+        if mix is not None:
+            kwargs["speaker_mix"] = mix
         hop, sr = rt.hparams.hop_length, rt.sample_rate
         # Validate BEFORE enqueueing: an invalid gap must not spend device
         # worker time on encodes whose result will be thrown away as a 400.

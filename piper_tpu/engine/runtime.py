@@ -1354,6 +1354,7 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         seed: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ):
         """Dispatch one fused synthesis without blocking; returns
         (device_outputs, meta) for a later fetch. The building block of the
@@ -1368,6 +1369,7 @@ class PiperRuntime:
                 length_scale=length_scale, noise_w=noise_w,
                 speaker_ids=[speaker_id] if speaker_id is not None else None,
                 seed=seed,
+                speaker_mixes=[speaker_mix] if speaker_mix is not None else None,
             )
         ids = list(phoneme_ids)
         if not ids:
@@ -1381,7 +1383,9 @@ class PiperRuntime:
         ids_j = jnp.asarray(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
         lengths_j = jnp.asarray(np.asarray([len(ids)], np.int32))
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array([speaker_id] if speaker_id is not None else None, 1)
+        sid = self._sid_array(
+            [speaker_id] if speaker_id is not None else None, 1,
+            mixes=[speaker_mix] if speaker_mix is not None else None)
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         budget = max(32, len(ids) * self.options.fused_frames_per_phoneme)
         try:
@@ -1398,6 +1402,7 @@ class PiperRuntime:
             "f_bucket": f_bucket,
             "scales": (ns, ls, nw),
             "speaker_id": speaker_id,
+            "speaker_mix": speaker_mix,
             "seed": seed,
         }
         return outs, meta
@@ -1460,6 +1465,7 @@ class PiperRuntime:
         budget_frames: Optional[int] = None,
         overflow_budget_frames: Optional[int] = None,
         overflow_pad_rows: Optional[int] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ):
         """Dispatch a batched synthesis without waiting for the audio.
 
@@ -1498,6 +1504,7 @@ class PiperRuntime:
                 ids_batch[0], noise_scale=noise_scale,
                 length_scale=length_scale, noise_w=noise_w,
                 speaker_id=sid1, seed=seed,
+                speaker_mix=speaker_mixes[0] if speaker_mixes else None,
             )
             meta["fused1"] = True
             return outs, meta
@@ -1508,6 +1515,7 @@ class PiperRuntime:
                 pad_rows_to=pad_rows_to, budget_frames=budget_frames,
                 overflow_budget_frames=overflow_budget_frames,
                 overflow_pad_rows=overflow_pad_rows,
+                speaker_mixes=speaker_mixes,
             )
         lengths, p_bucket, ids = self._validate_and_pad(ids_batch)
         bp = ids.shape[0]  # padded row count (batch bucket)
@@ -1515,7 +1523,7 @@ class PiperRuntime:
         sids = None
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-        sid = self._sid_array(sids, bp)
+        sid = self._sid_array(sids, bp, mixes=speaker_mixes)
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         ids_j = self._put_batch(ids)
         lengths_j = self._put_batch(lengths)
@@ -1542,6 +1550,7 @@ class PiperRuntime:
         budget_frames: Optional[int] = None,
         overflow_budget_frames: Optional[int] = None,
         overflow_pad_rows: Optional[int] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ):
         """Whole-group fused dispatch: one program, one later round trip.
         See dispatch_batch(fused=True).
@@ -1571,7 +1580,7 @@ class PiperRuntime:
         sids = None
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-        sid = self._sid_array(sids, bp)
+        sid = self._sid_array(sids, bp, mixes=speaker_mixes)
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         # Budget from the longest REAL row (dummy rows copy row 0, so they
         # cannot need more frames than it) — or pinned by the caller for a
@@ -1598,6 +1607,8 @@ class PiperRuntime:
             # Kept for the overflow redo (split path, exact buckets).
             "ids_batch": ids_batch, "scales": (ns, ls, nw),
             "speaker_ids": list(speaker_ids) if speaker_ids is not None else None,
+            "speaker_mixes": (list(speaker_mixes)
+                              if speaker_mixes is not None else None),
             "seed": seed,
             # Grid-serving redo escape hatch: rows that overflow the budget
             # are redone through ANOTHER (prewarmed) fused program at this
@@ -1627,7 +1638,9 @@ class PiperRuntime:
         if overflow:
             ns, ls, nw = meta["scales"]
             sids = meta["speaker_ids"]
+            mixes = meta.get("speaker_mixes")
             o_sids = [sids[i] for i in overflow] if sids is not None else None
+            o_mixes = [mixes[i] for i in overflow] if mixes is not None else None
             o_ids = [meta["ids_batch"][i] for i in overflow]
             ob = meta.get("overflow_budget_frames")
             o_rows = meta.get("overflow_pad_rows")
@@ -1639,12 +1652,14 @@ class PiperRuntime:
                     o_ids, noise_scale=ns, length_scale=ls, noise_w=nw,
                     speaker_ids=o_sids, seed=meta["seed"],
                     pad_rows_to=o_rows, budget_frames=ob,
+                    speaker_mixes=o_mixes,
                 )
                 redone = self._fetch_batch_fused(outs2, meta2)
             else:
                 redone = self.synthesize_batch(
                     o_ids, noise_scale=ns, length_scale=ls, noise_w=nw,
                     speaker_ids=o_sids, seed=meta["seed"],
+                    speaker_mixes=o_mixes,
                 )
             for k, i in enumerate(overflow):
                 out[i] = redone[k]
@@ -1680,6 +1695,7 @@ class PiperRuntime:
             return self.synthesize(
                 meta["ids"], noise_scale=ns, length_scale=ls, noise_w=nw,
                 speaker_id=meta["speaker_id"], seed=meta["seed"],
+                speaker_mix=meta.get("speaker_mix"),
             )
         hop = self.hparams.hop_length
         return self._as_output(audio)[0, : int(np.asarray(y_len)[0]) * hop]

@@ -126,6 +126,134 @@ def test_cli_speaker_mix(ms_voice, tmp_path):
     assert np.array_equal(a_mix, a_id)
 
 
+# -- serving surfaces ---------------------------------------------------
+
+
+def test_server_mix_matches_id(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=20) as server:
+        f_mix = server.submit(FIXTURE_IDS, speaker_mix={2: 1.0})
+        f_id = server.submit(FIXTURE_IDS, speaker_id=2)
+        a_mix = f_mix.result(timeout=300)
+        a_id = f_id.result(timeout=300)
+    # One-hot mix == id lookup, and row-invariant noise makes the served
+    # realization independent of how the two grouped.
+    np.testing.assert_array_equal(a_mix, a_id)
+
+
+def test_server_mixed_traffic_and_metrics(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=8, max_wait_ms=50) as server:
+        futs = ([server.submit(FIXTURE_IDS, speaker_id=1) for _ in range(3)]
+                + [server.submit(FIXTURE_IDS, speaker_mix={0: 0.5, 1: 0.5})
+                   for _ in range(3)])
+        audios = [f.result(timeout=300) for f in futs]
+        m = server.metrics()
+    assert all(np.isfinite(a).all() and len(a) > 0 for a in audios)
+    # id and mix requests never share a group (distinct program variants).
+    assert m["groups"] >= 2 and m["completed"] == 6
+
+
+def test_server_durations_and_forced_with_mix(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=20) as server:
+        durs = server.submit_durations(
+            FIXTURE_IDS, speaker_mix={1: 1.0}).result(timeout=300)
+        durs_id = server.submit_durations(
+            FIXTURE_IDS, speaker_id=1).result(timeout=300)
+        np.testing.assert_array_equal(durs, durs_id)
+        a_mix = server.submit_forced(
+            FIXTURE_IDS, list(durs), speaker_mix={1: 1.0}).result(timeout=300)
+        a_id = server.submit_forced(
+            FIXTURE_IDS, list(durs_id), speaker_id=1).result(timeout=300)
+    np.testing.assert_array_equal(a_mix, a_id)
+
+
+def test_server_submit_validation(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=20) as server:
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_id=1, speaker_mix={0: 1.0})
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_mix={9: 1.0})
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_mix={})
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_mix={0: float("inf")})
+
+
+def test_prewarm_mix_programs(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=2, max_wait_ms=5) as server:
+        base = server.prewarm(p_buckets=[64])
+        server._fpp = None
+        mixed = server.prewarm(p_buckets=[64], speaker_mix_programs=True)
+    assert mixed["programs"] > base["programs"]
+
+
+@pytest.fixture(scope="module")
+def http_server(ms_voice):
+    from piper_tpu.engine.http_server import PiperHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    srv = PiperHTTPServer({"multi": _RT(*ms_voice)}, port=0,
+                          max_batch=4, max_wait_ms=10)
+    srv.start()
+    yield srv
+    srv.close()
+
+
+def _post(server, path, body):
+    import http.client
+    import json as _json
+
+    conn = http.client.HTTPConnection(server.host, server.port, timeout=600)
+    try:
+        conn.request("POST", path, body=_json.dumps(body).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        return resp.status, resp.read()
+    finally:
+        conn.close()
+
+
+def test_http_speaker_mix(http_server):
+    st, wav_mix = _post(http_server, "/v1/synthesize",
+                        {"phoneme_ids": list(FIXTURE_IDS),
+                         "speaker_mix": {"2": 1.0}})
+    assert st == 200
+    st, wav_id = _post(http_server, "/v1/synthesize",
+                       {"phoneme_ids": list(FIXTURE_IDS), "speaker_id": 2})
+    assert st == 200
+    assert wav_mix == wav_id  # one-hot mix == id lookup, byte-for-byte WAV
+
+    import json as _json
+
+    st, body = _post(http_server, "/v1/durations",
+                     {"phoneme_ids": list(FIXTURE_IDS),
+                      "speaker_mix": {"0": 0.5, "3": 0.5}})
+    assert st == 200
+    doc = _json.loads(body)
+    assert doc["total_samples"] > 0
+
+
+def test_http_speaker_mix_errors(http_server):
+    for bad in ({"speaker_mix": "0:1"},            # not an object
+                {"speaker_mix": {}},               # empty
+                {"speaker_mix": {"zero": 1.0}},    # non-int key
+                {"speaker_mix": {"0": "heavy"}},   # non-number weight
+                {"speaker_mix": {"9": 1.0}},       # out of range
+                {"speaker_mix": {"0": 1.0}, "speaker_id": 1}):  # both
+        st, _ = _post(http_server, "/v1/synthesize",
+                      {"phoneme_ids": list(FIXTURE_IDS), **bad})
+        assert st == 400, bad
+
+
 def test_cli_speaker_mix_arg_errors(ms_voice, tmp_path):
     model, _ = ms_voice
     ids_arg = ",".join(map(str, FIXTURE_IDS))
