@@ -222,6 +222,7 @@ class PiperStreamingClient(_BaseClient):
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> Iterator[np.ndarray]:
         """Yield int16 PCM chunks as the server decodes them (first chunk
         after ~TTFB, not after the whole utterance). `self.sample_rate` is
@@ -232,7 +233,7 @@ class PiperStreamingClient(_BaseClient):
             text=text, ipa=ipa, phoneme_ids=phoneme_ids,
             seed=seed, noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id,
-            sentence_silence=sentence_silence,
+            sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )
         conn = self._connect()
         try:

@@ -196,24 +196,9 @@ class BatchingServer:
             # error lands on every co-batched future).
             if speaker_id is not None:
                 raise ValueError("pass speaker_id OR speaker_mix, not both")
-            if n_spk is None or n_spk <= 1:
-                raise ValueError("speaker_mix requires a multi-speaker voice")
-            if not speaker_mix:
-                raise ValueError("speaker_mix must not be empty")
-            import math
+            from piper_tpu.engine.runtime import validate_speaker_mix
 
-            any_nonzero = False
-            for s, w in speaker_mix.items():
-                s, w = int(s), float(w)
-                if not 0 <= s < n_spk:
-                    raise ValueError(
-                        f"speaker_mix id {s} out of range [0, {n_spk})")
-                if not math.isfinite(w):
-                    raise ValueError("speaker_mix weights must be finite")
-                any_nonzero |= w != 0.0
-            if not any_nonzero:
-                raise ValueError(
-                    "speaker_mix needs at least one non-zero weight")
+            validate_speaker_mix(speaker_mix, n_spk or 1)
         from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
         try:

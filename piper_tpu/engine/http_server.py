@@ -515,6 +515,9 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                               ("seed", "noise_scale", "length_scale",
                                "noise_w", "speaker_id")
                               if req.get(k) is not None}
+                    mix = _speaker_mix_from(req)
+                    if mix is not None:
+                        kwargs["speaker_mix"] = mix
                 except ValueError as e:
                     self._send_json(400, {"error": str(e)})
                     return
@@ -530,6 +533,9 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                     handle = outer.server.submit(ids_list[0], **kwargs)
                 except ServerOverloaded as e:
                     self._send_json(429, {"error": str(e)})
+                    return
+                except ValueError as e:  # door-step validation (e.g. mix)
+                    self._send_json(400, {"error": str(e)})
                     return
                 except Exception as e:  # noqa: BLE001
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -189,6 +189,30 @@ def _seed_u32(seed) -> int:
     wrap mod 2**32 like C casts; numpy 2 raises OverflowError otherwise."""
     return int(seed) & 0xFFFFFFFF
 
+
+def validate_speaker_mix(mix: dict, n_speakers: int) -> None:
+    """Door-step validation of a speaker blending spec {id: weight} —
+    shared by the runtime and both serving layers so a bad mix fails the
+    ONE request, with the same message everywhere, before it can fail a
+    whole batched group at dispatch."""
+    import math
+
+    if n_speakers <= 1:
+        raise ValueError("speaker_mix requires a multi-speaker voice")
+    if not mix:
+        raise ValueError("speaker_mix must not be empty")
+    any_nonzero = False
+    for s, w in mix.items():
+        s, w = int(s), float(w)
+        if not 0 <= s < n_speakers:
+            raise ValueError(
+                f"speaker_mix id {s} out of range [0, {n_speakers})")
+        if not math.isfinite(w):
+            raise ValueError("speaker_mix weights must be finite")
+        any_nonzero |= w != 0.0
+    if not any_nonzero:
+        raise ValueError("speaker_mix needs at least one non-zero weight")
+
 class PiperRuntime:
     """Loads a Piper voice checkpoint and synthesizes speech on TPU/CPU."""
 
@@ -1042,6 +1066,7 @@ class PiperRuntime:
         halo_frames: Optional[int] = None,
         chunk_schedule: Optional[Sequence[int]] = None,
         fused_head: Optional[bool] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> Iterator[AudioChunk]:
         """Windowed incremental decode (see synthesize_stream).
 
@@ -1084,8 +1109,10 @@ class PiperRuntime:
         ids_j = self._put_repl(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
         lengths_j = self._put_repl(np.asarray([len(ids)], np.int32))
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array([speaker_id] if speaker_id is not None else None,
-                              1, putter=self._put_repl)
+        sid = self._sid_array(
+            [speaker_id] if speaker_id is not None else None, 1,
+            putter=self._put_repl,
+            mixes=[speaker_mix] if speaker_mix is not None else None)
         base_seed = _seed_u32(self.options.seed if seed is None else seed)
         seed_j = jnp.uint32(base_seed)
 
@@ -1224,12 +1251,15 @@ class PiperRuntime:
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
         seed: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ):
         """Dispatch one stream's fused head (encode + the first `c0` emitted
         frames) WITHOUT blocking. Returns (enc, audio0_dev, total_dev,
         seed_j, ns) device handles — the StreamingServer fetches audio0 and
         total later (batched with other device reads on its one I/O thread)
-        and keeps `enc` resident for the batched steady-state windows."""
+        and keeps `enc` resident for the batched steady-state windows.
+        Speaker conditioning (id or mix) bakes into `enc`, so the window
+        programs are conditioning-agnostic."""
         hp = self.hparams
         ids = list(phoneme_ids)
         if not ids:
@@ -1243,8 +1273,10 @@ class PiperRuntime:
         ids_j = self._put_repl(pad_to(np.asarray(ids, np.int32), p_bucket)[None])
         lengths_j = self._put_repl(np.asarray([len(ids)], np.int32))
         ns, ls, nw = self._scales(noise_scale, length_scale, noise_w)
-        sid = self._sid_array([speaker_id] if speaker_id is not None else None,
-                              1, putter=self._put_repl)
+        sid = self._sid_array(
+            [speaker_id] if speaker_id is not None else None, 1,
+            putter=self._put_repl,
+            mixes=[speaker_mix] if speaker_mix is not None else None)
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         self._mark("stream_head", (p_bucket, c0, halo, self._sid_kind(sid)))
         enc, audio0, total = self._stream_head_keyed(
@@ -1263,6 +1295,7 @@ class PiperRuntime:
         length_scales: Optional[Sequence[Optional[float]]] = None,
         noise_ws: Optional[Sequence[Optional[float]]] = None,
         speaker_ids: Optional[Sequence[Optional[int]]] = None,
+        speaker_mixes: Optional[Sequence[dict]] = None,
     ):
         """Dispatch B streams' fused heads in ONE program (non-blocking).
 
@@ -1304,7 +1337,8 @@ class PiperRuntime:
         ns_vals = [s[0] for s in scl]
         if speaker_ids is not None:
             speaker_ids = [0 if v is None else int(v) for v in speaker_ids]
-        sid = self._sid_array(speaker_ids, b, putter=self._put_repl)
+        sid = self._sid_array(speaker_ids, b, putter=self._put_repl,
+                              mixes=speaker_mixes)
         seed_vals = [
             _seed_u32(self.options.seed if seeds is None or seeds[i] is None
                       else seeds[i]) for i in range(b)]
@@ -1789,26 +1823,14 @@ class PiperRuntime:
         len(mixes) copy row 0 (batch-ladder dummy rows)."""
         n_spk = self.hparams.n_speakers
         if mixes is not None:
-            if n_spk <= 1:
-                raise ValueError(
-                    "speaker_mix requires a multi-speaker voice")
             if speaker_ids is not None:
                 raise ValueError("pass speaker_id OR speaker_mix, not both")
-            w = np.zeros((batch, n_spk), np.float32)
+            w = np.zeros((batch, max(1, n_spk)), np.float32)
             for i in range(batch):
                 mix = mixes[i] if i < len(mixes) else mixes[0]
-                if not mix:
-                    raise ValueError("speaker_mix must not be empty")
+                validate_speaker_mix(mix, n_spk)
                 for s, wt in mix.items():
-                    s = int(s)
-                    if not 0 <= s < n_spk:
-                        raise ValueError(
-                            f"speaker_mix id {s} out of range [0, {n_spk})")
-                    w[i, s] = float(wt)
-                if not np.isfinite(w[i]).all() or not w[i].any():
-                    raise ValueError(
-                        "speaker_mix weights must be finite with at least "
-                        "one non-zero entry")
+                    w[i, int(s)] = float(wt)
             putter = putter or self._put_batch
             return putter(w)
         if n_spk <= 1:

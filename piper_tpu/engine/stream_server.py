@@ -53,6 +53,7 @@ class _Session:
     noise_w: Optional[float]
     speaker_id: Optional[int]
     out: "queue.Queue[object]"
+    speaker_mix: Optional[dict] = None
     # filled after the head fetch:
     enc: object = None
     seed_j: object = None
@@ -175,6 +176,7 @@ class StreamingServer:
         length_scale: Optional[float] = None,
         noise_w: Optional[float] = None,
         speaker_id: Optional[int] = None,
+        speaker_mix: Optional[dict] = None,
     ) -> _StreamHandle:
         """Register a stream; returns an iterable handle of AudioChunks.
 
@@ -182,9 +184,24 @@ class StreamingServer:
         carry emit_frames each; the last chunk is trimmed and is_final.
         Raises ServerOverloaded beyond max_sessions concurrent streams.
         Consumers that may stop early must call handle.cancel() (or use it
-        as a context manager) to release the session slot."""
+        as a context manager) to release the session slot.
+
+        `speaker_mix` ({id: weight}) blends speaker embeddings (see
+        PiperRuntime.synthesize); the conditioning bakes into the head's
+        encode, so mix streams share steady-state window batches with id
+        streams freely — only simultaneous-arrival HEAD bursts group by
+        conditioning kind (distinct head programs)."""
         if self._stop.is_set():
             raise RuntimeError("StreamingServer is shut down")
+        if speaker_mix is not None:
+            # Synchronous door-step validation (a bad mix must raise here,
+            # not fail the session asynchronously mid-burst).
+            if speaker_id is not None:
+                raise ValueError("pass speaker_id OR speaker_mix, not both")
+            from piper_tpu.engine.runtime import validate_speaker_mix
+
+            validate_speaker_mix(speaker_mix,
+                                 getattr(self.rt.hparams, "n_speakers", 1))
         with self._lock:
             if self._n_open >= self.max_sessions:
                 raise ServerOverloaded(
@@ -196,6 +213,7 @@ class StreamingServer:
             sid=next(self._ids), ids=list(phoneme_ids), seed=seed,
             noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id,
+            speaker_mix=speaker_mix,
             out=queue.Queue(maxsize=self.queue_chunks),
         )
         self._incoming.put(s)
@@ -338,9 +356,13 @@ class StreamingServer:
             except Exception as e:  # noqa: BLE001 — deliver to the caller
                 self._fail(s, e)
                 continue
-            groups.setdefault(bucket, []).append(s)
-        for bucket in sorted(groups):
-            group = groups[bucket]
+            # Mix sessions burst-batch only with other mix sessions: the
+            # head program variant differs by conditioning kind, and a
+            # mixed burst would route id streams through the mix program.
+            groups.setdefault((bucket, s.speaker_mix is not None),
+                              []).append(s)
+        for key in sorted(groups):
+            group = groups[key]
             cap = self.head_rungs[-1]
             for i in range(0, len(group), cap):
                 chunk = group[i : i + cap]
@@ -355,7 +377,8 @@ class StreamingServer:
             enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
                 s.ids, c0=self.c0, halo=self.halo, seed=s.seed,
                 noise_scale=s.noise_scale, length_scale=s.length_scale,
-                noise_w=s.noise_w, speaker_id=s.speaker_id)
+                noise_w=s.noise_w, speaker_id=s.speaker_id,
+                speaker_mix=s.speaker_mix)
         except Exception as e:  # noqa: BLE001 — deliver to the caller
             self._fail(s, e)
             return []
@@ -376,6 +399,7 @@ class StreamingServer:
         rung = next((r for r in self.head_rungs if r >= rows),
                     self.head_rungs[-1])
         padded = chunk + [chunk[0]] * (rung - rows)
+        is_mix = chunk[0].speaker_mix is not None  # group key: all-or-none
         try:
             enc, audio0, totals, seed_vals, ns_vals = (
                 self.rt.dispatch_stream_head_batch(
@@ -384,7 +408,10 @@ class StreamingServer:
                     noise_scales=[s.noise_scale for s in padded],
                     length_scales=[s.length_scale for s in padded],
                     noise_ws=[s.noise_w for s in padded],
-                    speaker_ids=[s.speaker_id for s in padded]))
+                    speaker_ids=(None if is_mix
+                                 else [s.speaker_id for s in padded]),
+                    speaker_mixes=([s.speaker_mix for s in padded]
+                                   if is_mix else None)))
         except Exception:  # noqa: BLE001 — isolate the bad row(s)
             work = []
             for s in chunk:

@@ -126,6 +126,85 @@ def test_cli_speaker_mix(ms_voice, tmp_path):
     assert np.array_equal(a_mix, a_id)
 
 
+# -- streaming ----------------------------------------------------------
+
+
+def test_incremental_stream_mix_matches_id(runtime):
+    a_id = np.concatenate([c.samples for c in runtime.synthesize_stream(
+        FIXTURE_IDS, incremental=True, speaker_id=2)])
+    a_mix = np.concatenate([c.samples for c in runtime.synthesize_stream(
+        FIXTURE_IDS, incremental=True, speaker_mix={2: 1.0})])
+    np.testing.assert_array_equal(a_id, a_mix)
+
+
+def test_streaming_server_mix(runtime):
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    server = StreamingServer(runtime, max_sessions=8)
+    try:
+        # Sequential (solo-head) submissions: one-hot mix is bit-identical
+        # to the id stream (both run b=1 heads; the window decodes take enc).
+        a_id = np.concatenate([c.samples for c in server.submit(
+            FIXTURE_IDS, seed=7, speaker_id=3)])
+        a_mix = np.concatenate([c.samples for c in server.submit(
+            FIXTURE_IDS, seed=7, speaker_mix={3: 1.0})])
+        np.testing.assert_array_equal(a_id, a_mix)
+        # Simultaneous mix + blend: the two mix streams burst into ONE
+        # batched head (same conditioning kind). Batched heads reduce in a
+        # different order than b=1 ones (row-count-dependent fp, ~1e-6 —
+        # pre-existing, not mix-specific), so compare with a tight allclose.
+        h_mix2 = server.submit(FIXTURE_IDS, seed=7, speaker_mix={3: 1.0})
+        h_blend = server.submit(FIXTURE_IDS, seed=7,
+                                speaker_mix={0: 0.5, 3: 0.5})
+        a_mix2 = np.concatenate([c.samples for c in h_mix2])
+        a_blend = np.concatenate([c.samples for c in h_blend])
+        np.testing.assert_allclose(a_mix2, a_mix, atol=1e-5)
+        assert np.isfinite(a_blend).all()
+        if a_blend.shape == a_id.shape:
+            assert not np.array_equal(a_blend, a_id)
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_mix={9: 1.0})
+        with pytest.raises(ValueError):
+            server.submit(FIXTURE_IDS, speaker_id=1, speaker_mix={0: 1.0})
+    finally:
+        server.shutdown()
+
+
+def test_streaming_http_mix(ms_voice):
+    from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    srv = PiperStreamingHTTPServer(_RT(*ms_voice), port=0, max_sessions=4)
+    srv.start()
+    try:
+        from piper_tpu.client import PiperStreamingClient
+
+        c = PiperStreamingClient(srv.host, srv.port)
+        a_mix = np.concatenate(list(c.stream(
+            phoneme_ids=list(FIXTURE_IDS), speaker_mix={2: 1.0})))
+        a_id = np.concatenate(list(c.stream(
+            phoneme_ids=list(FIXTURE_IDS), speaker_id=2)))
+        np.testing.assert_array_equal(a_mix, a_id)
+        # bad mixes are 400s (door-step validation), not 500s
+        import http.client
+        import json as _json
+
+        for bad in ({"speaker_mix": {"9": 1.0}},
+                    {"speaker_mix": "0:1"}):
+            conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+            try:
+                conn.request("POST", "/v1/stream",
+                             body=_json.dumps(
+                                 {"phoneme_ids": list(FIXTURE_IDS),
+                                  **bad}).encode(),
+                             headers={"Content-Type": "application/json"})
+                assert conn.getresponse().status == 400, bad
+            finally:
+                conn.close()
+    finally:
+        srv.close()
+
+
 # -- serving surfaces ---------------------------------------------------
 
 
