@@ -115,7 +115,10 @@ def _parse_speaker_mix(spec: str) -> dict:
     try:
         for part in spec.split(","):
             sid, w = part.split(":")
-            mix[int(sid)] = float(w)
+            sid = int(sid)
+            if sid in mix:
+                raise SystemExit(f"--speaker-mix names speaker {sid} twice")
+            mix[sid] = float(w)
     except ValueError:
         raise SystemExit("--speaker-mix must be ID:WEIGHT pairs, e.g. "
                          "'0:0.6,3:0.4'")
@@ -620,6 +623,10 @@ def run_record_vectors(args) -> None:
     """Record test vectors with injected-RNG artifacts (--record-vectors DIR)."""
     from piper_tpu.testing import record_test_vector, write_test_summary
 
+    if getattr(args, "speaker_mix", None):
+        raise SystemExit("--record-vectors does not support --speaker-mix "
+                         "(test vectors pin integer speaker ids; record "
+                         "each endpoint speaker instead)")
     rt = _load_runtime(args)
     ids = _phoneme_ids_for(args, rt)
     out_dir = Path(args.record_vectors)
@@ -750,6 +757,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile the standard phoneme-bucket ladder before "
                         "serving (also primes the persistent on-disk jit "
                         "cache for later processes)")
+    p.add_argument("--prewarm-speaker-mix", action="store_true",
+                   help="with --prewarm on a multi-speaker voice, also "
+                        "compile the speaker-BLENDING program variants "
+                        "(requests carrying speaker_mix run distinct "
+                        "programs; without this they compile on first mix "
+                        "traffic, stalling the serving worker)")
     p.add_argument("--serve", action="store_true",
                    help="serve the loaded voice(s) over HTTP "
                         "(POST /v1/synthesize; see engine/http_server.py)")
@@ -798,7 +811,7 @@ def run_serve(args) -> None:
         rt = _load_runtime(args)
         srv = PiperStreamingHTTPServer(rt, host=args.host, port=args.port)
         if args.prewarm:
-            srv.prewarm()
+            srv.prewarm(speaker_mix=args.prewarm_speaker_mix)
         print(f"streaming on http://{srv.host}:{srv.port} "
               f"(POST /v1/stream, chunked)", file=sys.stderr)
         try:
@@ -825,7 +838,7 @@ def run_serve(args) -> None:
         runtimes[key] = rt
     srv = PiperHTTPServer(runtimes, host=args.host, port=args.port)
     if args.prewarm:
-        stats = srv.prewarm()
+        stats = srv.prewarm(speaker_mix_programs=args.prewarm_speaker_mix)
         n = sum(v["programs"] for v in stats.values())
         print(f"prewarmed {n} serving programs", file=sys.stderr)
     print(f"serving voice(s) {sorted(runtimes)} on "

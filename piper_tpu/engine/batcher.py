@@ -63,6 +63,14 @@ class _Request:
     # silently route plain-id traffic through the unprewarmed mix program.
     speaker_mix: Optional[dict] = None
 
+    def __post_init__(self):
+        # Defensive copy (ids/durations are copied at submit): the request
+        # sits queued past submit(), and a caller mutating its dict would
+        # corrupt conditioning — or fail the WHOLE co-batched group at
+        # dispatch-time validation.
+        if self.speaker_mix is not None:
+            self.speaker_mix = dict(self.speaker_mix)
+
 
 class BatchingServer:
     """Length-bucketed continuous batcher on a single worker thread.
@@ -194,11 +202,10 @@ class BatchingServer:
             # Validate at the door so one bad mix can't fail its whole
             # group at dispatch (the runtime re-validates, but then the
             # error lands on every co-batched future).
-            if speaker_id is not None:
-                raise ValueError("pass speaker_id OR speaker_mix, not both")
             from piper_tpu.engine.runtime import validate_speaker_mix
 
-            validate_speaker_mix(speaker_mix, n_spk or 1)
+            validate_speaker_mix(speaker_mix, n_spk or 1,
+                                 speaker_id=speaker_id)
         from piper_tpu.engine.bucketing import BucketOverflowError, bucket_for
 
         try:

@@ -106,6 +106,8 @@ def _speaker_mix_from(req: dict) -> Optional[dict]:
             raise ValueError(f"speaker_mix key {k!r} is not a speaker id")
         if not isinstance(v, (int, float)) or isinstance(v, bool):
             raise ValueError(f"speaker_mix weight for {k!r} must be a number")
+        if sid in out:  # e.g. "0" and "00" both normalize to 0
+            raise ValueError(f"speaker_mix names speaker {sid} twice")
         out[sid] = float(v)
     return out
 

@@ -190,20 +190,39 @@ def _seed_u32(seed) -> int:
     return int(seed) & 0xFFFFFFFF
 
 
-def validate_speaker_mix(mix: dict, n_speakers: int) -> None:
+def validate_speaker_mix(mix: dict, n_speakers: int,
+                         speaker_id=None) -> None:
     """Door-step validation of a speaker blending spec {id: weight} —
     shared by the runtime and both serving layers so a bad mix fails the
     ONE request, with the same message everywhere, before it can fail a
-    whole batched group at dispatch."""
+    whole batched group at dispatch. Pass the request's `speaker_id` too:
+    the exclusivity rule lives here, not at each door."""
     import math
 
+    if speaker_id is not None:
+        raise ValueError("pass speaker_id OR speaker_mix, not both")
     if n_speakers <= 1:
         raise ValueError("speaker_mix requires a multi-speaker voice")
     if not mix:
         raise ValueError("speaker_mix must not be empty")
     any_nonzero = False
+    seen = set()
     for s, w in mix.items():
+        # Strict integer ids: a bare int() would silently truncate 1.5 ->
+        # speaker 1 (and bool(True) -> 1). Keys must be integral numbers
+        # (str keys arrive only via the HTTP layer, which coerces first).
+        if isinstance(s, bool) or not (
+                isinstance(s, (int, np.integer))
+                or (isinstance(s, float) and s.is_integer())):
+            raise ValueError(
+                f"speaker_mix id {s!r} is not an integer speaker id")
         s, w = int(s), float(w)
+        if s in seen:
+            # Python dicts can't literally repeat a key, but {2: a, "2": b}
+            # or {2: a, 2.0: b} normalize to the same speaker — last-write-
+            # wins would silently drop a weight.
+            raise ValueError(f"speaker_mix names speaker {s} twice")
+        seen.add(s)
         if not 0 <= s < n_speakers:
             raise ValueError(
                 f"speaker_mix id {s} out of range [0, {n_speakers})")
@@ -784,7 +803,8 @@ class PiperRuntime:
             _, ls, nw = self._scales(None, length_scale, noise_w)
             if speaker_ids is not None and bp > b:
                 speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-            sid = self._sid_array(speaker_ids, bp, mixes=speaker_mixes)
+            sid = self._sid_array(speaker_ids, bp,
+                                  mixes=self._pad_mixes(speaker_mixes, b, bp))
             seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
             t0 = time.perf_counter()
             compiled = self._mark("enc_key", (bp, p_bucket, self._sid_kind(sid)))
@@ -943,7 +963,7 @@ class PiperRuntime:
             if speaker_ids is not None and bp > b:
                 speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
             sid = self._sid_array(speaker_ids, bp, putter=self._put_batch,
-                                  mixes=speaker_mixes)
+                                  mixes=self._pad_mixes(speaker_mixes, b, bp))
             ns, _, _ = self._scales(noise_scale, None, None)
             f_bucket = self._frame_bucket_or_clamp(max(totals))
             seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
@@ -1338,7 +1358,7 @@ class PiperRuntime:
         if speaker_ids is not None:
             speaker_ids = [0 if v is None else int(v) for v in speaker_ids]
         sid = self._sid_array(speaker_ids, b, putter=self._put_repl,
-                              mixes=speaker_mixes)
+                              mixes=self._pad_mixes(speaker_mixes, b, b))
         seed_vals = [
             _seed_u32(self.options.seed if seeds is None or seeds[i] is None
                       else seeds[i]) for i in range(b)]
@@ -1436,7 +1456,9 @@ class PiperRuntime:
             "f_bucket": f_bucket,
             "scales": (ns, ls, nw),
             "speaker_id": speaker_id,
-            "speaker_mix": speaker_mix,
+            # Copied: the meta outlives this call (fetch_fused's overflow
+            # redo) and the caller may reuse/mutate the dict meanwhile.
+            "speaker_mix": dict(speaker_mix) if speaker_mix is not None else None,
             "seed": seed,
         }
         return outs, meta
@@ -1557,7 +1579,8 @@ class PiperRuntime:
         sids = None
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-        sid = self._sid_array(sids, bp, mixes=speaker_mixes)
+        sid = self._sid_array(sids, bp,
+                              mixes=self._pad_mixes(speaker_mixes, b, bp))
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         ids_j = self._put_batch(ids)
         lengths_j = self._put_batch(lengths)
@@ -1614,7 +1637,8 @@ class PiperRuntime:
         sids = None
         if speaker_ids is not None:
             sids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
-        sid = self._sid_array(sids, bp, mixes=speaker_mixes)
+        sid = self._sid_array(sids, bp,
+                              mixes=self._pad_mixes(speaker_mixes, b, bp))
         seed_j = jnp.uint32(_seed_u32(self.options.seed if seed is None else seed))
         # Budget from the longest REAL row (dummy rows copy row 0, so they
         # cannot need more frames than it) — or pinned by the caller for a
@@ -1641,7 +1665,7 @@ class PiperRuntime:
             # Kept for the overflow redo (split path, exact buckets).
             "ids_batch": ids_batch, "scales": (ns, ls, nw),
             "speaker_ids": list(speaker_ids) if speaker_ids is not None else None,
-            "speaker_mixes": (list(speaker_mixes)
+            "speaker_mixes": ([dict(m) for m in speaker_mixes]
                               if speaker_mixes is not None else None),
             "seed": seed,
             # Grid-serving redo escape hatch: rows that overflow the budget
@@ -1823,11 +1847,16 @@ class PiperRuntime:
         len(mixes) copy row 0 (batch-ladder dummy rows)."""
         n_spk = self.hparams.n_speakers
         if mixes is not None:
+            if len(mixes) != batch:
+                # Callers pad dummy rows explicitly (_pad_mixes) — a silent
+                # fallback here could hand a short caller list row 0's mix
+                # for REAL rows (wrong voice, no error).
+                raise ValueError(
+                    f"speaker_mixes length {len(mixes)} != batch size {batch}")
             if speaker_ids is not None:
                 raise ValueError("pass speaker_id OR speaker_mix, not both")
             w = np.zeros((batch, max(1, n_spk)), np.float32)
-            for i in range(batch):
-                mix = mixes[i] if i < len(mixes) else mixes[0]
+            for i, mix in enumerate(mixes):
                 validate_speaker_mix(mix, n_spk)
                 for s, wt in mix.items():
                     w[i, int(s)] = float(wt)
@@ -1839,6 +1868,21 @@ class PiperRuntime:
             speaker_ids = [0] * batch
         putter = putter or self._put_batch
         return putter(np.asarray(speaker_ids, dtype=np.int32))
+
+    @staticmethod
+    def _pad_mixes(mixes, b: int, bp: int):
+        """One COPIED mix per real row, padded with copies of row 0's mix
+        for the batch-ladder dummy rows (the speaker_ids idiom). Copies
+        guard against callers mutating a submitted dict before a deferred
+        dispatch uses it; the length check catches too-few-mixes loudly
+        instead of conditioning real rows on row 0's mix."""
+        if mixes is None:
+            return None
+        mixes = [dict(m) if m is not None else None for m in mixes]
+        if len(mixes) != b:
+            raise ValueError(
+                f"speaker_mixes length {len(mixes)} != batch size {b}")
+        return mixes + [mixes[0]] * (bp - b)
 
     @staticmethod
     def _sid_kind(sid):
@@ -1905,7 +1949,7 @@ class PiperRuntime:
             speaker_ids = list(speaker_ids) + [speaker_ids[0]] * (bp - b)
         putter = self._put_repl if injected else self._put_batch
         sid = self._sid_array(speaker_ids, bp, putter=putter,
-                              mixes=speaker_mixes)
+                              mixes=self._pad_mixes(speaker_mixes, b, bp))
         base_seed = _seed_u32(self.options.seed if seed is None else seed)
         seed_j = jnp.uint32(base_seed)
 

@@ -64,6 +64,12 @@ class _Session:
     failed: bool = False
     cancelled: bool = False
 
+    def __post_init__(self):
+        # Defensive copy: the session outlives submit() and a caller
+        # mutating its mix dict would corrupt the head's conditioning.
+        if self.speaker_mix is not None:
+            self.speaker_mix = dict(self.speaker_mix)
+
 
 class _StreamHandle:
     """Iterator over one stream's chunks (drains the session queue).
@@ -196,12 +202,11 @@ class StreamingServer:
         if speaker_mix is not None:
             # Synchronous door-step validation (a bad mix must raise here,
             # not fail the session asynchronously mid-burst).
-            if speaker_id is not None:
-                raise ValueError("pass speaker_id OR speaker_mix, not both")
             from piper_tpu.engine.runtime import validate_speaker_mix
 
             validate_speaker_mix(speaker_mix,
-                                 getattr(self.rt.hparams, "n_speakers", 1))
+                                 getattr(self.rt.hparams, "n_speakers", 1),
+                                 speaker_id=speaker_id)
         with self._lock:
             if self._n_open >= self.max_sessions:
                 raise ServerOverloaded(
@@ -230,6 +235,7 @@ class StreamingServer:
         phoneme_lengths: Sequence[int] = (14, 56, 224),
         row_rungs: Optional[Sequence[int]] = None,
         head_rungs: Optional[Sequence[int]] = None,
+        speaker_mix: bool = False,
     ) -> dict:
         """Compile the program grid — solo + batched heads per phoneme
         bucket plus the (bucket x rung) window ladder — ahead of traffic.
@@ -237,7 +243,14 @@ class StreamingServer:
         Must run BEFORE serving traffic: it drives the device from the
         calling thread (the worker is idle with no open sessions), honoring
         the one-thread device-I/O rule. `row_rungs` trims the warmed ladder
-        (each program is a compile)."""
+        (each program is a compile).
+
+        `speaker_mix=True` additionally warms the speaker-BLENDING head
+        variant on multi-speaker voices (a (B, n_speakers) conditioning
+        array compiles a distinct head program from integer ids; window
+        programs take conditioning via enc, so only heads fork) — opt in
+        on deployments that take speaker_mix streams (it roughly doubles
+        the head grid)."""
         import jax.numpy as jnp
 
         from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
@@ -250,19 +263,34 @@ class StreamingServer:
         h_rungs = (tuple(head_rungs) if head_rungs is not None
                    else self.head_rungs)
         base = [i % self.rt.hparams.n_vocab for i in FIXTURE_PHONEME_IDS]
+        # (speaker_id, speaker_mix) head-conditioning variants to warm.
+        # Multi-speaker voices condition on ids even when no speaker is
+        # requested (sid defaults to 0), so (None, None) already covers id
+        # traffic; only the mix variant compiles a distinct head program.
+        variants = [(None, None)]
+        if speaker_mix and getattr(self.rt.hparams, "n_speakers", 1) > 1:
+            variants.append((None, {0: 1.0}))
         programs = 0
         for length in phoneme_lengths:
             ids = (base * (-(-length // len(base))))[:length]
-            enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
-                ids, c0=self.c0, halo=self.halo, seed=0)
-            jax.device_get((audio0, total))
-            programs += 1
-            for rung in (r for r in h_rungs if r > 1):
-                _, a0, tot, _, _ = self.rt.dispatch_stream_head_batch(
-                    [ids] * rung, c0=self.c0, halo=self.halo,
-                    seeds=[0] * rung)
-                jax.device_get((a0, tot))
+            enc = audio0 = total = seed_j = ns = None
+            for v_sid, v_mix in variants:
+                enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
+                    ids, c0=self.c0, halo=self.halo, seed=0,
+                    speaker_id=v_sid, speaker_mix=v_mix)
+                jax.device_get((audio0, total))
                 programs += 1
+            for rung in (r for r in h_rungs if r > 1):
+                for v_sid, v_mix in variants:
+                    _, a0, tot, _, _ = self.rt.dispatch_stream_head_batch(
+                        [ids] * rung, c0=self.c0, halo=self.halo,
+                        seeds=[0] * rung,
+                        speaker_ids=(None if v_sid is None
+                                     else [v_sid] * rung),
+                        speaker_mixes=(None if v_mix is None
+                                       else [v_mix] * rung))
+                    jax.device_get((a0, tot))
+                    programs += 1
             for rung in rungs:
                 encR = jax.tree.map(
                     lambda *xs: jnp.concatenate(xs, axis=0), *([enc] * rung))

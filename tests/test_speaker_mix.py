@@ -105,6 +105,69 @@ def test_validation_errors(runtime):
         runtime.synthesize(FIXTURE_IDS, speaker_mix={0: 0.0})  # all-zero
 
 
+def test_strict_mix_keys_and_lengths(runtime):
+    # int() would silently truncate these to a DIFFERENT speaker — reject.
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={1.5: 1.0})
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={True: 1.0})
+    # String keys are the wire format's business (the HTTP layer coerces);
+    # the Python API rejects them — {2: a, "2": b} would otherwise be two
+    # dict keys writing one speaker's weight, last-write-wins.
+    with pytest.raises(ValueError):
+        runtime.synthesize(FIXTURE_IDS, speaker_mix={"2": 0.5})
+    # Too few mixes for the batch must fail loudly, not condition row 1 on
+    # row 0's mix.
+    with pytest.raises(ValueError):
+        runtime.synthesize_batch([FIXTURE_IDS, FIXTURE_IDS],
+                                 speaker_mixes=[{0: 1.0}])
+    with pytest.raises(ValueError):
+        runtime.synthesize_batch([FIXTURE_IDS], speaker_mixes=[])
+
+
+def test_submitted_mix_dict_is_copied(runtime):
+    from piper_tpu.engine.batcher import BatchingServer
+
+    with BatchingServer(runtime, max_batch=4, max_wait_ms=200) as server:
+        mix = {2: 1.0}
+        fut = server.submit(FIXTURE_IDS, speaker_mix=mix)
+        mix.clear()  # caller reuses the dict before the worker dispatches
+        a = fut.result(timeout=300)
+    np.testing.assert_array_equal(
+        a, runtime.synthesize(FIXTURE_IDS, speaker_mix={2: 1.0}))
+
+
+def test_streaming_prewarm_mix_heads(runtime):
+    from piper_tpu.engine.stream_server import StreamingServer
+
+    server = StreamingServer(runtime, max_sessions=4)
+    try:
+        base = server.prewarm(phoneme_lengths=(14,), head_rungs=(1, 2))
+        mixed = server.prewarm(phoneme_lengths=(14,), head_rungs=(1, 2),
+                               speaker_mix=True)
+        assert mixed["programs"] > base["programs"]
+    finally:
+        server.shutdown()
+
+
+def test_cli_record_vectors_rejects_mix(ms_voice, tmp_path):
+    model, _ = ms_voice
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids",
+                  ",".join(map(str, FIXTURE_IDS)),
+                  "--record-vectors", str(tmp_path / "vecs"),
+                  "--speaker-mix", "0:1.0"])
+
+
+def test_cli_duplicate_mix_ids(ms_voice, tmp_path):
+    model, _ = ms_voice
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids",
+                  ",".join(map(str, FIXTURE_IDS)),
+                  "--speaker-mix", "0:0.5,0:0.5",
+                  "-o", str(tmp_path / "dup.wav")])
+
+
 def test_single_speaker_voice_rejects_mix(tmp_path_factory):
     d = tmp_path_factory.mktemp("single_voice")
     rt = PiperRuntime(*make_synthetic_voice(d, quality="test", seed=3))
