@@ -189,6 +189,27 @@ def test_cli_speaker_mix(ms_voice, tmp_path):
     assert np.array_equal(a_mix, a_id)
 
 
+def test_mesh_runtime_mix(ms_voice):
+    """Speaker mixing on a dp mesh: the (B, n_speakers) conditioning array
+    shards over rows like the ids, and one-hot exactness survives GSPMD."""
+    import jax
+
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+    from piper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8 virtual CPU devices")
+    rt = _RT(*ms_voice, mesh=make_mesh(8))
+    a_id = rt.synthesize(FIXTURE_IDS, speaker_id=2)
+    a_mix = rt.synthesize(FIXTURE_IDS, speaker_mix={2: 1.0})
+    np.testing.assert_array_equal(a_id, a_mix)
+    batch = rt.synthesize_batch(
+        [FIXTURE_IDS, FIXTURE_IDS[:6], FIXTURE_IDS],
+        speaker_mixes=[{0: 1.0}, {1: 0.5, 2: 0.5}, {3: 1.2, 0: -0.2}])
+    assert len(batch) == 3
+    assert all(np.isfinite(a).all() and len(a) > 0 for a in batch)
+
+
 # -- streaming ----------------------------------------------------------
 
 
