@@ -378,6 +378,58 @@ def run_stream_sentences(args, rt: PiperRuntime, ids_list, gap, out) -> None:
         _play(str(out))
 
 
+def run_ssml(args) -> None:
+    """--ssml: render expressive markup (breaks, prosody rate/volume,
+    <phoneme ph>, <voice> speaker ids/mixes) through batched synthesis —
+    see piper_tpu/core/ssml.py for the supported subset."""
+    from piper_tpu.core.ssml import SsmlError, parse_ssml, render_ssml
+    from piper_tpu.utils.wav import write_wav
+
+    for flag, name in ((args.stream, "--stream"),
+                       (args.force_durations, "--force-durations"),
+                       (args.alignment, "--alignment")):
+        if flag:
+            raise SystemExit(f"--ssml is not combinable with {name}")
+    if args.speaker_id is not None or getattr(args, "speaker_mix", None):
+        raise SystemExit("--ssml selects speakers inside the document "
+                         "(<voice name=\"2\"> or <voice name=\"0:0.6,3:0.4\">)"
+                         "; drop --speaker-id/--speaker-mix")
+    if args.length_scale is not None:
+        raise SystemExit("--ssml controls pace inside the document "
+                         "(<prosody rate=...>); drop --length-scale")
+    text = args.ssml
+    if not text.lstrip().startswith("<") and Path(text).is_file():
+        text = Path(text).read_text()
+    rt = _load_runtime(args)
+    try:
+        doc = parse_ssml(text)
+        for msg in doc.ignored:
+            print(f"[ssml] ignored: {msg}", file=sys.stderr)
+        phonemize = None
+        if any(s.kind == "text" for s in doc.segments):
+            from piper_tpu.phonemize import ESpeakPhonemizer
+
+            voice = rt.config.espeak.voice if rt.config.espeak else "en"
+            phonemize = ESpeakPhonemizer(
+                voice, rt.config.phoneme_id_map).phoneme_ids
+        t0 = time.perf_counter()
+        audio = render_ssml(
+            rt, doc, phonemize,
+            sentence_silence=max(args.sentence_silence, 0.0),
+            noise_scale=args.noise_scale, noise_w=args.noise_w)
+    except SsmlError as e:
+        raise SystemExit(f"ssml: {e}")
+    wall_ms = (time.perf_counter() - t0) * 1e3
+    out = args.output or "out.wav"
+    write_wav(out, audio, rt.sample_rate)
+    secs = len(audio) / rt.sample_rate
+    print(f"wrote {out}: {len(audio)} samples ({secs:.2f}s) in "
+          f"{wall_ms:.1f} ms (RTF {secs * 1e3 / max(wall_ms, 1e-9):.1f}x, "
+          f"ssml)")
+    if args.play:
+        _play(str(out))
+
+
 def run_repl(args) -> None:
     rt = _load_runtime(args)
     voice = rt.config.espeak.voice if rt.config.espeak else "en"
@@ -686,6 +738,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="path to the .onnx.json config (default: <model>.json)")
     p.add_argument("--text", help="text to synthesize (requires espeak-ng)")
     p.add_argument("--ipa", help="IPA string to synthesize")
+    p.add_argument("--ssml", metavar="SSML_OR_FILE",
+                   help="SSML(-lite) document to render: breaks, prosody "
+                        "rate/volume, <phoneme ph>, <voice> speaker "
+                        "ids/mixes, <p>/<s>, <sub> (see core/ssml.py); an "
+                        "argument not starting with '<' is read as a file "
+                        "path; plain text inside needs espeak-ng")
     p.add_argument("--phoneme-ids", help="comma/space-separated phoneme ids")
     p.add_argument("--output", "-o", help="output WAV path")
     p.add_argument("--noise-scale", type=float, default=None)
@@ -877,6 +935,11 @@ def _dispatch(args) -> None:
         run_bench(args)
     elif args.serve:
         run_serve(args)
+    elif args.ssml:
+        if args.text or args.ipa or args.phoneme_ids:
+            raise SystemExit("pass --ssml OR --text/--ipa/--phoneme-ids, "
+                             "not both")
+        run_ssml(args)
     elif args.text or args.ipa or args.phoneme_ids:
         run_oneshot(args)
     elif args.prewarm:

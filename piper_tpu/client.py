@@ -44,19 +44,23 @@ def _request_body(
     ipa: Optional[str],
     phoneme_ids: Optional[Sequence[int]],
     voice: Optional[str] = None,
+    ssml: Optional[str] = None,
     **scalars,
 ) -> dict:
     given = [k for k, v in
-             (("text", text), ("ipa", ipa), ("phoneme_ids", phoneme_ids))
+             (("text", text), ("ipa", ipa), ("phoneme_ids", phoneme_ids),
+              ("ssml", ssml))
              if v is not None]
     if len(given) != 1:
-        raise ValueError(f"pass exactly one of text/ipa/phoneme_ids (got "
-                         f"{given or 'none'})")
+        raise ValueError(f"pass exactly one of text/ipa/phoneme_ids/ssml "
+                         f"(got {given or 'none'})")
     body: dict = {}
     if text is not None:
         body["text"] = text
     if ipa is not None:
         body["ipa"] = ipa
+    if ssml is not None:
+        body["ssml"] = ssml
     if phoneme_ids is not None:
         body["phoneme_ids"] = [int(i) for i in phoneme_ids]
     if voice is not None:
@@ -141,8 +145,14 @@ class PiperClient(_BaseClient):
         sentence_silence: Optional[float] = None,
         durations: Optional[Sequence[int]] = None,
         speaker_mix: Optional[dict] = None,
+        ssml: Optional[str] = None,
     ) -> tuple[np.ndarray, int]:
-        """Synthesize one of text / ipa / phoneme_ids.
+        """Synthesize one of text / ipa / phoneme_ids / ssml.
+
+        `ssml` renders expressive markup server-side (breaks, prosody
+        rate/volume, <phoneme ph>, <voice> speaker ids/mixes); it carries
+        its own prosody, so length_scale / speaker_id / speaker_mix /
+        durations cannot be combined with it.
 
         Returns (float32 PCM in [-1, 1], sample_rate). Multi-sentence text is
         one batched decode on the server, joined with sentence_silence gaps.
@@ -158,7 +168,7 @@ class PiperClient(_BaseClient):
 
         body = _request_body(
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
-            noise_scale=noise_scale, length_scale=length_scale,
+            ssml=ssml, noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id,
             sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )

@@ -11,7 +11,10 @@ Endpoints (JSON in, WAV or JSON out):
   POST /v1/synthesize   {"voice": "...", "phoneme_ids": [...]} or
                         {"ipa": "..."} or {"text": "..."} (text needs
                         espeak-ng; sentences batch with "sentence_silence"
-                        seconds of gap, default 0.2). Optional
+                        seconds of gap, default 0.2) or {"ssml": "..."}
+                        (expressive markup — breaks, prosody rate/volume,
+                        <phoneme ph>, <voice> ids/mixes; same-prosody
+                        spans batch through the scheduler). Optional
                         noise_scale / length_scale / noise_w / speaker_id,
                         or "speaker_mix": {"0": 0.6, "3": 0.4} to blend
                         speaker embeddings (multi-speaker voices; mutually
@@ -341,6 +344,8 @@ class PiperHTTPServer(_HttpLifecycle):
         if voice not in self.runtimes:
             raise KeyError(f"unknown voice {voice!r}")
         rt = self.runtimes[voice]
+        if req.get("ssml") is not None:
+            return self._synthesize_ssml(req, voice, rt)
         kwargs = {k: req[k] for k in
                   ("noise_scale", "length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
@@ -391,6 +396,54 @@ class PiperHTTPServer(_HttpLifecycle):
         # join_with_silence raises ValueError on negative -> HTTP 400.
         return join_with_silence(
             audios, int(round(gap_s * rt.sample_rate))), rt
+
+    def _synthesize_ssml(self, req: dict, voice: str, rt: PiperRuntime):
+        """"ssml" body field: expressive markup rendered through the SAME
+        batched serving path — each SSML utterance becomes one submit()
+        (the batcher's (scales, bucket, mix) queues group same-prosody
+        spans into batched decodes), the handler assembles gaps/volume.
+        Prosody/voice live in the document, so the per-request knobs that
+        would fight it are rejected."""
+        from piper_tpu.core.audio import pcm_to_float32
+        from piper_tpu.core.ssml import assemble, parse_ssml, plan_ssml
+
+        for k in ("text", "ipa", "phoneme_ids", "durations",
+                  "length_scale", "speaker_id", "speaker_mix"):
+            if req.get(k) is not None:
+                raise ValueError(
+                    f"{k} cannot be combined with ssml — prosody and "
+                    f"speaker selection live in the document "
+                    f"(<prosody>, <voice>)")
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
+        doc = parse_ssml(str(req["ssml"]))  # SsmlError -> 400 (ValueError)
+        phonemize = None
+        if any(s.kind == "text" for s in doc.segments):
+            from piper_tpu.phonemize import ESpeakPhonemizer
+
+            key = id(rt)
+            if key not in self._phonemizers:
+                espk = rt.config.espeak.voice if rt.config.espeak else "en"
+                self._phonemizers[key] = ESpeakPhonemizer(
+                    espk, rt.config.phoneme_id_map)
+            phonemize = self._phonemizers[key].phoneme_ids
+        plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
+                         sentence_silence=gap_s)
+        common = {k: req[k] for k in ("noise_scale", "noise_w")
+                  if req.get(k) is not None}
+        futs = []
+        for u in plan.utterances:
+            kw = dict(common)
+            if u.ctx.length_scale is not None:
+                kw["length_scale"] = u.ctx.length_scale
+            if u.ctx.speaker_mix is not None:
+                kw["speaker_mix"] = u.ctx.mix_dict()
+            elif u.ctx.speaker_id is not None:
+                kw["speaker_id"] = u.ctx.speaker_id
+            futs.append(self.server.submit(voice, u.ids, **kw))
+        audios = [pcm_to_float32(f.result(timeout=600)) for f in futs]
+        return assemble(audios, plan, rt.sample_rate), rt
 
     def _durations(self, req: dict) -> dict:
         """Phoneme-level alignment for a request WITHOUT synthesizing audio:
