@@ -398,27 +398,41 @@ def run_ssml(args) -> None:
         raise SystemExit("--ssml controls pace inside the document "
                          "(<prosody rate=...>); drop --length-scale")
     text = args.ssml
-    if not text.lstrip().startswith("<") and Path(text).is_file():
+    if not text.lstrip().startswith("<"):
+        # the help text promises file-path semantics here — a typo'd path
+        # must not be read ALOUD as literal text
+        if not Path(text).is_file():
+            raise SystemExit(f"--ssml: no such file {text!r} (inline "
+                             f"documents must start with '<')")
         text = Path(text).read_text()
-    rt = _load_runtime(args)
     try:
+        # Parse BEFORE loading the runtime: a malformed document should
+        # fail in microseconds, not after a 1-2 min TPU warm-up.
         doc = parse_ssml(text)
-        for msg in doc.ignored:
-            print(f"[ssml] ignored: {msg}", file=sys.stderr)
+    except SsmlError as e:
+        raise SystemExit(f"ssml: {e}")
+    for msg in doc.ignored:
+        print(f"[ssml] ignored: {msg}", file=sys.stderr)
+    rt = _load_runtime(args)
+    t0 = time.perf_counter()
+    try:
         phonemize = None
         if any(s.kind == "text" for s in doc.segments):
-            from piper_tpu.phonemize import ESpeakPhonemizer
+            from piper_tpu.phonemize import phonemizer_for
 
-            voice = rt.config.espeak.voice if rt.config.espeak else "en"
-            phonemize = ESpeakPhonemizer(
-                voice, rt.config.phoneme_id_map).phoneme_ids
-        t0 = time.perf_counter()
+            phonemize = phonemizer_for(rt).phoneme_ids
         audio = render_ssml(
             rt, doc, phonemize,
             sentence_silence=max(args.sentence_silence, 0.0),
             noise_scale=args.noise_scale, noise_w=args.noise_w)
-    except SsmlError as e:
+    except ValueError as e:  # SsmlError and runtime validation alike
         raise SystemExit(f"ssml: {e}")
+    except Exception as e:
+        from piper_tpu.phonemize import PhonemizerError
+
+        if isinstance(e, PhonemizerError):
+            raise SystemExit(f"ssml: {e}")
+        raise
     wall_ms = (time.perf_counter() - t0) * 1e3
     out = args.output or "out.wav"
     write_wav(out, audio, rt.sample_rate)

@@ -105,30 +105,43 @@ def _parse_time_s(value: str) -> float:
 
 
 def _parse_rate(value: str) -> float:
+    import math
+
     v = value.strip().lower()
-    if v in _RATE_WORDS:
-        rate = _RATE_WORDS[v]
-    elif v.endswith("%"):
-        rate = float(v[:-1]) / 100.0
-    else:
-        rate = float(v)  # bare multiplier, e.g. "0.8"
-    if not 0.1 <= rate <= 10.0:
+    try:
+        if v in _RATE_WORDS:
+            rate = _RATE_WORDS[v]
+        elif v.endswith("%"):
+            rate = float(v[:-1]) / 100.0
+        else:
+            rate = float(v)  # bare multiplier, e.g. "0.8"
+    except ValueError:
+        raise SsmlError(f"bad prosody rate {value!r} (use a keyword, "
+                        f"'80%', or a multiplier like '0.8')") from None
+    if not math.isfinite(rate) or not 0.1 <= rate <= 10.0:
         raise SsmlError(f"prosody rate {value!r} out of range [0.1, 10]")
     return rate
 
 
 def _parse_volume(value: str) -> float:
+    import math
+
     v = value.strip().lower()
-    if v in _VOLUME_WORDS:
-        return _VOLUME_WORDS[v]
-    if v.endswith("db"):
-        return float(10.0 ** (float(v[:-2]) / 20.0))
-    if v.endswith("%"):
-        gain = float(v[:-1]) / 100.0
-    else:
-        gain = float(v)
-    if gain < 0:
-        raise SsmlError(f"prosody volume {value!r} must be >= 0")
+    try:
+        if v in _VOLUME_WORDS:
+            gain = _VOLUME_WORDS[v]
+        elif v.endswith("db"):
+            gain = 10.0 ** (float(v[:-2]) / 20.0)
+        elif v.endswith("%"):
+            gain = float(v[:-1]) / 100.0
+        else:
+            gain = float(v)
+    except (ValueError, OverflowError):
+        raise SsmlError(f"bad prosody volume {value!r} (use a keyword, "
+                        f"'+3dB', '50%', or a gain like '0.5')") from None
+    # NaN passes `gain < 0`; inf turns zero samples into NaN at apply time.
+    if not math.isfinite(gain) or not 0.0 <= gain <= 100.0:
+        raise SsmlError(f"prosody volume {value!r} out of range [0, 100]")
     return gain
 
 
@@ -189,15 +202,22 @@ def parse_ssml(doc: str) -> SsmlDocument:
     ignored: List[str] = []
 
     def emit_text(chunk: Optional[str], ctx: SsmlContext) -> None:
-        if not chunk or not chunk.strip():
+        if not chunk:
             return
-        chunk = re.sub(r"\s+", " ", chunk).strip()
-        # merge into the previous text segment when the context matches —
-        # keeps espeak calls and sentence splitting natural across markup
-        # that didn't change anything audible
-        if (segments and segments[-1].kind == "text"
-                and segments[-1].ctx == ctx):
-            segments[-1].content += " " + chunk
+        # Merge RAW text into the previous text segment when the context
+        # matches — keeps espeak calls and sentence splitting natural
+        # across markup that didn't change anything audible. Raw (not
+        # normalized) concatenation preserves word boundaries exactly:
+        # 'Hel<mark/>lo' stays one word, 'Hello <mark/> world' stays two.
+        # Whitespace normalization happens once, after the walk.
+        merge = (segments and segments[-1].kind == "text"
+                 and segments[-1].ctx == ctx)
+        if not chunk.strip():
+            if merge:  # pure whitespace still carries the word boundary
+                segments[-1].content += chunk
+            return
+        if merge:
+            segments[-1].content += chunk
         else:
             segments.append(SsmlSegment("text", chunk, ctx=ctx))
 
@@ -288,6 +308,10 @@ def parse_ssml(doc: str) -> SsmlDocument:
             emit_break(None, boundary)
 
     walk(root, SsmlContext())
+    for s in segments:
+        if s.kind == "text":
+            s.content = re.sub(r"\s+", " ", s.content).strip()
+    segments = [s for s in segments if s.kind != "text" or s.content]
     while segments and segments[-1].kind == "break":
         segments.pop()  # trailing silence nobody hears
     if not any(s.kind in ("text", "ipa") for s in segments):
@@ -325,7 +349,7 @@ def plan_ssml(
     text (an <phoneme>-only document needs none). Sentence boundaries
     inside a text segment get the default gap; explicit <break>s REPLACE
     the automatic gap at their position (SSML semantics)."""
-    from piper_tpu.core.phonemes import ipa_to_ids
+    from piper_tpu.core.phonemes import UnknownSymbolError, ipa_to_ids
     from piper_tpu.core.text import split_sentences
 
     if isinstance(doc, str):
@@ -355,7 +379,15 @@ def plan_ssml(
                    if seg.break_s is None else seg.break_s)
             pending_gap = gap if pending_gap is None else max(pending_gap, gap)
         elif seg.kind == "ipa":
-            push_utt(ipa_to_ids(seg.content, phoneme_id_map), seg.ctx)
+            try:
+                push_utt(ipa_to_ids(seg.content, phoneme_id_map), seg.ctx)
+            except UnknownSymbolError as e:
+                # UnknownSymbolError is a KeyError; left bare it maps to
+                # "unknown voice" (404) on the HTTP surface and a traceback
+                # in the CLI — a document typo is a document error.
+                raise SsmlError(
+                    f"<phoneme ph={seg.content!r}> contains a symbol this "
+                    f"voice's phoneme_id_map lacks: {e}") from e
         else:  # text
             if phonemize is None:
                 raise SsmlError(
@@ -363,7 +395,12 @@ def plan_ssml(
                     "available (install espeak-ng, or mark up exact "
                     "pronunciations with <phoneme ph=...>)")
             for sent in split_sentences(seg.content):
-                push_utt(phonemize(sent), seg.ctx)
+                try:
+                    push_utt(phonemize(sent), seg.ctx)
+                except UnknownSymbolError as e:
+                    raise SsmlError(
+                        f"phonemizing {sent!r} produced a symbol this "
+                        f"voice's phoneme_id_map lacks: {e}") from e
     return SsmlPlan(utterances, assembly, doc.ignored)
 
 

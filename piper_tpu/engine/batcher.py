@@ -577,7 +577,8 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, d in zip(group, durs):
-                    r.future.set_result(d)
+                    if not r.future.done():  # caller may have cancelled
+                        r.future.set_result(d)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
@@ -610,7 +611,8 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, a in zip(group, audios):
-                    r.future.set_result(a)
+                    if not r.future.done():  # caller may have cancelled
+                        r.future.set_result(a)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
@@ -659,7 +661,8 @@ class BatchingServer:
             with self._cond:
                 self._metrics["completed"] += len(group)
             for r, a in zip(group, audios):
-                r.future.set_result(a)
+                if not r.future.done():  # caller may have cancelled
+                    r.future.set_result(a)
         except Exception as e:  # noqa: BLE001
             with self._cond:
                 self._metrics["failed"] += len(group)

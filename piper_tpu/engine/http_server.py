@@ -74,14 +74,9 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
         return [ipa_to_ids(str(req["ipa"]), rt.config.phoneme_id_map)]
     if "text" in req:
         from piper_tpu.core.text import split_sentences
-        from piper_tpu.phonemize import ESpeakPhonemizer
+        from piper_tpu.phonemize import phonemizer_for
 
-        key = id(rt)
-        if key not in phonemizers:
-            voice = rt.config.espeak.voice if rt.config.espeak else "en"
-            phonemizers[key] = ESpeakPhonemizer(voice,
-                                                rt.config.phoneme_id_map)
-        ph = phonemizers[key]
+        ph = phonemizer_for(rt, phonemizers)
         sents = split_sentences(str(req["text"]))
         if not sents:
             raise ValueError("empty text")
@@ -420,28 +415,31 @@ class PiperHTTPServer(_HttpLifecycle):
         doc = parse_ssml(str(req["ssml"]))  # SsmlError -> 400 (ValueError)
         phonemize = None
         if any(s.kind == "text" for s in doc.segments):
-            from piper_tpu.phonemize import ESpeakPhonemizer
+            from piper_tpu.phonemize import phonemizer_for
 
-            key = id(rt)
-            if key not in self._phonemizers:
-                espk = rt.config.espeak.voice if rt.config.espeak else "en"
-                self._phonemizers[key] = ESpeakPhonemizer(
-                    espk, rt.config.phoneme_id_map)
-            phonemize = self._phonemizers[key].phoneme_ids
+            phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
         plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
                          sentence_silence=gap_s)
         common = {k: req[k] for k in ("noise_scale", "noise_w")
                   if req.get(k) is not None}
         futs = []
-        for u in plan.utterances:
-            kw = dict(common)
-            if u.ctx.length_scale is not None:
-                kw["length_scale"] = u.ctx.length_scale
-            if u.ctx.speaker_mix is not None:
-                kw["speaker_mix"] = u.ctx.mix_dict()
-            elif u.ctx.speaker_id is not None:
-                kw["speaker_id"] = u.ctx.speaker_id
-            futs.append(self.server.submit(voice, u.ids, **kw))
+        try:
+            for u in plan.utterances:
+                kw = dict(common)
+                if u.ctx.length_scale is not None:
+                    kw["length_scale"] = u.ctx.length_scale
+                if u.ctx.speaker_mix is not None:
+                    kw["speaker_mix"] = u.ctx.mix_dict()
+                elif u.ctx.speaker_id is not None:
+                    kw["speaker_id"] = u.ctx.speaker_id
+                futs.append(self.server.submit(voice, u.ids, **kw))
+        except Exception:
+            # A mid-document rejection (bad <voice> id, admission shed)
+            # must not leave earlier utterances synthesizing audio nobody
+            # will read — best-effort cancel before surfacing the error.
+            for f in futs:
+                f.cancel()
+            raise
         audios = [pcm_to_float32(f.result(timeout=600)) for f in futs]
         return assemble(audios, plan, rt.sample_rate), rt
 

@@ -1866,6 +1866,15 @@ class PiperRuntime:
             return None
         if speaker_ids is None:
             speaker_ids = [0] * batch
+        else:
+            # JAX clamps out-of-bounds gather indices, so an unvalidated id
+            # would silently return the LAST speaker's voice (negative ids
+            # the first's). Serving layers validate at their doors; this is
+            # the backstop for direct-runtime callers (render_ssml et al.).
+            bad = [s for s in speaker_ids if not 0 <= int(s) < n_spk]
+            if bad:
+                raise ValueError(
+                    f"speaker_id {int(bad[0])} out of range [0, {n_spk})")
         putter = putter or self._put_batch
         return putter(np.asarray(speaker_ids, dtype=np.int32))
 

@@ -26,6 +26,20 @@ def find_espeak() -> Optional[str]:
     return shutil.which("espeak-ng")
 
 
+def phonemizer_for(runtime, cache: Optional[dict] = None) -> "ESpeakPhonemizer":
+    """The one way to build (and memoize) a phonemizer for a loaded
+    runtime — the espeak voice comes from the voice config, falling back
+    to 'en'. `cache` (keyed by runtime identity) lets servers reuse one
+    phonemizer per resident voice; the CLI passes none."""
+    if cache is not None and id(runtime) in cache:
+        return cache[id(runtime)]
+    voice = runtime.config.espeak.voice if runtime.config.espeak else "en"
+    ph = ESpeakPhonemizer(voice, runtime.config.phoneme_id_map)
+    if cache is not None:
+        cache[id(runtime)] = ph
+    return ph
+
+
 class ESpeakPhonemizer:
     def __init__(self, voice: str, phoneme_id_map: Dict[str, List[int]],
                  espeak_path: Optional[str] = None):

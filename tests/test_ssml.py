@@ -124,6 +124,29 @@ def test_text_merges_across_noop_markup():
         "Hello world."]
 
 
+def test_non_numeric_and_nonfinite_prosody_values():
+    for bad in ('rate="abc"', 'rate="abc%"', 'rate="nan"',
+                'volume="abc"', 'volume="abcdb"', 'volume="nan"',
+                'volume="inf"', 'volume="8000dB"'):
+        with pytest.raises(SsmlError):
+            parse_ssml(f'<speak><prosody {bad}>x</prosody></speak>')
+
+
+def test_midword_markup_does_not_split_words():
+    doc = parse_ssml('<speak>Hel<mark name="m"/>lo there</speak>')
+    assert [s.content for s in doc.segments if s.kind == "text"] == [
+        "Hello there"]
+    doc2 = parse_ssml('<speak>re<sub alias="new">old</sub>ing</speak>')
+    assert [s.content for s in doc2.segments if s.kind == "text"] == [
+        "renewing"]
+
+
+def test_unknown_ipa_symbol_is_ssml_error():
+    idmap = {"^": [1], "$": [2], "_": [0], "a": [20]}
+    with pytest.raises(SsmlError):
+        plan_ssml('<speak><phoneme ph="aθ"/></speak>', idmap)
+
+
 def test_parse_errors():
     with pytest.raises(SsmlError):
         parse_ssml("")
@@ -262,6 +285,25 @@ def test_cli_ssml(runtime, tmp_path):
     with _pytest.raises(SystemExit):
         cli.main(["--model", str(model), "--ssml", "<speak><broken",
                   "-o", str(tmp_path / "y.wav")])
+    # a typo'd file path must not be read ALOUD as literal text
+    with _pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--ssml", "no_such_doc.ssml",
+                  "-o", str(tmp_path / "z.wav")])
+    # an out-of-range <voice> id is a tidy exit, not a traceback (and not
+    # a silent clamp to the wrong speaker)
+    with _pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--ssml",
+                  '<speak><voice name="99"><phoneme ph="AB"/></voice>'
+                  '</speak>', "-o", str(tmp_path / "w.wav")])
+
+
+def test_render_out_of_range_voice_raises(runtime):
+    with pytest.raises(ValueError):
+        render_ssml(runtime, '<speak><voice name="99">'
+                             '<phoneme ph="AB"/></voice></speak>')
+    with pytest.raises(ValueError):
+        render_ssml(runtime, '<speak><voice name="-1">'
+                             '<phoneme ph="AB"/></voice></speak>')
 
 
 def test_http_ssml(runtime, tmp_path_factory):
