@@ -196,14 +196,16 @@ class PiperClient(_BaseClient):
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
         speaker_mix: Optional[dict] = None,
+        ssml: Optional[str] = None,
     ) -> dict:
         """Phoneme-level timing WITHOUT synthesizing audio (encoder-only on
         the server). Returns the alignment document: one entry per utterance
         with per-phoneme start/end samples and seconds — exactly the spans a
-        synthesize() of the same request produces."""
+        synthesize() of the same request produces. `ssml` documents report
+        offsets that include their breaks and sentence gaps."""
         body = _request_body(
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
-            length_scale=length_scale, noise_w=noise_w,
+            ssml=ssml, length_scale=length_scale, noise_w=noise_w,
             speaker_id=speaker_id, sentence_silence=sentence_silence,
             speaker_mix=speaker_mix,
         )

@@ -441,6 +441,87 @@ def group_utterances(plan: SsmlPlan) -> List[List[int]]:
     return list(groups.values())
 
 
+def alignment_offsets(
+    plan: SsmlPlan,
+    durations: Sequence[np.ndarray],
+    *,
+    hop_length: int,
+    sample_rate: int,
+    frame_cap: int,
+) -> Tuple[List[int], List[int], int]:
+    """Where each utterance lands in the assembled waveform.
+
+    Returns (offsets_samples, lengths_samples, total_samples) — lengths are
+    the decode plan's (sum of frames, >=1, capped at the runtime's largest
+    frame bucket like the synthesized audio is), offsets walk the assembly
+    script, so they match a render of the same document exactly (volume is
+    a gain, it does not move time)."""
+    lengths = [
+        min(max(int(np.asarray(d).sum()), 1), frame_cap) * hop_length
+        for d in durations
+    ]
+    offsets = [0] * len(plan.utterances)
+    pos = 0
+    for item in plan.assembly:
+        if item[0] == "gap":
+            pos += int(round(item[1] * sample_rate))
+        else:
+            offsets[item[1]] = pos
+            pos += lengths[item[1]]
+    return offsets, lengths, pos
+
+
+def ssml_alignment(
+    runtime,
+    doc: "SsmlDocument | str",
+    phonemize: Optional[Callable[[str], List[int]]] = None,
+    *,
+    sentence_silence: float = 0.2,
+    noise_w: Optional[float] = None,
+    seed: Optional[int] = None,
+) -> dict:
+    """Phoneme-level timing of an SSML document WITHOUT synthesizing audio
+    (encoder-only): the alignment JSON document a render of the same
+    markup realizes — per-utterance spans, offsets including breaks and
+    sentence gaps. The library analog of HTTP POST /v1/durations with
+    \"ssml\"."""
+    from piper_tpu.core.alignment import alignments_to_json, make_alignment
+
+    plan = plan_ssml(doc, runtime.config.phoneme_id_map, phonemize,
+                     sentence_silence=sentence_silence)
+    durations: List[Optional[np.ndarray]] = [None] * len(plan.utterances)
+    for idx_group in group_utterances(plan):
+        rows = [plan.utterances[i] for i in idx_group]
+        has_mix = rows[0].ctx.speaker_mix is not None
+        sids = None
+        if not has_mix and any(r.ctx.speaker_id is not None for r in rows):
+            sids = [r.ctx.speaker_id or 0 for r in rows]
+        durs = runtime.phoneme_durations(
+            [r.ids for r in rows],
+            length_scale=rows[0].ctx.length_scale,
+            noise_w=noise_w,
+            speaker_ids=sids,
+            speaker_mixes=([r.ctx.mix_dict() for r in rows]
+                           if has_mix else None),
+            seed=seed,
+        )
+        for i, d in zip(idx_group, durs):
+            durations[i] = d
+    hop, sr = runtime.hparams.hop_length, runtime.sample_rate
+    offsets, lengths, total = alignment_offsets(
+        plan, durations, hop_length=hop, sample_rate=sr,
+        frame_cap=runtime.options.frame_buckets[-1])
+    aligns = [
+        make_alignment(u.ids, d, hop_length=hop, sample_rate=sr,
+                       total_samples=n)
+        for u, d, n in zip(plan.utterances, durations, lengths)
+    ]
+    out = alignments_to_json(aligns, offsets)
+    out["sample_rate"] = sr
+    out["total_samples"] = total
+    return out
+
+
 def render_ssml(
     runtime,
     doc: "SsmlDocument | str",
@@ -473,7 +554,8 @@ def render_ssml(
             speaker_ids=sids,
             speaker_mixes=([r.ctx.mix_dict() for r in rows]
                            if has_mix else None),
-            seed=seed,
+            seed=seed,  # None -> the runtime's seeded default, same as
+            # ssml_alignment, so timing and audio agree
         )
         for i, a in zip(idx_group, out):
             audios[i] = pcm_to_float32(a)

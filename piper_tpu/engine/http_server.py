@@ -456,6 +456,8 @@ class PiperHTTPServer(_HttpLifecycle):
         if voice not in self.runtimes:
             raise KeyError(f"unknown voice {voice!r}")
         rt = self.runtimes[voice]
+        if req.get("ssml") is not None:
+            return self._durations_ssml(req, voice, rt)
         kwargs = {k: req[k] for k in
                   ("length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
@@ -492,6 +494,63 @@ class PiperHTTPServer(_HttpLifecycle):
         doc["sample_rate"] = sr
         doc["total_samples"] = max(0, pos - gap) if aligns else 0
         return doc
+
+    def _durations_ssml(self, req: dict, voice: str, rt: PiperRuntime) -> dict:
+        """"ssml" on /v1/durations: the timing a /v1/synthesize of the SAME
+        document realizes — per-utterance alignment with offsets that walk
+        the assembly (breaks, sentence gaps). Encoder-only on the worker."""
+        from piper_tpu.core.alignment import alignments_to_json, make_alignment
+        from piper_tpu.core.ssml import (alignment_offsets, parse_ssml,
+                                         plan_ssml)
+
+        for k in ("text", "ipa", "phoneme_ids", "length_scale",
+                  "speaker_id", "speaker_mix"):
+            if req.get(k) is not None:
+                raise ValueError(
+                    f"{k} cannot be combined with ssml — prosody and "
+                    f"speaker selection live in the document")
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
+        doc = parse_ssml(str(req["ssml"]))
+        phonemize = None
+        if any(s.kind == "text" for s in doc.segments):
+            from piper_tpu.phonemize import phonemizer_for
+
+            phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
+        plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
+                         sentence_silence=gap_s)
+        common = {k: req[k] for k in ("noise_w",) if req.get(k) is not None}
+        futs = []
+        try:
+            for u in plan.utterances:
+                kw = dict(common)
+                if u.ctx.length_scale is not None:
+                    kw["length_scale"] = u.ctx.length_scale
+                if u.ctx.speaker_mix is not None:
+                    kw["speaker_mix"] = u.ctx.mix_dict()
+                elif u.ctx.speaker_id is not None:
+                    kw["speaker_id"] = u.ctx.speaker_id
+                futs.append(self.server.submit_durations(voice, u.ids, **kw))
+        except Exception:
+            for f in futs:
+                f.cancel()
+            raise
+        durs = [f.result(timeout=600) for f in futs]
+        hop, sr = rt.hparams.hop_length, rt.sample_rate
+        offsets, lengths, total = alignment_offsets(
+            plan, durs, hop_length=hop, sample_rate=sr,
+            frame_cap=rt.options.frame_buckets[-1])
+        aligns = [
+            make_alignment(u.ids, d, hop_length=hop, sample_rate=sr,
+                           total_samples=n)
+            for u, d, n in zip(plan.utterances, durs, lengths)
+        ]
+        out = alignments_to_json(aligns, offsets)
+        out["voice"] = voice
+        out["sample_rate"] = sr
+        out["total_samples"] = total
+        return out
 
     # -- lifecycle ---------------------------------------------------------
 

@@ -359,6 +359,66 @@ def test_http_ssml(runtime, tmp_path_factory):
         srv.close()
 
 
+def test_ssml_alignment_matches_render(runtime):
+    from piper_tpu.core.ssml import ssml_alignment
+
+    doc = ('<speak><voice name="1"><phoneme ph="AB"/></voice>'
+           '<break time="0.4s"/>'
+           '<prosody rate="80%"><phoneme ph="BABA"/></prosody></speak>')
+    audio = render_ssml(runtime, doc)
+    align = ssml_alignment(runtime, doc)
+    # the alignment doc describes EXACTLY the rendered waveform
+    assert align["total_samples"] == len(audio)
+    utts = align["utterances"]
+    assert len(utts) == 2
+    # the second utterance starts after utterance 1 + the explicit break
+    # (spans come back already shifted by the utterance offsets)
+    gap = int(round(0.4 * runtime.sample_rate))
+    u0_end = utts[0]["phonemes"][-1]["end_sample"]
+    assert utts[1]["phonemes"][0]["start_sample"] >= u0_end + gap - 1
+    # spans fall inside the waveform
+    assert utts[1]["phonemes"][-1]["end_sample"] <= len(audio)
+
+
+def test_http_ssml_durations(runtime, tmp_path_factory):
+    import http.client
+    import json as _json
+
+    from piper_tpu.engine.http_server import PiperHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    d = tmp_path_factory.mktemp("http_ssml_dur")
+    srv = PiperHTTPServer(
+        {"v": _RT(*make_synthetic_voice(d, quality="test", seed=6,
+                                        n_speakers=4, gin_channels=32))},
+        port=0, max_batch=4, max_wait_ms=10)
+    srv.start()
+    try:
+        from piper_tpu.client import PiperClient
+
+        c = PiperClient(srv.host, srv.port)
+        doc = ('<speak><phoneme ph="AB"/><break time="0.3s"/>'
+               '<voice name="0:0.5,2:0.5"><phoneme ph="BA"/></voice>'
+               '</speak>')
+        align = c.durations(ssml=doc)
+        assert len(align["utterances"]) == 2
+        assert align["total_samples"] > 0
+        audio, sr = c.synthesize(ssml=doc)
+        assert align["total_samples"] == len(audio)
+        # conflicting knobs -> 400
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        try:
+            conn.request("POST", "/v1/durations",
+                         body=_json.dumps({"ssml": doc, "speaker_id": 1}
+                                          ).encode(),
+                         headers={"Content-Type": "application/json"})
+            assert conn.getresponse().status == 400
+        finally:
+            conn.close()
+    finally:
+        srv.close()
+
+
 def test_render_text_with_injected_phonemizer(runtime):
     audio = render_ssml(runtime, "<speak>Hello world. Second sentence."
                                  "</speak>", _fake_phonemize)
