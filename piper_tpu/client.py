@@ -235,14 +235,18 @@ class PiperStreamingClient(_BaseClient):
         speaker_id: Optional[int] = None,
         sentence_silence: Optional[float] = None,
         speaker_mix: Optional[dict] = None,
+        ssml: Optional[str] = None,
     ) -> Iterator[np.ndarray]:
         """Yield int16 PCM chunks as the server decodes them (first chunk
         after ~TTFB, not after the whole utterance). `self.sample_rate` is
         populated from the response headers before the first yield. Closing
         the generator mid-stream drops the connection, which cancels the
-        server-side session (its slot frees)."""
+        server-side session (its slot frees). `ssml` streams an expressive
+        document utterance by utterance (breaks arrive as silence chunks);
+        it carries its own prosody, so length_scale/speaker knobs cannot
+        be combined with it."""
         body = _request_body(
-            text=text, ipa=ipa, phoneme_ids=phoneme_ids,
+            text=text, ipa=ipa, phoneme_ids=phoneme_ids, ssml=ssml,
             seed=seed, noise_scale=noise_scale, length_scale=length_scale,
             noise_w=noise_w, speaker_id=speaker_id,
             sentence_silence=sentence_silence, speaker_mix=speaker_mix,

@@ -570,9 +570,11 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
     device (the stall documented in docs/BENCH.md). One voice per process
     for the same reason.
 
-    POST /v1/stream  {phoneme_ids|ipa|text, seed?, noise_scale?,
-                      length_scale?, noise_w?, speaker_id?,
-                      sentence_silence?}
+    POST /v1/stream  {phoneme_ids|ipa|text|ssml, seed?, noise_scale?,
+                      length_scale?, noise_w?, speaker_id?, speaker_mix?,
+                      sentence_silence?}  (ssml streams the document
+                      utterance by utterance — breaks arrive as silence
+                      chunks, per-span prosody/voice applied)
       -> HTTP/1.1 Transfer-Encoding: chunked, audio/x-raw-int16 — one HTTP
          chunk per decoded window, the first after ~TTFB (60-110 ms lone-
          arrival on the dev chip), concurrent requests batch their
@@ -615,34 +617,25 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                 if req is None:
                     return
                 try:
-                    ids_list = _ids_for_request(req, outer.rt,
-                                                outer._phonemizers)
-                    gap_s = float(req.get("sentence_silence", 0.2))
-                    if gap_s < 0:
-                        raise ValueError("sentence_silence must be >= 0")
-                    gap_pcm = float_to_int16(
-                        np.zeros(int(round(gap_s * outer.rt.sample_rate)),
-                                 np.float32)).tobytes()
-                    kwargs = {k: req[k] for k in
-                              ("seed", "noise_scale", "length_scale",
-                               "noise_w", "speaker_id")
-                              if req.get(k) is not None}
-                    mix = _speaker_mix_from(req)
-                    if mix is not None:
-                        kwargs["speaker_mix"] = mix
+                    # A stream program: ("gap", pcm_bytes) and
+                    # ("utt", ids, submit_kwargs, volume) items in order —
+                    # plain requests interleave sentences with one gap,
+                    # SSML requests walk the document's assembly script.
+                    items = outer._stream_items(req)
                 except ValueError as e:
                     self._send_json(400, {"error": str(e)})
                     return
                 except Exception as e:  # noqa: BLE001
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
-                # Admit the FIRST sentence's stream before sending headers:
+                # Admit the FIRST utterance's stream before sending headers:
                 # synchronous admission errors (max_sessions) come back as
-                # a real 429, not a truncated 200. Later sentences can
+                # a real 429, not a truncated 200. Later utterances can
                 # still shed mid-stream, which truncates — unavoidable
                 # once bytes are on the wire.
+                first = next(i for i in items if i[0] == "utt")
                 try:
-                    handle = outer.server.submit(ids_list[0], **kwargs)
+                    handle = outer.server.submit(first[1], **first[2])
                 except ServerOverloaded as e:
                     self._send_json(429, {"error": str(e)})
                     return
@@ -665,12 +658,21 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                         self.wfile.write(b"\r\n")
 
                 try:
-                    for i, ids in enumerate(ids_list):
-                        if i:
-                            wchunk(gap_pcm)
-                            handle = outer.server.submit(ids, **kwargs)
+                    for item in items:
+                        if item[0] == "gap":
+                            wchunk(item[1])
+                            continue
+                        if item is not first:
+                            handle = outer.server.submit(item[1], **item[2])
+                        vol = item[3]
                         for chunk in handle:
-                            wchunk(float_to_int16(chunk.samples).tobytes())
+                            samples = chunk.samples
+                            if vol != 1.0:
+                                from piper_tpu.core.audio import pcm_to_float32
+
+                                samples = np.clip(
+                                    pcm_to_float32(samples) * vol, -1.0, 1.0)
+                            wchunk(float_to_int16(samples).tobytes())
                     self.wfile.write(b"0\r\n\r\n")
                 finally:
                     # Client gone mid-stream (BrokenPipe/timeout): release
@@ -679,6 +681,72 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                     handle.cancel()
 
         self._init_http(host, port, Handler)
+
+    def _stream_items(self, req: dict) -> list:
+        """The stream program for one request: ordered ("gap", pcm_bytes)
+        and ("utt", ids, submit_kwargs, volume) items. Raises ValueError
+        (-> 400) on malformed input."""
+        from piper_tpu.core.audio import float_to_int16
+
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
+        sr = self.rt.sample_rate
+
+        def gap_bytes(seconds: float) -> bytes:
+            return float_to_int16(
+                np.zeros(int(round(seconds * sr)), np.float32)).tobytes()
+
+        if req.get("ssml") is not None:
+            from piper_tpu.core.ssml import parse_ssml, plan_ssml
+
+            for k in ("text", "ipa", "phoneme_ids", "length_scale",
+                      "speaker_id", "speaker_mix"):
+                if req.get(k) is not None:
+                    raise ValueError(
+                        f"{k} cannot be combined with ssml — prosody and "
+                        f"speaker selection live in the document")
+            doc = parse_ssml(str(req["ssml"]))
+            phonemize = None
+            if any(s.kind == "text" for s in doc.segments):
+                from piper_tpu.phonemize import phonemizer_for
+
+                phonemize = phonemizer_for(self.rt,
+                                           self._phonemizers).phoneme_ids
+            plan = plan_ssml(doc, self.rt.config.phoneme_id_map, phonemize,
+                             sentence_silence=gap_s)
+            common = {k: req[k] for k in ("seed", "noise_scale", "noise_w")
+                      if req.get(k) is not None}
+            items = []
+            for item in plan.assembly:
+                if item[0] == "gap":
+                    items.append(("gap", gap_bytes(item[1])))
+                    continue
+                u = plan.utterances[item[1]]
+                kw = dict(common)
+                if u.ctx.length_scale is not None:
+                    kw["length_scale"] = u.ctx.length_scale
+                if u.ctx.speaker_mix is not None:
+                    kw["speaker_mix"] = u.ctx.mix_dict()
+                elif u.ctx.speaker_id is not None:
+                    kw["speaker_id"] = u.ctx.speaker_id
+                items.append(("utt", u.ids, kw, u.ctx.volume))
+            return items
+        ids_list = _ids_for_request(req, self.rt, self._phonemizers)
+        kwargs = {k: req[k] for k in
+                  ("seed", "noise_scale", "length_scale",
+                   "noise_w", "speaker_id")
+                  if req.get(k) is not None}
+        mix = _speaker_mix_from(req)
+        if mix is not None:
+            kwargs["speaker_mix"] = mix
+        gp = gap_bytes(gap_s)
+        items = []
+        for i, ids in enumerate(ids_list):
+            if i:
+                items.append(("gap", gp))
+            items.append(("utt", ids, kwargs, 1.0))
+        return items
 
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)

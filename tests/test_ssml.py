@@ -419,6 +419,44 @@ def test_http_ssml_durations(runtime, tmp_path_factory):
         srv.close()
 
 
+def test_streaming_http_ssml(tmp_path_factory):
+    from piper_tpu.client import PiperStreamingClient
+    from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    d = tmp_path_factory.mktemp("stream_ssml_voice")
+    rt = _RT(*make_synthetic_voice(d, quality="test", seed=6, n_speakers=4,
+                                   gin_channels=32))
+    srv = PiperStreamingHTTPServer(rt, port=0, max_sessions=4)
+    srv.start()
+    try:
+        c = PiperStreamingClient(srv.host, srv.port)
+        doc = ('<speak><voice name="2"><phoneme ph="AB"/></voice>'
+               '<break time="0.3s"/>'
+               '<prosody volume="50%"><phoneme ph="BA"/></prosody></speak>')
+        audio = np.concatenate(list(c.stream(ssml=doc)))
+        assert c.sample_rate == rt.sample_rate
+        # the break arrives as >= 0.3s of exact silence
+        gap = int(round(0.3 * rt.sample_rate))
+        assert (audio == 0).sum() >= gap
+        assert np.abs(audio).max() > 0
+        # conflicting knobs are 400s before any bytes
+        import http.client
+        import json as _json
+
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        try:
+            conn.request("POST", "/v1/stream",
+                         body=_json.dumps({"ssml": doc, "speaker_id": 1}
+                                          ).encode(),
+                         headers={"Content-Type": "application/json"})
+            assert conn.getresponse().status == 400
+        finally:
+            conn.close()
+    finally:
+        srv.close()
+
+
 def test_render_text_with_injected_phonemizer(runtime):
     audio = render_ssml(runtime, "<speak>Hello world. Second sentence."
                                  "</speak>", _fake_phonemize)
