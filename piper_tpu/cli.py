@@ -109,25 +109,36 @@ def _sentence_ids_for(args, rt: PiperRuntime) -> List[List[int]]:
     return [_phoneme_ids_for(args, rt)]
 
 
-def _parse_speaker_mix(spec: str) -> dict:
-    """'0:0.6,3:0.4' -> {0: 0.6, 3: 0.4} with tidy errors."""
+def _parse_speaker_mix(spec: str, rt: Optional[PiperRuntime] = None) -> dict:
+    """'0:0.6,3:0.4' (or 'alba:0.6,cori:0.4' with a loaded runtime whose
+    config has a speaker_id_map) -> {0: 0.6, 3: 0.4} with tidy errors."""
     mix = {}
     try:
         for part in spec.split(","):
             sid, w = part.split(":")
-            sid = int(sid)
-            if sid in mix:
-                raise SystemExit(f"--speaker-mix names speaker {sid} twice")
-            mix[sid] = float(w)
+            try:
+                key = int(sid)
+            except ValueError:
+                if rt is None:
+                    raise SystemExit(
+                        f"--speaker-mix: speaker names ({sid!r}) need a "
+                        f"loaded voice to resolve")
+                try:
+                    key = rt.speaker_index(sid)
+                except ValueError as e:
+                    raise SystemExit(f"--speaker-mix: {e}")
+            if key in mix:
+                raise SystemExit(f"--speaker-mix names speaker {key} twice")
+            mix[key] = float(w)
     except ValueError:
-        raise SystemExit("--speaker-mix must be ID:WEIGHT pairs, e.g. "
-                         "'0:0.6,3:0.4'")
+        raise SystemExit("--speaker-mix must be ID:WEIGHT (or NAME:WEIGHT) "
+                         "pairs, e.g. '0:0.6,3:0.4'")
     if not mix:
         raise SystemExit("--speaker-mix must name at least one speaker")
     return mix
 
 
-def _synth_args(args) -> dict:
+def _synth_args(args, rt: Optional[PiperRuntime] = None) -> dict:
     out = {}
     if args.noise_scale is not None:
         out["noise_scale"] = args.noise_scale
@@ -135,19 +146,31 @@ def _synth_args(args) -> dict:
         out["length_scale"] = args.length_scale
     if args.noise_w is not None:
         out["noise_w"] = args.noise_w
+    n_speaker_flags = sum(1 for v in (args.speaker_id,
+                                      getattr(args, "speaker", None),
+                                      getattr(args, "speaker_mix", None))
+                          if v is not None)
+    if n_speaker_flags > 1:
+        raise SystemExit(
+            "pass ONE of --speaker / --speaker-id / --speaker-mix")
     if args.speaker_id is not None:
         out["speaker_id"] = args.speaker_id
+    if getattr(args, "speaker", None) is not None:
+        if rt is None:
+            raise SystemExit("--speaker needs a loaded voice to resolve")
+        try:
+            out["speaker_id"] = rt.speaker_index(args.speaker)
+        except ValueError as e:
+            raise SystemExit(f"--speaker: {e}")
     if getattr(args, "speaker_mix", None):
-        if args.speaker_id is not None:
-            raise SystemExit("pass --speaker-id OR --speaker-mix, not both")
-        out["speaker_mix"] = _parse_speaker_mix(args.speaker_mix)
+        out["speaker_mix"] = _parse_speaker_mix(args.speaker_mix, rt)
     return out
 
 
-def _batch_synth_args(args, n_rows: int) -> dict:
+def _batch_synth_args(args, n_rows: int, rt: Optional[PiperRuntime] = None) -> dict:
     """_synth_args translated for synthesize_batch, which takes
     speaker_ids / speaker_mixes (one per row) instead of scalars."""
-    out = _synth_args(args)
+    out = _synth_args(args, rt)
     sid = out.pop("speaker_id", None)
     if sid is not None:
         out["speaker_ids"] = [sid] * n_rows
@@ -171,7 +194,7 @@ def _write_alignment(path, rt: PiperRuntime, ids_list, audios,
     if forced_durs is not None:
         durs = [np.asarray(forced_durs, np.int64)]
     else:
-        dur_args = _synth_args(args)
+        dur_args = _synth_args(args, rt)
         dur_args.pop("noise_scale", None)  # durations don't depend on it
         sid = dur_args.pop("speaker_id", None)
         if sid is not None:
@@ -252,7 +275,7 @@ def run_oneshot(args) -> None:
 
         t0 = time.perf_counter()
         audios = rt.synthesize_batch(ids_list, **_batch_synth_args(
-            args, len(ids_list)))
+            args, len(ids_list), rt))
         wall_ms = (time.perf_counter() - t0) * 1e3
         audio = join_with_silence(audios, gap_samples)
         write_wav(out, audio, rt.sample_rate)
@@ -292,7 +315,7 @@ def run_oneshot(args) -> None:
         try:
             with WavWriter(out, rt.sample_rate) as w:
                 for chunk in rt.synthesize_stream(ids, incremental=True,
-                                                  **_synth_args(args)):
+                                                  **_synth_args(args, rt)):
                     if first_ms is None:
                         first_ms = (time.perf_counter() - t0) * 1e3
                     w.append_float32(chunk.samples)
@@ -316,9 +339,9 @@ def run_oneshot(args) -> None:
         if forced_durs is not None:
             # _synth_args can't contain length_scale/noise_w here — setting
             # them with --force-durations already raised above.
-            audio = rt.synthesize_forced(ids, forced_durs, **_synth_args(args))
+            audio = rt.synthesize_forced(ids, forced_durs, **_synth_args(args, rt))
         else:
-            audio = rt.synthesize(ids, **_synth_args(args))
+            audio = rt.synthesize(ids, **_synth_args(args, rt))
         write_wav(out, audio, rt.sample_rate)
         if args.alignment:
             _write_alignment(args.alignment, rt, [ids], [audio], 0, args,
@@ -358,7 +381,7 @@ def run_stream_sentences(args, rt: PiperRuntime, ids_list, gap, out) -> None:
                         player.play(gap)
                     n += len(gap)
                 for chunk in rt.synthesize_stream(ids, incremental=True,
-                                                  **_synth_args(args)):
+                                                  **_synth_args(args, rt)):
                     if first_ms is None:
                         first_ms = (time.perf_counter() - t0) * 1e3
                     w.append_float32(chunk.samples)
@@ -390,10 +413,11 @@ def run_ssml(args) -> None:
                        (args.alignment, "--alignment")):
         if flag:
             raise SystemExit(f"--ssml is not combinable with {name}")
-    if args.speaker_id is not None or getattr(args, "speaker_mix", None):
+    if (args.speaker_id is not None or getattr(args, "speaker", None)
+            or getattr(args, "speaker_mix", None)):
         raise SystemExit("--ssml selects speakers inside the document "
                          "(<voice name=\"2\"> or <voice name=\"0:0.6,3:0.4\">)"
-                         "; drop --speaker-id/--speaker-mix")
+                         "; drop --speaker/--speaker-id/--speaker-mix")
     if args.length_scale is not None:
         raise SystemExit("--ssml controls pace inside the document "
                          "(<prosody rate=...>); drop --length-scale")
@@ -472,7 +496,7 @@ def run_repl(args) -> None:
 
                 audios = rt.synthesize_batch(
                     [phonemizer.phoneme_ids(s) for s in sents],
-                    **_batch_synth_args(args, len(sents)))
+                    **_batch_synth_args(args, len(sents), rt))
                 audio = join_with_silence(
                     audios,
                     int(round(max(args.sentence_silence, 0.0)
@@ -482,7 +506,7 @@ def run_repl(args) -> None:
                       f"{len(sents)} sentences, batched)")
             else:
                 ids = phonemizer.phoneme_ids(line)
-                audio = rt.synthesize(ids, **_synth_args(args))
+                audio = rt.synthesize(ids, **_synth_args(args, rt))
                 write_wav(out, audio, rt.sample_rate)
                 t = rt.last_run_timings
                 print(f"wrote {out} ({len(audio) / rt.sample_rate:.2f}s, "
@@ -699,7 +723,7 @@ def run_record_vectors(args) -> None:
     vec = record_test_vector(
         rt, ids, out_dir, args.test_id,
         seed=args.seed, description="recorded by piper-tpu CLI",
-        **_synth_args(args),
+        **_synth_args(args, rt),
     )
     path = write_test_summary(rt, [vec], out_dir / "test_summary.json")
     print(f"recorded {vec['test_id']}: {vec['metadata']['num_samples']} samples -> {path}")
@@ -764,6 +788,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--length-scale", type=float, default=None)
     p.add_argument("--noise-w", type=float, default=None)
     p.add_argument("--speaker-id", type=int, default=None)
+    p.add_argument("--speaker", metavar="NAME_OR_ID",
+                   help="speaker by NAME (via the voice config's "
+                        "speaker_id_map) or integer id; mutually exclusive "
+                        "with --speaker-id/--speaker-mix")
     p.add_argument("--speaker-mix", metavar="ID:W,ID:W",
                    help="blend speaker embeddings by weight (multi-speaker "
                         "voices): e.g. '0:0.6,3:0.4'; weights needn't sum "

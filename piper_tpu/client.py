@@ -146,6 +146,7 @@ class PiperClient(_BaseClient):
         durations: Optional[Sequence[int]] = None,
         speaker_mix: Optional[dict] = None,
         ssml: Optional[str] = None,
+        speaker: Optional[str] = None,
     ) -> tuple[np.ndarray, int]:
         """Synthesize one of text / ipa / phoneme_ids / ssml.
 
@@ -169,7 +170,7 @@ class PiperClient(_BaseClient):
         body = _request_body(
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
             ssml=ssml, noise_scale=noise_scale, length_scale=length_scale,
-            noise_w=noise_w, speaker_id=speaker_id,
+            noise_w=noise_w, speaker_id=speaker_id, speaker=speaker,
             sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )
         if durations is not None:
@@ -197,6 +198,7 @@ class PiperClient(_BaseClient):
         sentence_silence: Optional[float] = None,
         speaker_mix: Optional[dict] = None,
         ssml: Optional[str] = None,
+        speaker: Optional[str] = None,
     ) -> dict:
         """Phoneme-level timing WITHOUT synthesizing audio (encoder-only on
         the server). Returns the alignment document: one entry per utterance
@@ -206,8 +208,8 @@ class PiperClient(_BaseClient):
         body = _request_body(
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, voice=voice,
             ssml=ssml, length_scale=length_scale, noise_w=noise_w,
-            speaker_id=speaker_id, sentence_silence=sentence_silence,
-            speaker_mix=speaker_mix,
+            speaker_id=speaker_id, speaker=speaker,
+            sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )
         _, data = self._call("POST", "/v1/durations", body)
         return json.loads(data)
@@ -236,6 +238,7 @@ class PiperStreamingClient(_BaseClient):
         sentence_silence: Optional[float] = None,
         speaker_mix: Optional[dict] = None,
         ssml: Optional[str] = None,
+        speaker: Optional[str] = None,
     ) -> Iterator[np.ndarray]:
         """Yield int16 PCM chunks as the server decodes them (first chunk
         after ~TTFB, not after the whole utterance). `self.sample_rate` is
@@ -248,7 +251,7 @@ class PiperStreamingClient(_BaseClient):
         body = _request_body(
             text=text, ipa=ipa, phoneme_ids=phoneme_ids, ssml=ssml,
             seed=seed, noise_scale=noise_scale, length_scale=length_scale,
-            noise_w=noise_w, speaker_id=speaker_id,
+            noise_w=noise_w, speaker_id=speaker_id, speaker=speaker,
             sentence_silence=sentence_silence, speaker_mix=speaker_mix,
         )
         conn = self._connect()

@@ -52,8 +52,11 @@ class SsmlContext:
     length_scale: Optional[float] = None  # 1/rate
     volume: float = 1.0                   # linear PCM gain
     speaker_id: Optional[int] = None
-    # immutable form of a {id: weight} blend so contexts stay hashable
-    speaker_mix: Optional[Tuple[Tuple[int, float], ...]] = None
+    # immutable form of a {id: weight} blend so contexts stay hashable;
+    # keys may be NAMES until plan time resolves them (speaker_id_map)
+    speaker_mix: Optional[Tuple[Tuple[object, float], ...]] = None
+    # a <voice name="alba"> by NAME — resolved to speaker_id at plan time
+    speaker_name: Optional[str] = None
 
     def mix_dict(self) -> Optional[dict]:
         return dict(self.speaker_mix) if self.speaker_mix is not None else None
@@ -145,34 +148,43 @@ def _parse_volume(value: str) -> float:
     return gain
 
 
-def _parse_voice_name(value: str) -> Tuple[Optional[int], Optional[tuple]]:
-    """'2' -> speaker id; '0:0.6,3:0.4' -> frozen mix tuple."""
+def _parse_voice_name(value: str):
+    """'2' -> (id, None, None); 'alba' -> (None, None, name);
+    '0:0.6,alba:0.4' -> (None, frozen mix tuple with int-or-name keys,
+    None). Names resolve against the voice's speaker_id_map at plan time
+    (switching CHECKPOINTS mid-document is not supported — names select
+    speakers within the one loaded voice)."""
     v = value.strip()
+    if not v:
+        raise SsmlError("<voice> name must not be empty")
     if ":" in v:
         mix = []
         seen = set()
         for part in v.split(","):
             bits = part.split(":")
+            if len(bits) != 2 or not bits[0].strip():
+                raise SsmlError(
+                    f"bad voice name {value!r} (use a speaker id/name or a "
+                    f"mix like '0:0.6,alba:0.4')")
+            key = bits[0].strip()
             try:
-                if len(bits) != 2:
-                    raise ValueError(part)
-                s, w = int(bits[0]), float(bits[1])
+                key = int(key)
+            except ValueError:
+                pass  # a speaker NAME, resolved at plan time
+            try:
+                w = float(bits[1])
             except ValueError:
                 raise SsmlError(
-                    f"bad voice name {value!r} (use a speaker id like '2' "
-                    f"or a mix like '0:0.6,3:0.4')") from None
-            if s in seen:
-                raise SsmlError(f"voice mix names speaker {s} twice")
-            seen.add(s)
-            mix.append((s, w))
-        return None, tuple(mix)
+                    f"bad voice mix weight {bits[1]!r} in {value!r}") from None
+            if key in seen:
+                raise SsmlError(f"voice mix names speaker {key} twice")
+            seen.add(key)
+            mix.append((key, w))
+        return None, tuple(mix), None
     try:
-        return int(v), None
+        return int(v), None, None
     except ValueError:
-        raise SsmlError(
-            f"bad voice name {value!r}: this engine selects speakers WITHIN "
-            f"one loaded voice (an integer id or an 'id:w,id:w' mix); "
-            f"switching checkpoints mid-document is not supported")
+        return None, None, v
 
 
 def _strip_ns(tag: str) -> str:
@@ -284,8 +296,9 @@ def parse_ssml(doc: str) -> SsmlDocument:
             name = el.get("name")
             if name is None:
                 raise SsmlError("<voice> requires a name attribute")
-            sid, mix = _parse_voice_name(name)
-            child_ctx = replace(child_ctx, speaker_id=sid, speaker_mix=mix)
+            sid, mix, spk_name = _parse_voice_name(name)
+            child_ctx = replace(child_ctx, speaker_id=sid, speaker_mix=mix,
+                                speaker_name=spk_name)
         elif tag == "sub":
             emit_text(el.get("alias", ""), ctx)
             return  # tail text is the parent loop's job
@@ -342,13 +355,18 @@ def plan_ssml(
     phonemize: Optional[Callable[[str], List[int]]] = None,
     *,
     sentence_silence: float = 0.2,
+    speaker_resolver: Optional[Callable[[str], int]] = None,
 ) -> SsmlPlan:
     """Turn parsed SSML into utterances + an assembly script.
 
     `phonemize(text) -> ids` is required only when the document has plain
     text (an <phoneme>-only document needs none). Sentence boundaries
     inside a text segment get the default gap; explicit <break>s REPLACE
-    the automatic gap at their position (SSML semantics)."""
+    the automatic gap at their position (SSML semantics).
+
+    `speaker_resolver(name) -> id` (e.g. PiperRuntime.speaker_index)
+    resolves <voice> NAMES against the voice's speaker_id_map; a document
+    that names speakers without one is an SsmlError."""
     from piper_tpu.core.phonemes import UnknownSymbolError, ipa_to_ids
     from piper_tpu.core.text import split_sentences
 
@@ -356,6 +374,34 @@ def plan_ssml(
         doc = parse_ssml(doc)
     if sentence_silence < 0:
         raise SsmlError("sentence_silence must be >= 0")
+
+    def resolved(ctx: SsmlContext) -> SsmlContext:
+        """<voice> names -> integer speaker ids (plan-time: parsing is
+        pure and has no voice to resolve against)."""
+        named_mix = (ctx.speaker_mix is not None
+                     and any(isinstance(k, str) for k, _ in ctx.speaker_mix))
+        if ctx.speaker_name is None and not named_mix:
+            return ctx
+        if speaker_resolver is None:
+            raise SsmlError(
+                "document selects speakers by NAME but no speaker resolver "
+                "is available (the loaded voice has no speaker_id_map?)")
+        try:
+            if ctx.speaker_name is not None:
+                return replace(ctx, speaker_name=None,
+                               speaker_id=int(speaker_resolver(ctx.speaker_name)))
+            out, seen = [], set()
+            for k, w in ctx.speaker_mix:
+                kid = int(speaker_resolver(k)) if isinstance(k, str) else int(k)
+                if kid in seen:
+                    raise SsmlError(f"voice mix names speaker {kid} twice")
+                seen.add(kid)
+                out.append((kid, w))
+            return replace(ctx, speaker_mix=tuple(out))
+        except SsmlError:
+            raise
+        except ValueError as e:
+            raise SsmlError(f"<voice>: {e}") from e
 
     utterances: List[SsmlUtterance] = []
     assembly: List[tuple] = []
@@ -371,7 +417,7 @@ def plan_ssml(
             assembly.append(("gap", pending_gap))
         pending_gap = None
         assembly.append(("utt", len(utterances)))
-        utterances.append(SsmlUtterance(ids, ctx))
+        utterances.append(SsmlUtterance(ids, resolved(ctx)))
 
     for seg in doc.segments:
         if seg.kind == "break":
@@ -488,7 +534,8 @@ def ssml_alignment(
     from piper_tpu.core.alignment import alignments_to_json, make_alignment
 
     plan = plan_ssml(doc, runtime.config.phoneme_id_map, phonemize,
-                     sentence_silence=sentence_silence)
+                     sentence_silence=sentence_silence,
+                     speaker_resolver=runtime.speaker_index)
     durations: List[Optional[np.ndarray]] = [None] * len(plan.utterances)
     for idx_group in group_utterances(plan):
         rows = [plan.utterances[i] for i in idx_group]
@@ -538,7 +585,8 @@ def render_ssml(
     from piper_tpu.core.audio import pcm_to_float32
 
     plan = plan_ssml(doc, runtime.config.phoneme_id_map, phonemize,
-                     sentence_silence=sentence_silence)
+                     sentence_silence=sentence_silence,
+                     speaker_resolver=runtime.speaker_index)
     audios: List[Optional[np.ndarray]] = [None] * len(plan.utterances)
     for idx_group in group_utterances(plan):
         rows = [plan.utterances[i] for i in idx_group]

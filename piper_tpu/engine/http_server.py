@@ -84,30 +84,47 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
     raise ValueError("pass phoneme_ids, ipa, or text")
 
 
-def _speaker_mix_from(req: dict) -> Optional[dict]:
+def _speaker_mix_from(req: dict,
+                      rt: Optional[PiperRuntime] = None) -> Optional[dict]:
     """Parse an optional "speaker_mix" body field: a JSON object mapping
-    speaker id -> blend weight (keys arrive as strings). Range/finiteness
-    checks live in BatchingServer._validate_request; here we only coerce
-    types so a malformed body is a 400, not a 500."""
+    speaker id OR NAME (via the voice's speaker_id_map) -> blend weight.
+    Range/finiteness checks live in BatchingServer._validate_request; here
+    we coerce/resolve keys so a malformed body is a 400, not a 500."""
     mix = req.get("speaker_mix")
     if mix is None:
         return None
     if not isinstance(mix, dict) or not mix:
         raise ValueError(
-            'speaker_mix must be a non-empty object of {"id": weight}, '
-            'e.g. {"0": 0.6, "3": 0.4}')
+            'speaker_mix must be a non-empty object of {"id_or_name": '
+            'weight}, e.g. {"0": 0.6, "3": 0.4}')
     out = {}
     for k, v in mix.items():
         try:
             sid = int(k)
         except (TypeError, ValueError):
-            raise ValueError(f"speaker_mix key {k!r} is not a speaker id")
+            if rt is None or not isinstance(k, str):
+                raise ValueError(
+                    f"speaker_mix key {k!r} is not a speaker id")
+            sid = rt.speaker_index(k)  # unknown name -> ValueError -> 400
         if not isinstance(v, (int, float)) or isinstance(v, bool):
             raise ValueError(f"speaker_mix weight for {k!r} must be a number")
         if sid in out:  # e.g. "0" and "00" both normalize to 0
             raise ValueError(f"speaker_mix names speaker {sid} twice")
         out[sid] = float(v)
     return out
+
+
+def _speaker_kwargs(req: dict, rt: PiperRuntime, kwargs: dict) -> None:
+    """Apply the optional "speaker" (name or id) and "speaker_mix" body
+    fields onto submit kwargs — shared by the synthesize/durations/stream
+    handlers so name resolution cannot drift."""
+    if req.get("speaker") is not None:
+        if req.get("speaker_id") is not None:
+            raise ValueError("pass speaker OR speaker_id, not both")
+        kwargs["speaker_id"] = rt.speaker_index(req["speaker"])
+    mix = _speaker_mix_from(req, rt)
+    if mix is not None:
+        kwargs["speaker_mix"] = mix
 
 
 def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
@@ -344,9 +361,7 @@ class PiperHTTPServer(_HttpLifecycle):
         kwargs = {k: req[k] for k in
                   ("noise_scale", "length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
-        mix = _speaker_mix_from(req)
-        if mix is not None:
-            kwargs["speaker_mix"] = mix
+        _speaker_kwargs(req, rt, kwargs)
         ids_list = self._ids_for(req, rt)
         if req.get("durations") is not None:
             # Duration forcing: one frame count per phoneme replaces the
@@ -403,7 +418,7 @@ class PiperHTTPServer(_HttpLifecycle):
         from piper_tpu.core.ssml import assemble, parse_ssml, plan_ssml
 
         for k in ("text", "ipa", "phoneme_ids", "durations",
-                  "length_scale", "speaker_id", "speaker_mix"):
+                  "length_scale", "speaker", "speaker_id", "speaker_mix"):
             if req.get(k) is not None:
                 raise ValueError(
                     f"{k} cannot be combined with ssml — prosody and "
@@ -419,7 +434,8 @@ class PiperHTTPServer(_HttpLifecycle):
 
             phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
         plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
-                         sentence_silence=gap_s)
+                         sentence_silence=gap_s,
+                         speaker_resolver=rt.speaker_index)
         common = {k: req[k] for k in ("noise_scale", "noise_w")
                   if req.get(k) is not None}
         futs = []
@@ -461,9 +477,7 @@ class PiperHTTPServer(_HttpLifecycle):
         kwargs = {k: req[k] for k in
                   ("length_scale", "noise_w", "speaker_id")
                   if req.get(k) is not None}
-        mix = _speaker_mix_from(req)
-        if mix is not None:
-            kwargs["speaker_mix"] = mix
+        _speaker_kwargs(req, rt, kwargs)
         hop, sr = rt.hparams.hop_length, rt.sample_rate
         # Validate BEFORE enqueueing: an invalid gap must not spend device
         # worker time on encodes whose result will be thrown away as a 400.
@@ -504,7 +518,7 @@ class PiperHTTPServer(_HttpLifecycle):
                                          plan_ssml)
 
         for k in ("text", "ipa", "phoneme_ids", "length_scale",
-                  "speaker_id", "speaker_mix"):
+                  "speaker", "speaker_id", "speaker_mix"):
             if req.get(k) is not None:
                 raise ValueError(
                     f"{k} cannot be combined with ssml — prosody and "
@@ -519,7 +533,8 @@ class PiperHTTPServer(_HttpLifecycle):
 
             phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
         plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
-                         sentence_silence=gap_s)
+                         sentence_silence=gap_s,
+                         speaker_resolver=rt.speaker_index)
         common = {k: req[k] for k in ("noise_w",) if req.get(k) is not None}
         futs = []
         try:
@@ -701,7 +716,7 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
             from piper_tpu.core.ssml import parse_ssml, plan_ssml
 
             for k in ("text", "ipa", "phoneme_ids", "length_scale",
-                      "speaker_id", "speaker_mix"):
+                      "speaker", "speaker_id", "speaker_mix"):
                 if req.get(k) is not None:
                     raise ValueError(
                         f"{k} cannot be combined with ssml — prosody and "
@@ -714,7 +729,8 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                 phonemize = phonemizer_for(self.rt,
                                            self._phonemizers).phoneme_ids
             plan = plan_ssml(doc, self.rt.config.phoneme_id_map, phonemize,
-                             sentence_silence=gap_s)
+                             sentence_silence=gap_s,
+                             speaker_resolver=self.rt.speaker_index)
             common = {k: req[k] for k in ("seed", "noise_scale", "noise_w")
                       if req.get(k) is not None}
             items = []
@@ -737,9 +753,7 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                   ("seed", "noise_scale", "length_scale",
                    "noise_w", "speaker_id")
                   if req.get(k) is not None}
-        mix = _speaker_mix_from(req)
-        if mix is not None:
-            kwargs["speaker_mix"] = mix
+        _speaker_kwargs(req, self.rt, kwargs)
         gp = gap_bytes(gap_s)
         items = []
         for i, ids in enumerate(ids_list):

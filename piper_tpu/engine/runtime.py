@@ -190,6 +190,36 @@ def _seed_u32(seed) -> int:
     return int(seed) & 0xFFFFFFFF
 
 
+def resolve_speaker(spec, n_speakers: int,
+                    speaker_id_map=None) -> int:
+    """Speaker reference -> validated integer id. Integers (and digit
+    strings) pass through; other strings look up the voice's
+    speaker_id_map by NAME — the `speaker_id_map` field real multi-speaker
+    exports carry (reference PiperConfig.swift:36) but the reference never
+    consumes."""
+    if isinstance(spec, bool):
+        raise ValueError(f"speaker {spec!r} is not an id or name")
+    if isinstance(spec, (int, np.integer)):
+        sid = int(spec)
+    elif isinstance(spec, str):
+        s = spec.strip()
+        try:
+            sid = int(s)
+        except ValueError:
+            m = speaker_id_map or {}
+            if s not in m:
+                known = ", ".join(sorted(m)[:10]) if m else "none defined"
+                raise ValueError(
+                    f"unknown speaker {spec!r} (known names: {known})")
+            sid = int(m[s])
+    else:
+        raise ValueError(f"speaker {spec!r} is not an id or name")
+    if not 0 <= sid < max(1, n_speakers):
+        raise ValueError(
+            f"speaker_id {sid} out of range [0, {max(1, n_speakers)})")
+    return sid
+
+
 def validate_speaker_mix(mix: dict, n_speakers: int,
                          speaker_id=None) -> None:
     """Door-step validation of a speaker blending spec {id: weight} —
@@ -1838,6 +1868,27 @@ class PiperRuntime:
         ls = inf.length_scale if length_scale is None else float(length_scale)
         nw = inf.noise_w if noise_w is None else float(noise_w)
         return ns, ls, nw
+
+    def speaker_index(self, spec) -> int:
+        """Speaker name or id -> validated integer id, via the voice
+        config's speaker_id_map (e.g. 'alba' -> 3). The synthesis APIs take
+        integer ids; surfaces that accept names resolve through this."""
+        return resolve_speaker(spec, self.hparams.n_speakers,
+                               self.config.speaker_id_map
+                               if self.config else None)
+
+    def resolve_speaker_mix(self, mix: dict) -> dict:
+        """{name_or_id: weight} -> {int_id: weight}: string keys resolve
+        through speaker_index; collisions after resolution ('alba' and her
+        id both present) raise instead of silently dropping a weight."""
+        out = {}
+        for k, w in mix.items():
+            sid = self.speaker_index(k) if isinstance(k, str) else k
+            key = int(sid) if isinstance(sid, (int, np.integer)) else sid
+            if key in out:
+                raise ValueError(f"speaker_mix names speaker {key} twice")
+            out[key] = w
+        return out
 
     def _sid_array(self, speaker_ids: Optional[Sequence[int]], batch: int,
                    putter=None, mixes=None):

@@ -89,8 +89,12 @@ def test_voice_ids_and_mixes():
     assert segs[0].ctx.speaker_id == 2 and segs[0].ctx.speaker_mix is None
     assert segs[1].ctx.speaker_mix == ((0, 0.6), (3, 0.4))
     assert segs[2].ctx.speaker_id is None  # tail restores the parent ctx
+    # a NAME parses fine (resolved against the voice's speaker_id_map at
+    # plan time); without a resolver, planning rejects it
+    doc2 = parse_ssml('<speak><voice name="alice">x</voice></speak>')
+    assert doc2.segments[0].ctx.speaker_name == "alice"
     with pytest.raises(SsmlError):
-        parse_ssml('<speak><voice name="alice">x</voice></speak>')
+        plan_ssml(doc2, {"^": [1], "$": [2], "_": [0]}, _fake_phonemize)
     with pytest.raises(SsmlError):
         parse_ssml('<speak><voice name="0:0.5,0:0.5">x</voice></speak>')
 
