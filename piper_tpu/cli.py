@@ -111,31 +111,39 @@ def _sentence_ids_for(args, rt: PiperRuntime) -> List[List[int]]:
 
 def _parse_speaker_mix(spec: str, rt: Optional[PiperRuntime] = None) -> dict:
     """'0:0.6,3:0.4' (or 'alba:0.6,cori:0.4' with a loaded runtime whose
-    config has a speaker_id_map) -> {0: 0.6, 3: 0.4} with tidy errors."""
-    mix = {}
+    config has a speaker_id_map) -> {0: 0.6, 3: 0.4} with tidy errors.
+    Key resolution (names, digit strings, collisions) is the runtime's ONE
+    resolver (PiperRuntime.resolve_speaker_mix)."""
+    raw = {}
     try:
         for part in spec.split(","):
             sid, w = part.split(":")
-            try:
-                key = int(sid)
-            except ValueError:
-                if rt is None:
-                    raise SystemExit(
-                        f"--speaker-mix: speaker names ({sid!r}) need a "
-                        f"loaded voice to resolve")
-                try:
-                    key = rt.speaker_index(sid)
-                except ValueError as e:
-                    raise SystemExit(f"--speaker-mix: {e}")
-            if key in mix:
-                raise SystemExit(f"--speaker-mix names speaker {key} twice")
-            mix[key] = float(w)
+            sid = sid.strip()
+            if sid in raw:  # identical spelling would silently overwrite
+                raise SystemExit(f"--speaker-mix names speaker {sid} twice")
+            raw[sid] = float(w)
     except ValueError:
         raise SystemExit("--speaker-mix must be ID:WEIGHT (or NAME:WEIGHT) "
                          "pairs, e.g. '0:0.6,3:0.4'")
-    if not mix:
+    if not raw:
         raise SystemExit("--speaker-mix must name at least one speaker")
-    return mix
+    if rt is None:
+        try:
+            out = {}
+            for k, w in raw.items():
+                key = int(k)
+                if key in out:
+                    raise SystemExit(
+                        f"--speaker-mix names speaker {key} twice")
+                out[key] = w
+            return out
+        except ValueError:
+            raise SystemExit("--speaker-mix: speaker names need a loaded "
+                             "voice to resolve")
+    try:
+        return rt.resolve_speaker_mix(raw)
+    except ValueError as e:
+        raise SystemExit(f"--speaker-mix: {e}")
 
 
 def _synth_args(args, rt: Optional[PiperRuntime] = None) -> dict:
@@ -162,7 +170,9 @@ def _synth_args(args, rt: Optional[PiperRuntime] = None) -> dict:
             out["speaker_id"] = rt.speaker_index(args.speaker)
         except ValueError as e:
             raise SystemExit(f"--speaker: {e}")
-    if getattr(args, "speaker_mix", None):
+    if getattr(args, "speaker_mix", None) is not None:
+        # `is not None`, matching the exclusivity count above: an empty
+        # string should be a parse error, not a silently ignored flag.
         out["speaker_mix"] = _parse_speaker_mix(args.speaker_mix, rt)
     return out
 

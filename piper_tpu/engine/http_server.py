@@ -84,8 +84,7 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
     raise ValueError("pass phoneme_ids, ipa, or text")
 
 
-def _speaker_mix_from(req: dict,
-                      rt: Optional[PiperRuntime] = None) -> Optional[dict]:
+def _speaker_mix_from(req: dict, rt: PiperRuntime) -> Optional[dict]:
     """Parse an optional "speaker_mix" body field: a JSON object mapping
     speaker id OR NAME (via the voice's speaker_id_map) -> blend weight.
     Range/finiteness checks live in BatchingServer._validate_request; here
@@ -97,21 +96,13 @@ def _speaker_mix_from(req: dict,
         raise ValueError(
             'speaker_mix must be a non-empty object of {"id_or_name": '
             'weight}, e.g. {"0": 0.6, "3": 0.4}')
-    out = {}
     for k, v in mix.items():
-        try:
-            sid = int(k)
-        except (TypeError, ValueError):
-            if rt is None or not isinstance(k, str):
-                raise ValueError(
-                    f"speaker_mix key {k!r} is not a speaker id")
-            sid = rt.speaker_index(k)  # unknown name -> ValueError -> 400
         if not isinstance(v, (int, float)) or isinstance(v, bool):
             raise ValueError(f"speaker_mix weight for {k!r} must be a number")
-        if sid in out:  # e.g. "0" and "00" both normalize to 0
-            raise ValueError(f"speaker_mix names speaker {sid} twice")
-        out[sid] = float(v)
-    return out
+    # Key resolution/validation (names, digit strings, "0"/"00" collisions)
+    # is the runtime's ONE resolver — unknown names/bad keys -> ValueError
+    # -> 400.
+    return rt.resolve_speaker_mix({k: float(v) for k, v in mix.items()})
 
 
 def _speaker_kwargs(req: dict, rt: PiperRuntime, kwargs: dict) -> None:
@@ -119,8 +110,10 @@ def _speaker_kwargs(req: dict, rt: PiperRuntime, kwargs: dict) -> None:
     fields onto submit kwargs — shared by the synthesize/durations/stream
     handlers so name resolution cannot drift."""
     if req.get("speaker") is not None:
-        if req.get("speaker_id") is not None:
-            raise ValueError("pass speaker OR speaker_id, not both")
+        if (req.get("speaker_id") is not None
+                or req.get("speaker_mix") is not None):
+            raise ValueError(
+                "pass ONE of speaker / speaker_id / speaker_mix")
         kwargs["speaker_id"] = rt.speaker_index(req["speaker"])
     mix = _speaker_mix_from(req, rt)
     if mix is not None:

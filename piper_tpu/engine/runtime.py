@@ -203,15 +203,20 @@ def resolve_speaker(spec, n_speakers: int,
         sid = int(spec)
     elif isinstance(spec, str):
         s = spec.strip()
-        try:
-            sid = int(s)
-        except ValueError:
-            m = speaker_id_map or {}
-            if s not in m:
+        m = speaker_id_map or {}
+        if s in m:
+            # The MAP wins over integer parsing: real voices (libritts
+            # exports) use numeric reader ids like "3922" as NAMES, mapping
+            # to small indices — parsing them as indices would silently
+            # select a different speaker.
+            sid = int(m[s])
+        else:
+            try:
+                sid = int(s)
+            except ValueError:
                 known = ", ".join(sorted(m)[:10]) if m else "none defined"
                 raise ValueError(
                     f"unknown speaker {spec!r} (known names: {known})")
-            sid = int(m[s])
     else:
         raise ValueError(f"speaker {spec!r} is not an id or name")
     if not 0 <= sid < max(1, n_speakers):
@@ -1879,12 +1884,22 @@ class PiperRuntime:
 
     def resolve_speaker_mix(self, mix: dict) -> dict:
         """{name_or_id: weight} -> {int_id: weight}: string keys resolve
-        through speaker_index; collisions after resolution ('alba' and her
-        id both present) raise instead of silently dropping a weight."""
+        through speaker_index (map-wins for numeric names); collisions
+        after resolution ('alba' and her id both present) raise instead of
+        silently dropping a weight. Non-integral keys keep the strict
+        rejection validate_speaker_mix enforces (bool(True) is NOT
+        speaker 1)."""
+        if not mix:
+            raise ValueError("speaker_mix must not be empty")
         out = {}
         for k, w in mix.items():
-            sid = self.speaker_index(k) if isinstance(k, str) else k
-            key = int(sid) if isinstance(sid, (int, np.integer)) else sid
+            if isinstance(k, str):
+                key = self.speaker_index(k)
+            elif isinstance(k, bool) or not isinstance(k, (int, np.integer)):
+                raise ValueError(
+                    f"speaker_mix key {k!r} is not a speaker id or name")
+            else:
+                key = int(k)
             if key in out:
                 raise ValueError(f"speaker_mix names speaker {key} twice")
             out[key] = w

@@ -153,6 +153,67 @@ def test_ssml_voice_by_name(runtime):
     assert doc["total_samples"] > 0
 
 
+def test_numeric_names_map_wins(tmp_path_factory):
+    """libritts-style voices use numeric reader ids as NAMES ("3922" -> 1);
+    the map must win over integer parsing or the wrong speaker plays."""
+    import json
+
+    d = tmp_path_factory.mktemp("numeric_names")
+    model, config = make_synthetic_voice(d, quality="test", seed=6,
+                                         n_speakers=4, gin_channels=32)
+    cfg = json.loads(open(config).read())
+    cfg["speaker_id_map"] = {"92": 0, "3922": 1, "116": 2, "2": 3}
+    with open(config, "w") as f:
+        json.dump(cfg, f)
+    rt = PiperRuntime(model, config)
+    assert rt.speaker_index("3922") == 1
+    assert rt.speaker_index("2") == 3      # map wins over index parsing
+    assert rt.speaker_index(2) == 2        # real ints stay indices
+    assert rt.speaker_index("1") == 1      # not in map -> parses as index
+
+
+def test_resolve_mix_rejects_bool_keys(runtime):
+    with pytest.raises(ValueError):
+        runtime.resolve_speaker_mix({True: 1.0})
+    with pytest.raises(ValueError):
+        runtime.resolve_speaker_mix({})
+    with pytest.raises(ValueError):
+        runtime.resolve_speaker_mix({1.5: 1.0})
+
+
+def test_http_speaker_and_mix_conflict(ms_voice):
+    import http.client
+    import json as _json
+
+    from piper_tpu.engine.http_server import PiperHTTPServer
+
+    srv = PiperHTTPServer({"v": PiperRuntime(*ms_voice)}, port=0,
+                          max_batch=4, max_wait_ms=10)
+    srv.start()
+    try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        conn.request("POST", "/v1/synthesize",
+                     body=_json.dumps({"phoneme_ids": list(FIXTURE_IDS),
+                                       "speaker": "spk2",
+                                       "speaker_mix": {"0": 1.0}}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 400
+        assert b"ONE of" in body  # the three-way message, not a misleading
+        conn.close()              # "speaker_id" the client never sent
+    finally:
+        srv.close()
+
+
+def test_cli_empty_mix_is_an_error(ms_voice, tmp_path):
+    model, _ = ms_voice
+    with pytest.raises(SystemExit):
+        cli.main(["--model", str(model), "--phoneme-ids",
+                  ",".join(map(str, FIXTURE_IDS)),
+                  "--speaker-mix", "", "-o", str(tmp_path / "e.wav")])
+
+
 def test_single_speaker_voice_has_no_names(tmp_path_factory):
     d = tmp_path_factory.mktemp("mono_voice")
     rt = PiperRuntime(*make_synthetic_voice(d, quality="test", seed=3))
