@@ -258,10 +258,15 @@ class PiperHTTPServer(_HttpLifecycle):
                 if self.path == "/healthz":
                     self._send_json(200, {"ok": True})
                 elif self.path == "/v1/voices":
+                    # speakers: name -> id when the config has a map (lets
+                    # clients discover what "speaker"/"speaker_mix" accept)
                     self._send_json(200, {
                         k: {"sample_rate": rt.sample_rate,
                             "num_speakers": rt.hparams.n_speakers,
-                            "phonemes": rt.hparams.n_vocab}
+                            "phonemes": rt.hparams.n_vocab,
+                            **({"speakers": rt.config.speaker_id_map}
+                               if rt.config and rt.config.speaker_id_map
+                               else {})}
                         for k, rt in outer.runtimes.items()})
                 elif self.path == "/v1/metrics":
                     self._send_json(200, outer.server.metrics())

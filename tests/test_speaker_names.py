@@ -97,6 +97,11 @@ def test_http_speaker_by_name(ms_voice):
             conn.close()
 
     try:
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        conn.request("GET", "/v1/voices")
+        voices = _json.loads(conn.getresponse().read())
+        conn.close()
+        assert voices["v"]["speakers"] == {f"spk{i}": i for i in range(4)}
         st, by_name = post("/v1/synthesize",
                            {"phoneme_ids": list(FIXTURE_IDS),
                             "speaker": "spk2"})
