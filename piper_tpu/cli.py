@@ -411,6 +411,41 @@ def run_stream_sentences(args, rt: PiperRuntime, ids_list, gap, out) -> None:
         _play(str(out))
 
 
+def _install_sigterm_drain(holder: list) -> None:
+    """SIGTERM (the `kill`/container-stop signal) drains like Ctrl-C:
+    stop accepting, serve everything already admitted, exit 0. Without
+    this an orchestrator stop kills admitted requests mid-flight.
+
+    `holder` is filled with the server object once it exists; the handler
+    stops its accept loop from a helper thread (BaseServer.shutdown blocks
+    until the loop exits, and the loop runs on THIS thread — calling it
+    inline would deadlock). Raising out of the handler instead would race:
+    a signal landing outside the serve try/except kills the process with
+    a traceback."""
+    import signal
+    import threading
+
+    def _term(signum, frame):
+        print("piper-tpu: SIGTERM — draining admitted requests",
+              file=sys.stderr)
+        if holder:
+            threading.Thread(target=holder[0].httpd.shutdown,
+                             daemon=True).start()
+        else:
+            raise SystemExit(0)  # nothing built yet — nothing to drain
+
+    signal.signal(signal.SIGTERM, _term)
+
+
+def _drain_and_close(srv) -> None:
+    """close() stops the listener and joins the backend worker — every
+    admitted request's future resolves before it returns. The short grace
+    sleep then lets handler threads (daemonic) finish writing their
+    already-resolved responses before the process exits."""
+    srv.close()
+    time.sleep(0.5)
+
+
 def run_ssml(args) -> None:
     """--ssml: render expressive markup (breaks, prosody rate/volume,
     <phoneme ph>, <voice> speaker ids/mixes) through batched synthesis —
@@ -906,6 +941,8 @@ def run_serve(args) -> None:
     one process serves several voices. With --stream, serve the chunked
     low-latency endpoint instead (one voice per process — the streaming
     worker must own the device alone)."""
+    stop_holder: list = []
+    _install_sigterm_drain(stop_holder)
     from piper_tpu.engine.http_server import PiperHTTPServer
 
     if args.model and "," in str(args.model) and args.config:
@@ -920,6 +957,7 @@ def run_serve(args) -> None:
                              "(the streaming worker owns the device)")
         rt = _load_runtime(args)
         srv = PiperStreamingHTTPServer(rt, host=args.host, port=args.port)
+        stop_holder.append(srv)
         if args.prewarm:
             srv.prewarm(speaker_mix=args.prewarm_speaker_mix)
         print(f"streaming on http://{srv.host}:{srv.port} "
@@ -929,7 +967,7 @@ def run_serve(args) -> None:
         except KeyboardInterrupt:
             pass
         finally:
-            srv.close()
+            _drain_and_close(srv)
         return
     runtimes = {}
     if args.model and "," in str(args.model):
@@ -947,6 +985,7 @@ def run_serve(args) -> None:
                else (args.voice or "default"))
         runtimes[key] = rt
     srv = PiperHTTPServer(runtimes, host=args.host, port=args.port)
+    stop_holder.append(srv)
     if args.prewarm:
         stats = srv.prewarm(speaker_mix_programs=args.prewarm_speaker_mix)
         n = sum(v["programs"] for v in stats.values())
@@ -959,7 +998,7 @@ def run_serve(args) -> None:
     except KeyboardInterrupt:
         pass
     finally:
-        srv.close()
+        _drain_and_close(srv)
 
 
 def _dispatch(args) -> None:

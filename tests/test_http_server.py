@@ -258,6 +258,55 @@ def test_cli_serve_multiple_models(tmp_path_factory):
         proc.wait(timeout=30)
 
 
+def test_cli_serve_sigterm_drains(tmp_path_factory):
+    """SIGTERM (orchestrator stop) drains like Ctrl-C: the serve process
+    announces the drain and exits 0 instead of dying mid-flight."""
+    import os
+    import re
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _time
+
+    d = tmp_path_factory.mktemp("serve_term")
+    m, _ = make_synthetic_voice(d, quality="test", seed=1,
+                                voice_name="serve-term")
+    env = dict(os.environ, PIPER_TPU_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "piper_tpu.cli", "--serve", "--port", "0",
+         "--model", str(m)],
+        stderr=subprocess.PIPE, text=True, env=env)
+    try:
+        port = None
+        deadline = _time.time() + 120
+        lines = []
+        while _time.time() < deadline:
+            line = proc.stderr.readline()
+            lines.append(line)
+            mm = re.search(r"http://[\d.]+:(\d+)", line or "")
+            if mm:
+                port = int(mm.group(1))
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"serve exited early: {lines}")
+        assert port, "no serving banner seen"
+        # one request through, so the server demonstrably served traffic
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+        conn.request("POST", "/v1/synthesize",
+                     body=json.dumps({"phoneme_ids": list(FIXTURE_IDS)}),
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.close()
+        proc.send_signal(_signal.SIGTERM)
+        out = proc.stderr.read()
+        assert proc.wait(timeout=60) == 0
+        assert "draining" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=30)
+
+
 # -- chunked streaming server --------------------------------------------
 
 

@@ -63,11 +63,15 @@ def test_native_rejects_garbage():
 
 def test_native_speedup(voice):
     data = voice.read_bytes()
-    t0 = time.perf_counter()
-    _load_model_python(data)
-    t_py = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    load_model_native(data)
-    t_nat = time.perf_counter() - t0
+    # Best-of-3 each: single-sample timing flakes under box load (observed
+    # failing in a full-suite run while a serving sim saturated the CPUs).
+    t_py = min(_timed(_load_model_python, data) for _ in range(3))
+    t_nat = min(_timed(load_model_native, data) for _ in range(3))
     # Informational: the native path should not be slower.
-    assert t_nat <= t_py * 2.5, (t_nat, t_py)  # generous: single-sample timing
+    assert t_nat <= t_py * 2.5, (t_nat, t_py)
+
+
+def _timed(fn, data) -> float:
+    t0 = time.perf_counter()
+    fn(data)
+    return time.perf_counter() - t0
