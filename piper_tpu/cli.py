@@ -112,34 +112,19 @@ def _sentence_ids_for(args, rt: PiperRuntime) -> List[List[int]]:
 def _parse_speaker_mix(spec: str, rt: Optional[PiperRuntime] = None) -> dict:
     """'0:0.6,3:0.4' (or 'alba:0.6,cori:0.4' with a loaded runtime whose
     config has a speaker_id_map) -> {0: 0.6, 3: 0.4} with tidy errors.
-    Key resolution (names, digit strings, collisions) is the runtime's ONE
-    resolver (PiperRuntime.resolve_speaker_mix)."""
-    raw = {}
+    Grammar and key resolution live in engine/runtime (parse_mix_spec +
+    resolve_speaker_mix — one copy for CLI and SSML)."""
+    from piper_tpu.engine.runtime import parse_mix_spec
+
     try:
-        for part in spec.split(","):
-            sid, w = part.split(":")
-            sid = sid.strip()
-            if sid in raw:  # identical spelling would silently overwrite
-                raise SystemExit(f"--speaker-mix names speaker {sid} twice")
-            raw[sid] = float(w)
-    except ValueError:
-        raise SystemExit("--speaker-mix must be ID:WEIGHT (or NAME:WEIGHT) "
-                         "pairs, e.g. '0:0.6,3:0.4'")
-    if not raw:
-        raise SystemExit("--speaker-mix must name at least one speaker")
+        raw = parse_mix_spec(spec)
+    except ValueError as e:
+        raise SystemExit(f"--speaker-mix: {e}")
     if rt is None:
-        try:
-            out = {}
-            for k, w in raw.items():
-                key = int(k)
-                if key in out:
-                    raise SystemExit(
-                        f"--speaker-mix names speaker {key} twice")
-                out[key] = w
-            return out
-        except ValueError:
+        if any(isinstance(k, str) for k in raw):
             raise SystemExit("--speaker-mix: speaker names need a loaded "
                              "voice to resolve")
+        return raw
     try:
         return rt.resolve_speaker_mix(raw)
     except ValueError as e:

@@ -158,29 +158,13 @@ def _parse_voice_name(value: str):
     if not v:
         raise SsmlError("<voice> name must not be empty")
     if ":" in v:
-        mix = []
-        seen = set()
-        for part in v.split(","):
-            bits = part.split(":")
-            if len(bits) != 2 or not bits[0].strip():
-                raise SsmlError(
-                    f"bad voice name {value!r} (use a speaker id/name or a "
-                    f"mix like '0:0.6,alba:0.4')")
-            key = bits[0].strip()
-            try:
-                key = int(key)
-            except ValueError:
-                pass  # a speaker NAME, resolved at plan time
-            try:
-                w = float(bits[1])
-            except ValueError:
-                raise SsmlError(
-                    f"bad voice mix weight {bits[1]!r} in {value!r}") from None
-            if key in seen:
-                raise SsmlError(f"voice mix names speaker {key} twice")
-            seen.add(key)
-            mix.append((key, w))
-        return None, tuple(mix), None
+        from piper_tpu.engine.runtime import parse_mix_spec
+
+        try:
+            raw = parse_mix_spec(v)
+        except ValueError as e:
+            raise SsmlError(f"bad voice name {value!r}: {e}") from None
+        return None, tuple(raw.items()), None
     try:
         return int(v), None, None
     except ValueError:
@@ -376,23 +360,34 @@ def plan_ssml(
         raise SsmlError("sentence_silence must be >= 0")
 
     def resolved(ctx: SsmlContext) -> SsmlContext:
-        """<voice> names -> integer speaker ids (plan-time: parsing is
-        pure and has no voice to resolve against)."""
-        named_mix = (ctx.speaker_mix is not None
-                     and any(isinstance(k, str) for k, _ in ctx.speaker_mix))
-        if ctx.speaker_name is None and not named_mix:
+        """<voice> names AND integer ids -> validated speaker ids at plan
+        time (parsing is pure and has no voice to check against). With a
+        resolver, out-of-range ids fail HERE as SsmlError (HTTP 400 / tidy
+        CLI exit) instead of asynchronously at dispatch — on the streaming
+        surface that difference is a clean 400 vs a truncated 200 body."""
+        if (ctx.speaker_name is None and ctx.speaker_id is None
+                and ctx.speaker_mix is None):
             return ctx
+        named = (ctx.speaker_name is not None
+                 or (ctx.speaker_mix is not None
+                     and any(isinstance(k, str) for k, _ in ctx.speaker_mix)))
         if speaker_resolver is None:
-            raise SsmlError(
-                "document selects speakers by NAME but no speaker resolver "
-                "is available (the loaded voice has no speaker_id_map?)")
+            if named:
+                raise SsmlError(
+                    "document selects speakers by NAME but no speaker "
+                    "resolver is available (the loaded voice has no "
+                    "speaker_id_map?)")
+            return ctx  # integer ids validate downstream
         try:
             if ctx.speaker_name is not None:
                 return replace(ctx, speaker_name=None,
                                speaker_id=int(speaker_resolver(ctx.speaker_name)))
+            if ctx.speaker_id is not None:
+                return replace(ctx,
+                               speaker_id=int(speaker_resolver(ctx.speaker_id)))
             out, seen = [], set()
             for k, w in ctx.speaker_mix:
-                kid = int(speaker_resolver(k)) if isinstance(k, str) else int(k)
+                kid = int(speaker_resolver(k))
                 if kid in seen:
                     raise SsmlError(f"voice mix names speaker {kid} twice")
                 seen.add(kid)
@@ -485,6 +480,21 @@ def group_utterances(plan: SsmlPlan) -> List[List[int]]:
         key = (u.ctx.length_scale, u.ctx.speaker_mix is not None)
         groups.setdefault(key, []).append(i)
     return list(groups.values())
+
+
+def submit_kwargs(ctx: SsmlContext, common: Optional[dict] = None) -> dict:
+    """An utterance context as per-request synthesis kwargs — the ONE
+    ctx->kwargs mapping for every surface (render, alignment, the three
+    HTTP handlers). `common` carries request-level knobs (noise scales,
+    seed)."""
+    kw = dict(common or {})
+    if ctx.length_scale is not None:
+        kw["length_scale"] = ctx.length_scale
+    if ctx.speaker_mix is not None:
+        kw["speaker_mix"] = ctx.mix_dict()
+    elif ctx.speaker_id is not None:
+        kw["speaker_id"] = ctx.speaker_id
+    return kw
 
 
 def alignment_offsets(

@@ -22,7 +22,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -30,6 +30,22 @@ import numpy as np
 
 from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
 from piper_tpu.engine.runtime import PiperRuntime
+
+
+def _deliver(fut: "Future", result=None,
+             exc: "BaseException | None" = None) -> None:
+    """Resolve a future, tolerating a caller cancel() racing the worker:
+    a pre-check (`if not fut.done()`) is a TOCTOU — cancel() landing
+    between check and set_result raises InvalidStateError inside the
+    worker's resolution loop, and the enclosing except would then fail
+    every OTHER request co-batched in the same group."""
+    try:
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+    except InvalidStateError:
+        pass  # cancelled/raced — the value is discarded by agreement
 
 
 class ServerOverloaded(RuntimeError):
@@ -540,9 +556,8 @@ class BatchingServer:
                 req = q.popleft()
                 self._pending -= 1
                 self._metrics["shed_deadline"] += 1
-                req.future.set_exception(DeadlineExceeded(
-                    f"queued longer than {self.deadline_s * 1e3:.0f} ms"
-                ))
+                _deliver(req.future, exc=DeadlineExceeded(
+                    f"queued longer than {self.deadline_s * 1e3:.0f} ms"))
             if not q:
                 del self._queues[key]
 
@@ -577,14 +592,12 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, d in zip(group, durs):
-                    if not r.future.done():  # caller may have cancelled
-                        r.future.set_result(d)
+                    _deliver(r.future, d)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
                 for r in group:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    _deliver(r.future, exc=e)
             return None
         if group[0].kind == "forced":
             # One round trip (the frame bucket is known from the plan
@@ -611,14 +624,12 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, a in zip(group, audios):
-                    if not r.future.done():  # caller may have cancelled
-                        r.future.set_result(a)
+                    _deliver(r.future, a)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
                 for r in group:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                    _deliver(r.future, exc=e)
             return None
         try:
             ns, ls, nw = group[0].scales
@@ -651,8 +662,7 @@ class BatchingServer:
             with self._cond:
                 self._metrics["failed"] += len(group)
             for r in group:
-                if not r.future.done():
-                    r.future.set_exception(e)
+                _deliver(r.future, exc=e)
             return None
 
     def _finish_group(self, group: List[_Request], outs, meta) -> None:
@@ -661,14 +671,12 @@ class BatchingServer:
             with self._cond:
                 self._metrics["completed"] += len(group)
             for r, a in zip(group, audios):
-                if not r.future.done():  # caller may have cancelled
-                    r.future.set_result(a)
+                _deliver(r.future, a)
         except Exception as e:  # noqa: BLE001
             with self._cond:
                 self._metrics["failed"] += len(group)
             for r in group:
-                if not r.future.done():
-                    r.future.set_exception(e)
+                _deliver(r.future, exc=e)
 
     def _serve_loop(self) -> None:
         # Depth-2 pipeline on ONE thread (all device interaction serial —
@@ -704,9 +712,8 @@ class BatchingServer:
             # the server and fail everything queued or in flight.
             for entry in self._inflight:
                 for req in entry[0]:
-                    if not req.future.done():
-                        req.future.set_exception(
-                            RuntimeError(f"serving worker died: {e!r}"))
+                    _deliver(req.future,
+                             exc=RuntimeError(f"serving worker died: {e!r}"))
             self._fail_all(e)
             raise
 
@@ -715,9 +722,8 @@ class BatchingServer:
             self._closed = True
             for q in self._queues.values():
                 for req in q:
-                    if not req.future.done():
-                        req.future.set_exception(
-                            RuntimeError(f"serving worker died: {e!r}"))
+                    _deliver(req.future,
+                             exc=RuntimeError(f"serving worker died: {e!r}"))
             self._queues.clear()
             self._pending = 0
             self._cond.notify_all()
@@ -839,9 +845,9 @@ class MultiVoiceBatchingServer:
                 stats = srv.prewarm(**prewarm_kwargs) if prewarm else {}
                 with self._cond:
                     self._servers[key] = srv
-                fut.set_result(stats)
+                _deliver(fut, stats)
             except Exception as e:  # noqa: BLE001 — surface on the future
-                fut.set_exception(e)
+                _deliver(fut, exc=e)
             return
         _, key, fut = item
         try:
@@ -853,15 +859,14 @@ class MultiVoiceBatchingServer:
                 failed = 0
                 for q in srv._queues.values():
                     for req in q:
-                        if not req.future.done():  # caller may have cancelled
-                            req.future.set_exception(ServerOverloaded(
-                                f"voice {key!r} unloaded"))
+                        _deliver(req.future, exc=ServerOverloaded(
+                            f"voice {key!r} unloaded"))
                         failed += 1
                     srv._pending -= len(q)
                 srv._queues.clear()
-            fut.set_result(failed)
+            _deliver(fut, failed)
         except Exception as e:  # noqa: BLE001
-            fut.set_exception(e)
+            _deliver(fut, exc=e)
 
     def _snapshot(self) -> Dict[str, BatchingServer]:
         # Voice add/remove mutates self._servers on the worker thread, so
@@ -960,18 +965,16 @@ class MultiVoiceBatchingServer:
         except BaseException as e:  # noqa: BLE001 — fail open, never hang
             for entry in self._inflight:
                 for req in entry[1]:
-                    if not req.future.done():
-                        req.future.set_exception(
-                            RuntimeError(f"serving worker died: {e!r}"))
+                    _deliver(req.future,
+                             exc=RuntimeError(f"serving worker died: {e!r}"))
             with self._cond:  # Condition uses an RLock: nested entry is fine
                 self._closed = True
                 for s in self._servers.values():
                     s._fail_all(e)
                 for item in self._control:
                     fut = item[-1]
-                    if not fut.done():
-                        fut.set_exception(
-                            RuntimeError(f"serving worker died: {e!r}"))
+                    _deliver(fut,
+                             exc=RuntimeError(f"serving worker died: {e!r}"))
                 self._control.clear()
                 self._cond.notify_all()
             raise

@@ -120,6 +120,35 @@ def _speaker_kwargs(req: dict, rt: PiperRuntime, kwargs: dict) -> None:
         kwargs["speaker_mix"] = mix
 
 
+def _ssml_plan_for(req: dict, rt: PiperRuntime, phonemizers: dict):
+    """Shared "ssml" request preamble for the synthesize/durations/stream
+    handlers (one copy, so forbidden-key lists and resolver wiring cannot
+    drift): conflicting per-request knobs rejected, gap parsed, document
+    parsed + planned with the voice's phonemizer and speaker resolver.
+    Returns (plan, gap_s); plan.ignored carries unsupported-feature
+    reports the handler must surface."""
+    from piper_tpu.core.ssml import parse_ssml, plan_ssml
+
+    for k in ("text", "ipa", "phoneme_ids", "durations", "length_scale",
+              "speaker", "speaker_id", "speaker_mix"):
+        if req.get(k) is not None:
+            raise ValueError(
+                f"{k} cannot be combined with ssml — prosody and speaker "
+                f"selection live in the document (<prosody>, <voice>)")
+    gap_s = float(req.get("sentence_silence", 0.2))
+    if gap_s < 0:
+        raise ValueError("sentence_silence must be >= 0")
+    doc = parse_ssml(str(req["ssml"]))
+    phonemize = None
+    if any(s.kind == "text" for s in doc.segments):
+        from piper_tpu.phonemize import phonemizer_for
+
+        phonemize = phonemizer_for(rt, phonemizers).phoneme_ids
+    return plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
+                     sentence_silence=gap_s,
+                     speaker_resolver=rt.speaker_index), gap_s
+
+
 def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
     """Serving counters in Prometheus exposition format (one gauge/counter
     per metric, labelled by voice)."""
@@ -158,12 +187,15 @@ class _JsonHandler(BaseHTTPRequestHandler):
         pass
 
     def _send(self, code: int, body: bytes,
-              ctype: str = "application/json") -> None:
+              ctype: str = "application/json",
+              headers: "dict | None" = None) -> None:
         if code >= 400:
             self.close_connection = True
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -320,7 +352,7 @@ class PiperHTTPServer(_HttpLifecycle):
                         alias["format"] = "pcm"
                     req = alias
                 try:
-                    audio, rt = outer._synthesize(req)
+                    audio, rt, ignored = outer._synthesize(req)
                 except KeyError as e:
                     self._send_json(404, {"error": str(e.args[0])})
                     return
@@ -333,14 +365,20 @@ class PiperHTTPServer(_HttpLifecycle):
                 except Exception as e:  # noqa: BLE001 — surface as 500
                     self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
                     return
+                # unsupported-SSML-feature reports ride a header (the
+                # body is audio); the ssml module's contract is "reported,
+                # never silently dropped" and that must hold over HTTP
+                hdrs = ({"X-Piper-Ignored": "; ".join(ignored)}
+                        if ignored else None)
                 if req.get("format") == "pcm":
                     from piper_tpu.core.audio import float_to_int16
 
                     self._send(200, float_to_int16(audio).astype("<i2")
-                               .tobytes(), "audio/x-raw-int16")
+                               .tobytes(), "audio/x-raw-int16",
+                               headers=hdrs)
                 else:
                     self._send(200, _wav_bytes(audio, rt.sample_rate),
-                               "audio/wav")
+                               "audio/wav", headers=hdrs)
 
         self._init_http(host, port, Handler)
 
@@ -389,7 +427,7 @@ class PiperHTTPServer(_HttpLifecycle):
                 voice, ids_list[0], durs, **kwargs)
             from piper_tpu.core.audio import pcm_to_float32
 
-            return pcm_to_float32(fut.result(timeout=600)), rt
+            return pcm_to_float32(fut.result(timeout=600)), rt, []
         futs = [self.server.submit(voice, ids, **kwargs) for ids in ids_list]
         from piper_tpu.core.audio import join_with_silence, pcm_to_float32
 
@@ -399,11 +437,11 @@ class PiperHTTPServer(_HttpLifecycle):
         # encoders would saturate the whole waveform).
         audios = [pcm_to_float32(f.result(timeout=600)) for f in futs]
         if len(audios) == 1:
-            return audios[0], rt
+            return audios[0], rt, []
         gap_s = float(req.get("sentence_silence", 0.2))
         # join_with_silence raises ValueError on negative -> HTTP 400.
         return join_with_silence(
-            audios, int(round(gap_s * rt.sample_rate))), rt
+            audios, int(round(gap_s * rt.sample_rate))), rt, []
 
     def _synthesize_ssml(self, req: dict, voice: str, rt: PiperRuntime):
         """"ssml" body field: expressive markup rendered through the SAME
@@ -411,42 +449,18 @@ class PiperHTTPServer(_HttpLifecycle):
         (the batcher's (scales, bucket, mix) queues group same-prosody
         spans into batched decodes), the handler assembles gaps/volume.
         Prosody/voice live in the document, so the per-request knobs that
-        would fight it are rejected."""
+        would fight it are rejected (_ssml_plan_for)."""
         from piper_tpu.core.audio import pcm_to_float32
-        from piper_tpu.core.ssml import assemble, parse_ssml, plan_ssml
+        from piper_tpu.core.ssml import assemble, submit_kwargs
 
-        for k in ("text", "ipa", "phoneme_ids", "durations",
-                  "length_scale", "speaker", "speaker_id", "speaker_mix"):
-            if req.get(k) is not None:
-                raise ValueError(
-                    f"{k} cannot be combined with ssml — prosody and "
-                    f"speaker selection live in the document "
-                    f"(<prosody>, <voice>)")
-        gap_s = float(req.get("sentence_silence", 0.2))
-        if gap_s < 0:
-            raise ValueError("sentence_silence must be >= 0")
-        doc = parse_ssml(str(req["ssml"]))  # SsmlError -> 400 (ValueError)
-        phonemize = None
-        if any(s.kind == "text" for s in doc.segments):
-            from piper_tpu.phonemize import phonemizer_for
-
-            phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
-        plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
-                         sentence_silence=gap_s,
-                         speaker_resolver=rt.speaker_index)
+        plan, _ = _ssml_plan_for(req, rt, self._phonemizers)
         common = {k: req[k] for k in ("noise_scale", "noise_w")
                   if req.get(k) is not None}
         futs = []
         try:
             for u in plan.utterances:
-                kw = dict(common)
-                if u.ctx.length_scale is not None:
-                    kw["length_scale"] = u.ctx.length_scale
-                if u.ctx.speaker_mix is not None:
-                    kw["speaker_mix"] = u.ctx.mix_dict()
-                elif u.ctx.speaker_id is not None:
-                    kw["speaker_id"] = u.ctx.speaker_id
-                futs.append(self.server.submit(voice, u.ids, **kw))
+                futs.append(self.server.submit(
+                    voice, u.ids, **submit_kwargs(u.ctx, common)))
         except Exception:
             # A mid-document rejection (bad <voice> id, admission shed)
             # must not leave earlier utterances synthesizing audio nobody
@@ -455,7 +469,7 @@ class PiperHTTPServer(_HttpLifecycle):
                 f.cancel()
             raise
         audios = [pcm_to_float32(f.result(timeout=600)) for f in futs]
-        return assemble(audios, plan, rt.sample_rate), rt
+        return assemble(audios, plan, rt.sample_rate), rt, plan.ignored
 
     def _durations(self, req: dict) -> dict:
         """Phoneme-level alignment for a request WITHOUT synthesizing audio:
@@ -512,39 +526,15 @@ class PiperHTTPServer(_HttpLifecycle):
         document realizes — per-utterance alignment with offsets that walk
         the assembly (breaks, sentence gaps). Encoder-only on the worker."""
         from piper_tpu.core.alignment import alignments_to_json, make_alignment
-        from piper_tpu.core.ssml import (alignment_offsets, parse_ssml,
-                                         plan_ssml)
+        from piper_tpu.core.ssml import alignment_offsets, submit_kwargs
 
-        for k in ("text", "ipa", "phoneme_ids", "length_scale",
-                  "speaker", "speaker_id", "speaker_mix"):
-            if req.get(k) is not None:
-                raise ValueError(
-                    f"{k} cannot be combined with ssml — prosody and "
-                    f"speaker selection live in the document")
-        gap_s = float(req.get("sentence_silence", 0.2))
-        if gap_s < 0:
-            raise ValueError("sentence_silence must be >= 0")
-        doc = parse_ssml(str(req["ssml"]))
-        phonemize = None
-        if any(s.kind == "text" for s in doc.segments):
-            from piper_tpu.phonemize import phonemizer_for
-
-            phonemize = phonemizer_for(rt, self._phonemizers).phoneme_ids
-        plan = plan_ssml(doc, rt.config.phoneme_id_map, phonemize,
-                         sentence_silence=gap_s,
-                         speaker_resolver=rt.speaker_index)
+        plan, _ = _ssml_plan_for(req, rt, self._phonemizers)
         common = {k: req[k] for k in ("noise_w",) if req.get(k) is not None}
         futs = []
         try:
             for u in plan.utterances:
-                kw = dict(common)
-                if u.ctx.length_scale is not None:
-                    kw["length_scale"] = u.ctx.length_scale
-                if u.ctx.speaker_mix is not None:
-                    kw["speaker_mix"] = u.ctx.mix_dict()
-                elif u.ctx.speaker_id is not None:
-                    kw["speaker_id"] = u.ctx.speaker_id
-                futs.append(self.server.submit_durations(voice, u.ids, **kw))
+                futs.append(self.server.submit_durations(
+                    voice, u.ids, **submit_kwargs(u.ctx, common)))
         except Exception:
             for f in futs:
                 f.cancel()
@@ -563,6 +553,8 @@ class PiperHTTPServer(_HttpLifecycle):
         out["voice"] = voice
         out["sample_rate"] = sr
         out["total_samples"] = total
+        if plan.ignored:
+            out["ignored"] = plan.ignored
         return out
 
     # -- lifecycle ---------------------------------------------------------
@@ -634,7 +626,7 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                     # ("utt", ids, submit_kwargs, volume) items in order —
                     # plain requests interleave sentences with one gap,
                     # SSML requests walk the document's assembly script.
-                    items = outer._stream_items(req)
+                    items, ignored = outer._stream_items(req)
                 except ValueError as e:
                     self._send_json(400, {"error": str(e)})
                     return
@@ -662,6 +654,8 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                 self.send_header("Content-Type", "audio/x-raw-int16")
                 self.send_header("Transfer-Encoding", "chunked")
                 self.send_header("X-Sample-Rate", str(outer.rt.sample_rate))
+                if ignored:  # SSML features the subset cannot realize
+                    self.send_header("X-Piper-Ignored", "; ".join(ignored))
                 self.end_headers()
 
                 def wchunk(b: bytes) -> None:
@@ -695,15 +689,12 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
 
         self._init_http(host, port, Handler)
 
-    def _stream_items(self, req: dict) -> list:
-        """The stream program for one request: ordered ("gap", pcm_bytes)
-        and ("utt", ids, submit_kwargs, volume) items. Raises ValueError
-        (-> 400) on malformed input."""
+    def _stream_items(self, req: dict):
+        """The stream program for one request: (items, ignored) where items
+        are ordered ("gap", pcm_bytes) and ("utt", ids, submit_kwargs,
+        volume) entries. Raises ValueError (-> 400) on malformed input."""
         from piper_tpu.core.audio import float_to_int16
 
-        gap_s = float(req.get("sentence_silence", 0.2))
-        if gap_s < 0:
-            raise ValueError("sentence_silence must be >= 0")
         sr = self.rt.sample_rate
 
         def gap_bytes(seconds: float) -> bytes:
@@ -711,24 +702,9 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                 np.zeros(int(round(seconds * sr)), np.float32)).tobytes()
 
         if req.get("ssml") is not None:
-            from piper_tpu.core.ssml import parse_ssml, plan_ssml
+            from piper_tpu.core.ssml import submit_kwargs
 
-            for k in ("text", "ipa", "phoneme_ids", "length_scale",
-                      "speaker", "speaker_id", "speaker_mix"):
-                if req.get(k) is not None:
-                    raise ValueError(
-                        f"{k} cannot be combined with ssml — prosody and "
-                        f"speaker selection live in the document")
-            doc = parse_ssml(str(req["ssml"]))
-            phonemize = None
-            if any(s.kind == "text" for s in doc.segments):
-                from piper_tpu.phonemize import phonemizer_for
-
-                phonemize = phonemizer_for(self.rt,
-                                           self._phonemizers).phoneme_ids
-            plan = plan_ssml(doc, self.rt.config.phoneme_id_map, phonemize,
-                             sentence_silence=gap_s,
-                             speaker_resolver=self.rt.speaker_index)
+            plan, _ = _ssml_plan_for(req, self.rt, self._phonemizers)
             common = {k: req[k] for k in ("seed", "noise_scale", "noise_w")
                       if req.get(k) is not None}
             items = []
@@ -737,15 +713,12 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                     items.append(("gap", gap_bytes(item[1])))
                     continue
                 u = plan.utterances[item[1]]
-                kw = dict(common)
-                if u.ctx.length_scale is not None:
-                    kw["length_scale"] = u.ctx.length_scale
-                if u.ctx.speaker_mix is not None:
-                    kw["speaker_mix"] = u.ctx.mix_dict()
-                elif u.ctx.speaker_id is not None:
-                    kw["speaker_id"] = u.ctx.speaker_id
-                items.append(("utt", u.ids, kw, u.ctx.volume))
-            return items
+                items.append(("utt", u.ids, submit_kwargs(u.ctx, common),
+                              u.ctx.volume))
+            return items, plan.ignored
+        gap_s = float(req.get("sentence_silence", 0.2))
+        if gap_s < 0:
+            raise ValueError("sentence_silence must be >= 0")
         ids_list = _ids_for_request(req, self.rt, self._phonemizers)
         kwargs = {k: req[k] for k in
                   ("seed", "noise_scale", "length_scale",
@@ -758,7 +731,7 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
             if i:
                 items.append(("gap", gp))
             items.append(("utt", ids, kwargs, 1.0))
-        return items
+        return items, []
 
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)

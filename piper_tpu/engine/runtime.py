@@ -225,6 +225,36 @@ def resolve_speaker(spec, n_speakers: int,
     return sid
 
 
+def parse_mix_spec(spec: str) -> dict:
+    """'k:w,k:w' -> {key: weight}: the ONE grammar for textual mix specs
+    (CLI --speaker-mix, SSML <voice name=...> mixes). Keys become ints
+    when they parse, otherwise stay NAMES for resolve_speaker_mix.
+    Raises ValueError with the offending part."""
+    raw: dict = {}
+    for part in spec.split(","):
+        bits = part.split(":")
+        if len(bits) != 2 or not bits[0].strip():
+            raise ValueError(
+                f"bad mix entry {part!r} (use ID:WEIGHT or NAME:WEIGHT "
+                f"pairs, e.g. '0:0.6,3:0.4')")
+        key = bits[0].strip()
+        try:
+            key = int(key)
+        except ValueError:
+            pass  # a speaker NAME
+        try:
+            w = float(bits[1])
+        except ValueError:
+            raise ValueError(
+                f"bad mix weight {bits[1]!r} in {part!r}") from None
+        if key in raw:
+            raise ValueError(f"mix names speaker {key} twice")
+        raw[key] = w
+    if not raw:
+        raise ValueError("mix must name at least one speaker")
+    return raw
+
+
 def validate_speaker_mix(mix: dict, n_speakers: int,
                          speaker_id=None) -> None:
     """Door-step validation of a speaker blending spec {id: weight} —

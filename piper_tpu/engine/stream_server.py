@@ -207,6 +207,15 @@ class StreamingServer:
             validate_speaker_mix(speaker_mix,
                                  getattr(self.rt.hparams, "n_speakers", 1),
                                  speaker_id=speaker_id)
+        if speaker_id is not None:
+            # Same door-step rule for plain ids: an async head-dispatch
+            # failure surfaces as a truncated 200 body on the HTTP stream
+            # surface (and aborts a whole co-arriving head burst), where a
+            # synchronous raise is a clean 400 before headers.
+            n_spk = max(1, getattr(self.rt.hparams, "n_speakers", 1))
+            if not 0 <= int(speaker_id) < n_spk:
+                raise ValueError(
+                    f"speaker_id {speaker_id} out of range [0, {n_spk})")
         with self._lock:
             if self._n_open >= self.max_sessions:
                 raise ServerOverloaded(

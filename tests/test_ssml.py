@@ -423,6 +423,77 @@ def test_http_ssml_durations(runtime, tmp_path_factory):
         srv.close()
 
 
+def test_http_ssml_ignored_surfaced(runtime, tmp_path_factory):
+    """Unsupported SSML features are REPORTED over HTTP (header on audio
+    responses, 'ignored' in the durations JSON) — never silently dropped."""
+    import http.client
+    import json as _json
+
+    from piper_tpu.engine.http_server import PiperHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    d = tmp_path_factory.mktemp("http_ssml_ign")
+    srv = PiperHTTPServer(
+        {"v": _RT(*make_synthetic_voice(d, quality="test", seed=6,
+                                        n_speakers=4, gin_channels=32))},
+        port=0, max_batch=4, max_wait_ms=10)
+    srv.start()
+    try:
+        doc = ('<speak><prosody pitch="+2st"><phoneme ph="AB"/></prosody>'
+               '</speak>')
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        conn.request("POST", "/v1/synthesize",
+                     body=_json.dumps({"ssml": doc}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        resp.read()
+        assert resp.status == 200
+        assert "pitch" in (resp.getheader("X-Piper-Ignored") or "")
+        conn.close()
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=600)
+        conn.request("POST", "/v1/durations",
+                     body=_json.dumps({"ssml": doc}).encode(),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = _json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert any("pitch" in m for m in body.get("ignored", []))
+    finally:
+        srv.close()
+
+
+def test_stream_bad_speaker_is_400(tmp_path_factory):
+    """Out-of-range speakers on the streaming surface fail BEFORE headers
+    (clean 400) — not as a truncated 200 chunked body."""
+    import http.client
+    import json as _json
+
+    from piper_tpu.engine.http_server import PiperStreamingHTTPServer
+    from piper_tpu.engine.runtime import PiperRuntime as _RT
+
+    d = tmp_path_factory.mktemp("stream_400_voice")
+    rt = _RT(*make_synthetic_voice(d, quality="test", seed=6, n_speakers=4,
+                                   gin_channels=32))
+    srv = PiperStreamingHTTPServer(rt, port=0, max_sessions=4)
+    srv.start()
+    try:
+        for body in ({"phoneme_ids": list(FIXTURE_IDS), "speaker_id": 99},
+                     {"ssml": '<speak><voice name="99">'
+                              '<phoneme ph="AB"/></voice></speak>'}):
+            conn = http.client.HTTPConnection(srv.host, srv.port,
+                                              timeout=600)
+            try:
+                conn.request("POST", "/v1/stream",
+                             body=_json.dumps(body).encode(),
+                             headers={"Content-Type": "application/json"})
+                assert conn.getresponse().status == 400, body
+            finally:
+                conn.close()
+    finally:
+        srv.close()
+
+
 def test_streaming_http_ssml(tmp_path_factory):
     from piper_tpu.client import PiperStreamingClient
     from piper_tpu.engine.http_server import PiperStreamingHTTPServer
