@@ -896,6 +896,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve", action="store_true",
                    help="serve the loaded voice(s) over HTTP "
                         "(POST /v1/synthesize; see engine/http_server.py)")
+    p.add_argument("--cache-mb", type=float, default=0.0,
+                   help="with --serve: response cache budget in MB "
+                        "(synthesis is deterministic, so identical "
+                        "requests — canned phrases — serve from memory; "
+                        "0 disables)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=5000)
     return p
@@ -969,7 +974,8 @@ def run_serve(args) -> None:
         key = (Path(args.model).stem if args.model
                else (args.voice or "default"))
         runtimes[key] = rt
-    srv = PiperHTTPServer(runtimes, host=args.host, port=args.port)
+    srv = PiperHTTPServer(runtimes, host=args.host, port=args.port,
+                          cache_mb=max(0.0, args.cache_mb))
     stop_holder.append(srv)
     if args.prewarm:
         stats = srv.prewarm(speaker_mix_programs=args.prewarm_speaker_mix)

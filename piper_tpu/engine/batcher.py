@@ -72,6 +72,8 @@ class _Request:
     # "forced" -> audio from a caller-supplied duration plan.
     kind: str = "synth"
     durations: Optional[List[int]] = None
+    # set by submit when the response cache is on: where to store the result
+    cache_key: Optional[tuple] = None
     # Speaker blending weights {id: w} (PiperRuntime speaker_mix). Mix
     # requests queue SEPARATELY from integer-sid requests (the queue key
     # carries a mix flag): a (B, n_speakers) conditioning array compiles a
@@ -101,7 +103,8 @@ class BatchingServer:
                  max_pending: Optional[int] = None,
                  deadline_ms: Optional[float] = None,
                  cond: Optional[threading.Condition] = None,
-                 start_worker: bool = True):
+                 start_worker: bool = True,
+                 cache_mb: float = 0.0):
         """`max_batch` is the group row count at the 128-phoneme bucket; via
         the phoneme budget below, shorter buckets form proportionally WIDER
         groups, up to `max_rows` rows. Callers sizing for device memory or
@@ -134,6 +137,15 @@ class BatchingServer:
         0.5x aggregate; the same groups warm run at ~360x). Call
         `prewarm()` after construction to compile the whole grid up front.
 
+        `cache_mb` (> 0 to enable) bounds an in-memory response cache:
+        synthesis here is DETERMINISTIC (seeded noise derived per row from
+        the runtime seed and shapes), so identical requests — the
+        canned-phrase traffic real TTS deployments see constantly — can be
+        served from memory in microseconds instead of device time. Entries
+        are read-only arrays evicted LRU by byte size; hits/bytes appear
+        in metrics(). Audio ("synth"/"forced") and durations results are
+        cached; keys carry ids, scales, conditioning, and plan.
+
         `cond` / `start_worker` exist for MultiVoiceBatchingServer, which
         multiplexes several per-voice servers onto ONE worker thread (all
         device I/O must stay serial on one thread — tunneled-device rule):
@@ -152,7 +164,13 @@ class BatchingServer:
             "shed_overload": 0, "shed_deadline": 0,
             "groups": 0, "rows": 0, "padded_rows": 0,
             "wait_ms_sum": 0.0, "wait_ms_max": 0.0,
+            "cache_hits": 0, "cache_bytes": 0,
         }
+        # Response cache: key -> read-only np.ndarray, LRU by insertion
+        # order (dict move_to_end semantics via re-insert), byte-bounded.
+        self.cache_bytes_max = int(cache_mb * (1 << 20))
+        self._cache: "dict[tuple, np.ndarray]" = {}
+        self._cache_bytes = 0
         # Group size scales INVERSELY with utterance length via a phoneme
         # budget: `max_batch` rows of a 128-phoneme request and up to
         # `max_rows` rows of short prompts cost similar compute, while
@@ -190,7 +208,7 @@ class BatchingServer:
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, length_scale, noise_w),
                        speaker_id, fut, speaker_mix=speaker_mix)
-        return self._enqueue(req, p_bucket)
+        return self._cached_or_enqueue(req, p_bucket)
 
     def _validate_request(self, phoneme_ids: Sequence[int],
                           speaker_id: Optional[int],
@@ -254,7 +272,7 @@ class BatchingServer:
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
                        kind="dur", speaker_mix=speaker_mix)
-        return self._enqueue(req, p_bucket)
+        return self._cached_or_enqueue(req, p_bucket)
 
     def submit_forced(
         self,
@@ -288,7 +306,7 @@ class BatchingServer:
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, None, None), speaker_id, fut,
                        kind="forced", durations=durs, speaker_mix=speaker_mix)
-        return self._enqueue(req, p_bucket)
+        return self._cached_or_enqueue(req, p_bucket)
 
     def _enqueue(self, req: _Request, p_bucket) -> "Future[np.ndarray]":
         with self._cond:
@@ -308,12 +326,70 @@ class BatchingServer:
             self._cond.notify()
         return req.future
 
+    # -- response cache ---------------------------------------------------
+
+    def _cache_key(self, req: _Request) -> tuple:
+        mix = (tuple(sorted((int(k), float(v))
+                            for k, v in req.speaker_mix.items()))
+               if req.speaker_mix is not None else None)
+        durs = tuple(req.durations) if req.durations is not None else None
+        return (req.kind, tuple(req.ids), req.scales, req.speaker_id, mix,
+                durs)
+
+    def _cache_get(self, key: tuple):
+        with self._cond:
+            val = self._cache.pop(key, None)
+            if val is None:
+                return None
+            self._cache[key] = val  # re-insert = LRU bump (dicts are ordered)
+            self._metrics["cache_hits"] += 1
+            return val
+
+    def _cache_put(self, key: tuple, value: np.ndarray) -> None:
+        value = np.asarray(value).copy()
+        value.setflags(write=False)  # shared across future hits
+        if value.nbytes > self.cache_bytes_max:
+            return
+        with self._cond:
+            old = self._cache.pop(key, None)
+            if old is not None:
+                self._cache_bytes -= old.nbytes
+            self._cache[key] = value
+            self._cache_bytes += value.nbytes
+            while self._cache_bytes > self.cache_bytes_max and self._cache:
+                oldest = next(iter(self._cache))
+                self._cache_bytes -= self._cache.pop(oldest).nbytes
+
+    def _cached_or_enqueue(self, req: _Request, p_bucket):
+        """Serve from the response cache when enabled and hit; otherwise
+        tag the request for store-on-completion and enqueue it."""
+        if self.cache_bytes_max and isinstance(p_bucket, int):
+            key = self._cache_key(req)
+            hit = self._cache_get(key)
+            if hit is not None:
+                req.future.set_result(hit)
+                with self._cond:
+                    self._metrics["submitted"] += 1
+                    self._metrics["completed"] += 1
+                return req.future
+            req.cache_key = key
+        return self._enqueue(req, p_bucket)
+
+    def _finish_value(self, r: _Request, value) -> None:
+        """Deliver a successful result, storing it in the response cache
+        when the request was tagged at submit."""
+        if r.cache_key is not None:
+            self._cache_put(r.cache_key, value)
+        _deliver(r.future, value)
+
     def metrics(self) -> dict:
         """Snapshot of serving counters: queue depth, shed counts, dispatch
-        wait stats, achieved grouping (rows per group, batch-ladder padding)."""
+        wait stats, achieved grouping (rows per group, batch-ladder padding),
+        response-cache hits and resident bytes."""
         with self._cond:
             m = dict(self._metrics)
             m["queue_depth"] = self._pending
+            m["cache_bytes"] = self._cache_bytes
         m["wait_ms_mean"] = (m.pop("wait_ms_sum") / m["rows"]) if m["rows"] else 0.0
         m["rows_per_group"] = (m["rows"] / m["groups"]) if m["groups"] else 0.0
         return m
@@ -592,7 +668,7 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, d in zip(group, durs):
-                    _deliver(r.future, d)
+                    self._finish_value(r, d)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
@@ -624,7 +700,7 @@ class BatchingServer:
                 with self._cond:
                     self._metrics["completed"] += len(group)
                 for r, a in zip(group, audios):
-                    _deliver(r.future, a)
+                    self._finish_value(r, a)
             except Exception as e:  # noqa: BLE001 — per-request surfacing
                 with self._cond:
                     self._metrics["failed"] += len(group)
@@ -671,7 +747,7 @@ class BatchingServer:
             with self._cond:
                 self._metrics["completed"] += len(group)
             for r, a in zip(group, audios):
-                _deliver(r.future, a)
+                self._finish_value(r, a)
         except Exception as e:  # noqa: BLE001
             with self._cond:
                 self._metrics["failed"] += len(group)
@@ -766,16 +842,19 @@ class MultiVoiceBatchingServer:
                  max_batch: int = 16, max_wait_ms: float = 5.0,
                  max_rows: int = 128, fused: Optional[bool] = None,
                  max_pending: Optional[int] = None,
-                 deadline_ms: Optional[float] = None):
+                 deadline_ms: Optional[float] = None,
+                 cache_mb: float = 0.0):
         """`runtimes` maps voice key -> loaded PiperRuntime (e.g. from
         VoiceServer.runtime()). Admission control (`max_pending`,
-        `deadline_ms`) applies PER VOICE."""
+        `deadline_ms`) and the response cache (`cache_mb`) apply PER
+        VOICE."""
         if not runtimes:
             raise ValueError("at least one voice runtime required")
         self._cond = threading.Condition()
         self._batcher_kwargs = dict(
             max_batch=max_batch, max_wait_ms=max_wait_ms, max_rows=max_rows,
-            fused=fused, max_pending=max_pending, deadline_ms=deadline_ms)
+            fused=fused, max_pending=max_pending, deadline_ms=deadline_ms,
+            cache_mb=cache_mb)
         self._servers: Dict[str, BatchingServer] = {
             key: BatchingServer(rt, cond=self._cond, start_worker=False,
                                 **self._batcher_kwargs)
