@@ -40,6 +40,8 @@ def _merge_voice_metrics(per: dict) -> dict:
     the single-server shape report() expects."""
     m = {k: 0 for k in ("groups", "rows", "padded_rows",
                         "shed_overload", "shed_deadline")}
+    m["cache_hits"] = sum(v.get("cache_hits", 0) for v in per.values())
+    m["cache_bytes"] = sum(v.get("cache_bytes", 0) for v in per.values())
     wait_sum = wait_max = 0.0
     for v in per.values():
         for k in m:
@@ -79,6 +81,14 @@ def main(argv=None):
                     help="drive the SAME traffic through PiperHTTPServer "
                          "over loopback TCP (measures the full deployment "
                          "stack: JSON parse + batcher + PCM encode + HTTP)")
+    ap.add_argument("--cache-mb", type=float, default=0.0,
+                    help="response-cache budget (MB) per voice; see "
+                         "BatchingServer(cache_mb=)")
+    ap.add_argument("--phrase-pool", type=int, default=0,
+                    help="distinct phrase variants per length factor "
+                         "(0 = one canonical phrase per factor; with "
+                         "--cache-mb that is a near-100%% hit canned-phrase "
+                         "workload, larger pools lower the hit rate)")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -131,6 +141,11 @@ def main(argv=None):
                 continue
             f = int(rng.choice(factors, p=weights))
             ids = (FIXTURE_IDS * f)[:4096]
+            if args.phrase_pool:
+                # rotate the phrase: valid ids, distinct sequence per
+                # variant — a cheap stand-in for a phrase pool
+                r = int(rng.integers(args.phrase_pool)) % len(ids)
+                ids = ids[r:] + ids[:r]
             t_submit = time.perf_counter()
             try:
                 fut = submit(rng, ids)
@@ -171,7 +186,7 @@ def main(argv=None):
         http_srv = PiperHTTPServer(
             runtimes, port=0, max_batch=args.max_batch,
             max_wait_ms=args.max_wait_ms, max_pending=args.max_pending,
-            deadline_ms=args.deadline_ms)
+            deadline_ms=args.deadline_ms, cache_mb=args.cache_mb)
         http_srv.start()
         server = http_srv.server
         # One pool worker per plausibly-in-flight request: at high rates a
@@ -215,7 +230,8 @@ def main(argv=None):
     elif args.voices > 1:
         server = MultiVoiceBatchingServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-            max_pending=args.max_pending, deadline_ms=args.deadline_ms)
+            max_pending=args.max_pending, deadline_ms=args.deadline_ms,
+            cache_mb=args.cache_mb)
         voice_keys = list(runtimes)
 
         def submit(rng, ids):
@@ -228,7 +244,8 @@ def main(argv=None):
         server = BatchingServer(rt, max_batch=args.max_batch,
                                 max_wait_ms=args.max_wait_ms,
                                 max_pending=args.max_pending,
-                                deadline_ms=args.deadline_ms)
+                                deadline_ms=args.deadline_ms,
+                                cache_mb=args.cache_mb)
 
         def submit(rng, ids):
             return server.submit(ids, noise_scale=None)
@@ -313,6 +330,9 @@ def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
             "wait_ms_max": round(server_metrics["wait_ms_max"], 1),
             "shed_overload": server_metrics["shed_overload"],
             "shed_deadline": server_metrics["shed_deadline"],
+            **({"cache_hits": server_metrics.get("cache_hits", 0),
+                "cache_bytes": server_metrics.get("cache_bytes", 0)}
+               if args.cache_mb else {}),
             **({"per_voice_rows": server_metrics["per_voice_rows"]}
                if "per_voice_rows" in server_metrics else {}),
         },
