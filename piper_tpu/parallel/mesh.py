@@ -17,6 +17,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 DATA_AXIS = "dp"
 SEQ_AXIS = "sp"
 TENSOR_AXIS = "tp"
+PIPE_AXIS = "pp"
 
 
 def make_mesh(
@@ -24,26 +25,32 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     seq_parallel: int = 1,
     tensor_parallel: int = 1,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """Build a (dp, sp, tp) mesh. dp shards utterance batches; sp optionally
-    shards the waveform/frame axis of very long outputs; tp optionally shards
-    the vocoder/flow channel axes (Megatron-style) to cut single-utterance
-    latency when chips outnumber concurrent requests."""
+    """Build a (dp, sp, tp, pp) mesh. dp shards utterance batches; sp
+    optionally shards the waveform/frame axis of very long outputs; tp
+    optionally shards the vocoder/flow channel axes (Megatron-style) to cut
+    single-utterance latency when chips outnumber concurrent requests; pp
+    optionally pipelines the decode graph stage-by-stage (parallel/pp.py).
+
+    pp is the innermost axis so pipeline neighbors are ICI neighbors —
+    stage-to-stage ppermutes are the latency-critical collective."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = list(devices)[:n_devices]
-    inner = seq_parallel * tensor_parallel
+    inner = seq_parallel * tensor_parallel * pipeline_parallel
     if n_devices % inner != 0:
         raise ValueError(
             f"n_devices {n_devices} not divisible by seq_parallel "
-            f"{seq_parallel} * tensor_parallel {tensor_parallel}"
+            f"{seq_parallel} * tensor_parallel {tensor_parallel} * "
+            f"pipeline_parallel {pipeline_parallel}"
         )
     grid = np.asarray(devices).reshape(
-        n_devices // inner, seq_parallel, tensor_parallel
+        n_devices // inner, seq_parallel, tensor_parallel, pipeline_parallel
     )
-    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, TENSOR_AXIS))
+    return Mesh(grid, (DATA_AXIS, SEQ_AXIS, TENSOR_AXIS, PIPE_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

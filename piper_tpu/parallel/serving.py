@@ -57,6 +57,7 @@ class ShardedVits:
         # PiperRuntime._build_jits keys its programs.
         self._infer_fns: dict = {}
         self._sp_decode_fns: dict = {}
+        self._pp_decode_fns: dict = {}
         self._tp_size = int(self.mesh.shape.get(TENSOR_AXIS, 1))
         from piper_tpu.parallel.tp import resolve_pallas_under_tp
 
@@ -223,6 +224,94 @@ class ShardedVits:
         fn = jax.jit(lambda enc, seed, total, ns: mapped(self.params, enc, seed, total, ns))
         self._sp_decode_fns[key] = fn
         return fn
+
+    # -- pipeline-parallel decode (stage-sharded graph) ----------------------
+
+    def pp_decode_fn(self, max_frames: int, rows_per_dp: int,
+                     with_g: bool = False,
+                     microbatches: Optional[int] = None,
+                     noise_scale: float = 0.667):
+        """Return the jitted GPipe-style pipelined decode over the `pp` mesh
+        axis (parallel/pp.py) for this shape — cached like infer_fn.
+
+        fn(params, m_p, logs_p, x_mask, w_ceil, main_noise[, g]) ->
+        (audio, y_lengths), batch axes sharded over dp."""
+        from piper_tpu.parallel.mesh import PIPE_AXIS
+        from piper_tpu.parallel.pp import build_pp_decode
+
+        if self._tp_size > 1:
+            raise NotImplementedError(
+                "pipeline-parallel decode needs replicated params; build the "
+                "mesh with tensor_parallel=1 (pp composes with dp, not tp)")
+        if int(self.mesh.shape.get(PIPE_AXIS, 1)) < 2:
+            raise ValueError("mesh has no pp axis; build it with "
+                             "pipeline_parallel >= 2")
+        key = (int(max_frames), int(rows_per_dp), bool(with_g),
+               microbatches, float(noise_scale))
+        cached = self._pp_decode_fns.get(key)
+        if cached is not None:
+            return cached
+        call = build_pp_decode(
+            self.mesh, self.hp, max_frames=max_frames,
+            rows_per_dp=rows_per_dp, microbatches=microbatches,
+            with_g=with_g, noise_scale=noise_scale,
+            vocoder_precision=self.vocoder_precision,
+            flow_precision=self.flow_precision, precision=self.precision)
+        fn = jax.jit(call)
+        self._pp_decode_fns[key] = fn
+        return fn
+
+    def synthesize_pipelined(
+        self,
+        ids: np.ndarray,
+        lengths: np.ndarray,
+        *,
+        max_frames: int,
+        scales: Tuple[float, float, float] = (0.667, 1.0, 0.8),
+        sid: Optional[np.ndarray] = None,
+        seed: int = 1234,
+        microbatches: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Encode (replicated), then decode through the stage pipeline.
+
+        Noise derivation matches synthesize_batch exactly, so at equal
+        (ids, seed, max_frames) the pipelined audio must equal the dp-sharded
+        fused audio to float associativity."""
+        b, p = ids.shape
+        dp_size = self.mesh.shape[DATA_AXIS]
+        if b % dp_size != 0:
+            raise ValueError(f"batch {b} not divisible by dp mesh size {dp_size}")
+        ns, ls, nw = scales
+        rng = np.random.default_rng(seed)
+        dp_noise = rng.standard_normal((b, 2, p)).astype(np.float32)
+        main_noise = rng.standard_normal(
+            (b, self.hp.inter_channels, max_frames)).astype(np.float32)
+        b_sh = batch_sharded(self.mesh)
+
+        def enc_fn(params, ids_j, lengths_j, dp_noise_j, sid_j):
+            with jax.default_matmul_precision(self.precision):
+                return vits.encode(params, self.hp, ids_j, lengths_j,
+                                   dp_noise_j, length_scale=ls, noise_w=nw,
+                                   sid=sid_j)
+
+        sid_j = (jax.device_put(jnp.asarray(sid, jnp.int32), b_sh)
+                 if sid is not None else None)
+        enc = jax.jit(enc_fn)(
+            self.params,
+            jax.device_put(jnp.asarray(ids, jnp.int32), b_sh),
+            jax.device_put(jnp.asarray(lengths, jnp.int32), b_sh),
+            jax.device_put(jnp.asarray(dp_noise), b_sh),
+            sid_j,
+        )
+        fn = self.pp_decode_fn(max_frames, b // dp_size,
+                               with_g=enc.g is not None,
+                               microbatches=microbatches, noise_scale=ns)
+        args = [self.params, enc.m_p, enc.logs_p, enc.x_mask, enc.w_ceil,
+                jax.device_put(jnp.asarray(main_noise), b_sh)]
+        if enc.g is not None:
+            args.append(enc.g)
+        audio, y_len = fn(*args)
+        return np.asarray(audio), np.asarray(y_len)
 
     def synthesize_long(
         self,

@@ -33,11 +33,13 @@ TINY = VitsHParams(
 def test_mesh_shapes():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(8)
-    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1}
+    assert mesh.shape == {"dp": 8, "sp": 1, "tp": 1, "pp": 1}
     mesh2 = make_mesh(8, seq_parallel=2)
-    assert mesh2.shape == {"dp": 4, "sp": 2, "tp": 1}
+    assert mesh2.shape == {"dp": 4, "sp": 2, "tp": 1, "pp": 1}
     mesh3 = make_mesh(8, seq_parallel=2, tensor_parallel=2)
-    assert mesh3.shape == {"dp": 2, "sp": 2, "tp": 2}
+    assert mesh3.shape == {"dp": 2, "sp": 2, "tp": 2, "pp": 1}
+    mesh4 = make_mesh(8, pipeline_parallel=2)
+    assert mesh4.shape == {"dp": 4, "sp": 1, "tp": 1, "pp": 2}
     with pytest.raises(ValueError):
         make_mesh(6, seq_parallel=4)
 
