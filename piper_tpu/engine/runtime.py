@@ -345,6 +345,19 @@ class PiperRuntime:
                 raise ValueError(
                     f"mesh must have a '{DATA_AXIS}' axis (got {mesh.axis_names})"
                 )
+            from piper_tpu.parallel.mesh import PIPE_AXIS
+
+            if int(mesh.shape.get(PIPE_AXIS, 1)) > 1:
+                # The runtime's programs are whole-graph jits — they would
+                # run replicated (correct, but idle) across a pp axis rather
+                # than pipelined. The pipelined decode is an explicit
+                # schedule; route callers to its API instead of silently
+                # wasting the pp devices.
+                raise NotImplementedError(
+                    "PiperRuntime serves dp/tp meshes; for pipeline "
+                    "parallelism use parallel.serving.ShardedVits."
+                    "synthesize_pipelined on a pipeline_parallel mesh"
+                )
             host = host_arrays_from_graph(onnx_model.graph)
             np_dtype = np.float32 if dtype == jnp.float32 else dtype
             self._tp_size = int(mesh.shape.get(TENSOR_AXIS, 1))

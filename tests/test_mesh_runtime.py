@@ -26,6 +26,13 @@ def mesh_runtime(tiny_voice, mesh):
                         mesh=mesh)
 
 
+def test_runtime_rejects_pp_mesh(tiny_voice):
+    # The runtime's whole-graph jits would run replicated (idle) across a
+    # pp axis; pipelining is ShardedVits.synthesize_pipelined's job.
+    with pytest.raises(NotImplementedError):
+        PiperRuntime(*tiny_voice, mesh=make_mesh(4, pipeline_parallel=2))
+
+
 def test_batch_ladder_is_dp_divisible(mesh_runtime):
     assert all(x % 8 == 0 for x in mesh_runtime.batch_ladder)
     assert mesh_runtime.batch_ladder[0] == 8
