@@ -58,7 +58,11 @@ class ShardedVits:
         self._infer_fns: dict = {}
         self._sp_decode_fns: dict = {}
         self._pp_decode_fns: dict = {}
+        self._enc_fns: dict = {}
         self._tp_size = int(self.mesh.shape.get(TENSOR_AXIS, 1))
+        from piper_tpu.parallel.mesh import PIPE_AXIS
+
+        self._pp_size = int(self.mesh.shape.get(PIPE_AXIS, 1))
         from piper_tpu.parallel.tp import resolve_pallas_under_tp
 
         self.use_pallas = resolve_pallas_under_tp(self._tp_size, self.use_pallas)
@@ -88,6 +92,15 @@ class ShardedVits:
         Inputs are expected sharded along batch (axis 0) over `dp`; the
         returned audio is sharded the same way.
         """
+        if self._pp_size > 1:
+            # Mirrors PiperRuntime's pp rejection (engine/runtime.py): a
+            # whole-graph jit on a pp mesh would run the full graph
+            # REPLICATED across the pp axis — correct output, idle devices.
+            raise NotImplementedError(
+                "fused whole-graph inference on a pipeline_parallel mesh "
+                "would idle the pp devices; use synthesize_pipelined, or "
+                "build the mesh with pipeline_parallel=1"
+            )
         key = (int(max_frames), bool(with_sid))
         cached = self._infer_fns.get(key)
         if cached is not None:
@@ -159,6 +172,50 @@ class ShardedVits:
         audio, y_len = fn(*args)
         return np.asarray(audio), np.asarray(y_len)
 
+    # -- cached encoder programs --------------------------------------------
+
+    def encode_fn(self, length_scale: float, noise_w: float, *,
+                  keyed: bool = False):
+        """Return the jitted replicated/dp-sharded encoder for these scales —
+        cached, so repeated pipelined/long serving calls reuse the compiled
+        program instead of retracing per call (advisor r3 finding).
+
+        keyed=False: fn(params, ids, lengths, dp_noise, sid) with host-drawn
+        dp noise (synthesize_pipelined's derivation). keyed=True:
+        fn(params, ids, lengths, sid, seed) drawing row-invariant dp noise
+        in-graph from `seed` (synthesize_long's derivation)."""
+        key = (float(length_scale), float(noise_w), bool(keyed))
+        cached = self._enc_fns.get(key)
+        if cached is not None:
+            return cached
+        hp = self.hp
+        ls, nw = float(length_scale), float(noise_w)
+
+        if keyed:
+            def enc_fn(params, ids_j, lengths_j, sid_j, seed):
+                base = jax.random.fold_in(jax.random.PRNGKey(seed), 0)
+                # Per-row draw broadcast over the batch — matches the
+                # runtime's row-invariant derivation (encode_keyed);
+                # bit-identical at b=1.
+                dp_noise = jnp.broadcast_to(
+                    jax.random.normal(base, (2, ids_j.shape[1])),
+                    (ids_j.shape[0], 2, ids_j.shape[1]))
+                # Encoder stays at the global tier (duration-ceil safety —
+                # the same reason PiperRuntime never lowers the encode path).
+                with jax.default_matmul_precision(self.precision):
+                    return vits.encode(params, hp, ids_j, lengths_j, dp_noise,
+                                       length_scale=ls, noise_w=nw, sid=sid_j)
+        else:
+            def enc_fn(params, ids_j, lengths_j, dp_noise_j, sid_j):
+                with jax.default_matmul_precision(self.precision):
+                    return vits.encode(params, hp, ids_j, lengths_j,
+                                       dp_noise_j, length_scale=ls,
+                                       noise_w=nw, sid=sid_j)
+
+        fn = jax.jit(enc_fn)
+        self._enc_fns[key] = fn
+        return fn
+
     # -- sequence-parallel decode (long outputs) ----------------------------
 
     def sp_decode_fn(self, span: int, halo: Optional[int] = None,
@@ -185,6 +242,12 @@ class ShardedVits:
             raise NotImplementedError(
                 "sequence-parallel decode needs replicated params; build the "
                 "mesh with tensor_parallel=1 (tp composes with dp, not sp)"
+            )
+        if self._pp_size > 1:
+            raise NotImplementedError(
+                "sequence-parallel decode on a pipeline_parallel mesh would "
+                "idle the pp devices; use synthesize_pipelined, or build the "
+                "mesh with pipeline_parallel=1"
             )
         hp = self.hp
         h = receptive_field_frames(hp) if halo is None else int(halo)
@@ -246,8 +309,15 @@ class ShardedVits:
         if int(self.mesh.shape.get(PIPE_AXIS, 1)) < 2:
             raise ValueError("mesh has no pp axis; build it with "
                              "pipeline_parallel >= 2")
+        # Resolve the default BEFORE keying, so microbatches=None and an
+        # explicit value equal to the default share one compiled program.
+        if microbatches is None:
+            from piper_tpu.parallel.pp import default_microbatches
+
+            microbatches = default_microbatches(
+                int(rows_per_dp), int(self.mesh.shape[PIPE_AXIS]))
         key = (int(max_frames), int(rows_per_dp), bool(with_g),
-               microbatches, float(noise_scale))
+               int(microbatches), float(noise_scale))
         cached = self._pp_decode_fns.get(key)
         if cached is not None:
             return cached
@@ -288,15 +358,9 @@ class ShardedVits:
             (b, self.hp.inter_channels, max_frames)).astype(np.float32)
         b_sh = batch_sharded(self.mesh)
 
-        def enc_fn(params, ids_j, lengths_j, dp_noise_j, sid_j):
-            with jax.default_matmul_precision(self.precision):
-                return vits.encode(params, self.hp, ids_j, lengths_j,
-                                   dp_noise_j, length_scale=ls, noise_w=nw,
-                                   sid=sid_j)
-
         sid_j = (jax.device_put(jnp.asarray(sid, jnp.int32), b_sh)
                  if sid is not None else None)
-        enc = jax.jit(enc_fn)(
+        enc = self.encode_fn(ls, nw)(
             self.params,
             jax.device_put(jnp.asarray(ids, jnp.int32), b_sh),
             jax.device_put(jnp.asarray(lengths, jnp.int32), b_sh),
@@ -335,23 +399,11 @@ class ShardedVits:
         ns, ls, nw = scales
         r_sh = replicated(self.mesh)
 
-        def enc_fn(params, ids_j, lengths_j, sid_j):
-            base = jax.random.fold_in(jax.random.PRNGKey(jnp.uint32(seed)), 0)
-            # Per-row draw broadcast over the batch — matches the runtime's
-            # row-invariant derivation (encode_keyed); bit-identical at b=1.
-            dp_noise = jnp.broadcast_to(
-                jax.random.normal(base, (2, ids_j.shape[1])),
-                (ids_j.shape[0], 2, ids_j.shape[1]))
-            # Encoder stays at the global tier (duration-ceil safety — the
-            # same reason PiperRuntime never lowers the encode path).
-            with jax.default_matmul_precision(self.precision):
-                return vits.encode(params, self.hp, ids_j, lengths_j, dp_noise,
-                                   length_scale=ls, noise_w=nw, sid=sid_j)
-
         ids_j = jax.device_put(jnp.asarray(ids, jnp.int32), r_sh)
         lengths_j = jax.device_put(jnp.asarray(lengths, jnp.int32), r_sh)
         sid_j = jax.device_put(jnp.asarray(sid, jnp.int32), r_sh) if sid is not None else None
-        enc = jax.jit(enc_fn)(self.params, ids_j, lengths_j, sid_j)
+        enc = self.encode_fn(ls, nw, keyed=True)(
+            self.params, ids_j, lengths_j, sid_j, jnp.uint32(seed))
 
         n_sp = self.mesh.shape[SEQ_AXIS]
         total = n_sp * span

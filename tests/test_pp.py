@@ -176,3 +176,55 @@ def test_pp_multispeaker():
     np.testing.assert_allclose(np.asarray(audio), ref_audio, atol=2e-5,
                                rtol=0)
     np.testing.assert_array_equal(np.asarray(ylen), ref_ylen)
+
+
+def test_pp_mesh_guards_on_whole_graph_paths():
+    # ShardedVits on a pp mesh must refuse the whole-graph programs (they
+    # would run replicated across pp — correct output, idle devices) and
+    # point at synthesize_pipelined instead (advisor r3).
+    params = params_from_arrays(synthetic_params(TINY, seed=11))
+    sv = ShardedVits.create(make_mesh(4, pipeline_parallel=2), params, TINY)
+    with pytest.raises(NotImplementedError, match="synthesize_pipelined"):
+        sv.infer_fn(16)
+    with pytest.raises(NotImplementedError, match="synthesize_pipelined"):
+        sv.sp_decode_fn(8)
+    with pytest.raises(NotImplementedError, match="synthesize_pipelined"):
+        sv.synthesize_batch(
+            np.zeros((4, 8), np.int32), np.full((4,), 8, np.int32),
+            max_frames=16)
+
+
+def test_pp_decode_fn_cache_resolves_default_microbatches():
+    # microbatches=None and the explicit resolved default must share ONE
+    # compiled program (advisor r3: the key used to store None verbatim).
+    from piper_tpu.parallel.pp import default_microbatches
+
+    params = params_from_arrays(synthetic_params(TINY, seed=11))
+    sv = ShardedVits.create(make_mesh(2, pipeline_parallel=2), params, TINY)
+    rows = 4
+    m = default_microbatches(rows, 2)
+    fn_default = sv.pp_decode_fn(16, rows)
+    fn_explicit = sv.pp_decode_fn(16, rows, microbatches=m)
+    assert fn_default is fn_explicit
+    assert len(sv._pp_decode_fns) == 1
+
+
+def test_encode_fn_is_cached_across_calls():
+    # synthesize_pipelined / synthesize_long must reuse one jitted encoder
+    # per (length_scale, noise_w, keyed) instead of retracing per call
+    # (advisor r3).
+    params = params_from_arrays(synthetic_params(TINY, seed=11))
+    sv = ShardedVits.create(make_mesh(2, pipeline_parallel=2), params, TINY)
+    assert sv.encode_fn(1.0, 0.8) is sv.encode_fn(1.0, 0.8)
+    assert sv.encode_fn(1.0, 0.8, keyed=True) is sv.encode_fn(
+        1.0, 0.8, keyed=True)
+    assert sv.encode_fn(1.0, 0.8) is not sv.encode_fn(1.1, 0.8)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, TINY.n_vocab, size=(2, 8))
+    lengths = np.full((2,), 8, np.int32)
+    n_before = len(sv._enc_fns)
+    sv.synthesize_pipelined(ids, lengths, max_frames=16)
+    sv.synthesize_pipelined(ids, lengths, max_frames=16)
+    # Default scales (ls=1.0, nw=0.8) hit the entry warmed above — repeated
+    # serving adds no new traces.
+    assert len(sv._enc_fns) == n_before
