@@ -928,9 +928,10 @@ def run_serve(args) -> None:
     """HTTP serving front-end: one or more voices behind the multi-voice
     continuous batcher (engine/http_server.py). `--model` takes a comma
     list in serve mode (each .onnx pairs with its sibling .onnx.json), so
-    one process serves several voices. With --stream, serve the chunked
-    low-latency endpoint instead (one voice per process — the streaming
-    worker must own the device alone)."""
+    one process serves several voices. With --stream, the SAME process
+    additionally serves chunked low-latency `POST /v1/stream` for every
+    voice — the backend unifies the batcher and the streaming scheduler on
+    one device worker (engine/unified.py)."""
     stop_holder: list = []
     _install_sigterm_drain(stop_holder)
     from piper_tpu.engine.http_server import PiperHTTPServer
@@ -939,26 +940,6 @@ def run_serve(args) -> None:
         raise SystemExit("--config is ambiguous with several --model paths; "
                          "place each voice's config as <model>.onnx.json "
                          "next to its checkpoint")
-    if args.stream:
-        from piper_tpu.engine.http_server import PiperStreamingHTTPServer
-
-        if args.model and "," in str(args.model):
-            raise SystemExit("--serve --stream hosts ONE voice per process "
-                             "(the streaming worker owns the device)")
-        rt = _load_runtime(args)
-        srv = PiperStreamingHTTPServer(rt, host=args.host, port=args.port)
-        stop_holder.append(srv)
-        if args.prewarm:
-            srv.prewarm(speaker_mix=args.prewarm_speaker_mix)
-        print(f"streaming on http://{srv.host}:{srv.port} "
-              f"(POST /v1/stream, chunked)", file=sys.stderr)
-        try:
-            srv.serve_forever()
-        except KeyboardInterrupt:
-            pass
-        finally:
-            _drain_and_close(srv)
-        return
     runtimes = {}
     if args.model and "," in str(args.model):
         for path in str(args.model).split(","):
@@ -975,14 +956,25 @@ def run_serve(args) -> None:
                else (args.voice or "default"))
         runtimes[key] = rt
     srv = PiperHTTPServer(runtimes, host=args.host, port=args.port,
+                          stream=args.stream,
                           cache_mb=max(0.0, args.cache_mb))
     stop_holder.append(srv)
     if args.prewarm:
-        stats = srv.prewarm(speaker_mix_programs=args.prewarm_speaker_mix)
-        n = sum(v["programs"] for v in stats.values())
+        if args.stream:
+            stats = srv.prewarm(
+                speaker_mix_programs=args.prewarm_speaker_mix,
+                stream_kwargs={"speaker_mix": args.prewarm_speaker_mix})
+            n = (sum(v["programs"] for v in stats["batch"].values())
+                 + sum(v["programs"] for v in stats["stream"].values()))
+        else:
+            per_voice = srv.prewarm(
+                speaker_mix_programs=args.prewarm_speaker_mix)
+            n = sum(v["programs"] for v in per_voice.values())
         print(f"prewarmed {n} serving programs", file=sys.stderr)
+    surfaces = "POST /v1/synthesize, /v1/durations" + (
+        ", /v1/stream (chunked)" if args.stream else "")
     print(f"serving voice(s) {sorted(runtimes)} on "
-          f"http://{srv.host}:{srv.port} (POST /v1/synthesize)",
+          f"http://{srv.host}:{srv.port} ({surfaces})",
           file=sys.stderr)
     try:
         srv.serve_forever()

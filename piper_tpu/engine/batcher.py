@@ -19,6 +19,7 @@ sparse traffic.
 
 from __future__ import annotations
 
+import itertools
 import threading
 import time
 from collections import deque
@@ -502,12 +503,36 @@ class BatchingServer:
         import time as _time
 
         t0 = _time.perf_counter()
+        n = 0
+        for kind, step in self.prewarm_steps(
+                p_buckets=p_buckets, scales=scales, calibrate=calibrate,
+                speaker_mix_programs=speaker_mix_programs):
+            step()
+            if kind == "program":
+                n += 1
+        return {"programs": n, "seconds": _time.perf_counter() - t0,
+                "frames_per_phoneme": self._fpp}
+
+    def prewarm_steps(self, p_buckets: Optional[Sequence[int]] = None,
+                      scales: Sequence[tuple] = ((None, None, None),),
+                      calibrate: bool = True,
+                      speaker_mix_programs: bool = False):
+        """The grid warm as a lazy sequence of ("calibrate"|"program",
+        zero-arg callable) steps; running every step in order equals
+        prewarm(). Callers MUST invoke each yielded step before advancing
+        the generator (later steps' frame budgets read the calibrated
+        frames-per-phoneme).
+
+        This granularity is what makes add_voice non-pausing on a live
+        MultiVoiceBatchingServer: the worker interleaves ONE warm step
+        (one program execution — milliseconds warm-cache, a compile when
+        cold) between traffic groups instead of freezing every resident
+        voice for the whole grid."""
         if calibrate and self._fpp is None:
-            self.calibrate()
+            yield ("calibrate", self.calibrate)
         if p_buckets is None:
             p_buckets = [b for b in self.rt.options.phoneme_buckets
                          if b <= 256]
-        n = 0
         base = list(FIXTURE_PHONEME_IDS)
         base = [i % self.rt.hparams.n_vocab for i in base]
         # Multi-speaker voices compile DISTINCT programs for sid-absent,
@@ -522,8 +547,38 @@ class BatchingServer:
                 variants.append((None, [{0: 1.0}]))
         else:
             variants = [(None, None)]
+
+        def warm_fused(ids, rung, budget, ns, ls, nw, sids, mixes):
+            def step():
+                outs, meta = self.rt.dispatch_batch(
+                    [ids], noise_scale=ns, length_scale=ls,
+                    noise_w=nw, speaker_ids=sids,
+                    speaker_mixes=mixes, fused=True,
+                    pad_rows_to=rung, budget_frames=budget)
+                self.rt.fetch_batch(outs, meta)
+            return step
+
+        def warm_split(ids, rung, ns, ls, nw, sids, mixes):
+            def step():
+                self.rt.synthesize_batch(
+                    [ids] * rung, noise_scale=ns, length_scale=ls,
+                    noise_w=nw,
+                    speaker_ids=(sids * rung) if sids else None,
+                    speaker_mixes=(mixes * rung) if mixes else None)
+            return step
+
+        def warm_durations(ids, p_bucket, sids, mixes):
+            def step():
+                self.rt.phoneme_durations(
+                    [ids], speaker_ids=sids, speaker_mixes=mixes,
+                    pad_rows_to=self._dur_rows(p_bucket))
+            return step
+
         for p_bucket in p_buckets:
             ids = (base * (-(-p_bucket // len(base))))[:p_bucket]
+            # Budgets read self._fpp — computed lazily here, AFTER the
+            # calibrate step above has run under the call-as-you-go
+            # contract.
             budgets = [(self._rungs(p_bucket), self._budget_frames(p_bucket)),
                        # the overflow-redo program (tail rows, 2x budget)
                        ((self._rungs(p_bucket)[0],),
@@ -533,30 +588,17 @@ class BatchingServer:
                     for ns, ls, nw in scales:
                         for sids, mixes in variants:
                             if self.fused:
-                                outs, meta = self.rt.dispatch_batch(
-                                    [ids], noise_scale=ns, length_scale=ls,
-                                    noise_w=nw, speaker_ids=sids,
-                                    speaker_mixes=mixes, fused=True,
-                                    pad_rows_to=rung, budget_frames=budget)
-                                self.rt.fetch_batch(outs, meta)
+                                yield ("program", warm_fused(
+                                    ids, rung, budget, ns, ls, nw, sids,
+                                    mixes))
                             else:
-                                self.rt.synthesize_batch(
-                                    [ids] * rung, noise_scale=ns,
-                                    length_scale=ls, noise_w=nw,
-                                    speaker_ids=(sids * rung) if sids else None,
-                                    speaker_mixes=(mixes * rung) if mixes
-                                    else None)
-                            n += 1
+                                yield ("program", warm_split(
+                                    ids, rung, ns, ls, nw, sids, mixes))
             # The durations (alignment) program: one pinned encode per
             # bucket (and per conditioning variant), so a first
             # submit_durations can't compile mid-traffic.
             for sids, mixes in variants:
-                self.rt.phoneme_durations(
-                    [ids], speaker_ids=sids, speaker_mixes=mixes,
-                    pad_rows_to=self._dur_rows(p_bucket))
-                n += 1
-        return {"programs": n, "seconds": _time.perf_counter() - t0,
-                "frames_per_phoneme": self._fpp}
+                yield ("program", warm_durations(ids, p_bucket, sids, mixes))
 
     def _pop_group_locked(self, key) -> List[_Request]:
         """Pop up to the key's group limit from its queue with all metric
@@ -843,14 +885,25 @@ class MultiVoiceBatchingServer:
                  max_rows: int = 128, fused: Optional[bool] = None,
                  max_pending: Optional[int] = None,
                  deadline_ms: Optional[float] = None,
-                 cache_mb: float = 0.0):
+                 cache_mb: float = 0.0,
+                 warm_every: int = 2,
+                 cond: Optional[threading.Condition] = None,
+                 start_worker: bool = True):
         """`runtimes` maps voice key -> loaded PiperRuntime (e.g. from
         VoiceServer.runtime()). Admission control (`max_pending`,
         `deadline_ms`) and the response cache (`cache_mb`) apply PER
-        VOICE."""
+        VOICE.
+
+        `warm_every`: under live traffic, one prewarm step of a voice added
+        via add_voice runs after every `warm_every` traffic groups (all idle
+        time also goes to warming) — resident voices keep serving while a
+        new voice warms instead of pausing for its whole grid.
+
+        `cond` / `start_worker` exist for UnifiedServer, which drives this
+        scheduler AND the streaming tick loop from its own single worker."""
         if not runtimes:
             raise ValueError("at least one voice runtime required")
-        self._cond = threading.Condition()
+        self._cond = cond if cond is not None else threading.Condition()
         self._batcher_kwargs = dict(
             max_batch=max_batch, max_wait_ms=max_wait_ms, max_rows=max_rows,
             fused=fused, max_pending=max_pending, deadline_ms=deadline_ms,
@@ -861,10 +914,22 @@ class MultiVoiceBatchingServer:
             for key, rt in runtimes.items()
         }
         self.max_wait_s = max_wait_ms / 1e3
+        self.warm_every = max(1, int(warm_every))
         self._closed = False
         self._control: deque = deque()
-        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
-        self._worker.start()
+        # add_voice warms-in-progress: voice key -> state dict (worker-only
+        # mutation; readers snapshot under the lock). _groups_since_warm
+        # paces warm steps against traffic groups.
+        self._warming: Dict[str, dict] = {}
+        self._groups_since_warm = 0
+        # When _serve_step returns "wait", seconds left in the oldest
+        # group's batching window (UnifiedServer's idle-wait hint).
+        self._wait_hint: Optional[float] = None
+        self._worker: Optional[threading.Thread] = None
+        if start_worker:
+            self._worker = threading.Thread(target=self._serve_loop,
+                                            daemon=True)
+            self._worker.start()
 
     @property
     def voices(self) -> List[str]:
@@ -875,22 +940,37 @@ class MultiVoiceBatchingServer:
 
     def add_voice(self, key: str, runtime: PiperRuntime, *,
                   prewarm: bool = True, **prewarm_kwargs) -> "Future[dict]":
-        """Register a NEW voice on a live server. The voice's program-grid
-        prewarm runs on the WORKER thread (device I/O stays single-threaded)
-        — which also means serving of other voices PAUSES for its duration
-        (seconds with a warm persistent cache, minutes if the grid must
-        compile). Load voices before taking traffic when possible;
-        prewarm=False defers warming to first traffic (a mid-traffic
-        compile stall instead — pick your poison deliberately).
+        """Register a NEW voice on a live server WITHOUT pausing resident
+        voices: the voice accepts submits immediately, and its program-grid
+        prewarm runs as individual warm steps on the worker thread — one
+        program execution interleaved after every `warm_every` traffic
+        groups (idle time all goes to warming) — so other voices keep
+        serving throughout instead of freezing for the whole grid. Device
+        I/O stays single-threaded. Per-step cost: milliseconds when the
+        persistent XLA cache is warm; a cold compile still stalls the
+        worker for ITS OWN step (40-100 s on the tunneled dev chip), but
+        traffic drains between steps either way. Warm progress appears in
+        warming()/metrics(); prewarm=False skips warming entirely (the
+        voice's first traffic then compiles on demand).
+
+        Traffic for the NEW voice submitted before its grid finishes
+        warming is served as soon as its queue is oldest — it may land on a
+        not-yet-warm program and pay that compile inline.
 
         Returns a Future resolving to the prewarm stats dict ({} when
-        prewarm=False); it fails if the key already exists."""
+        prewarm=False); it fails if the key already exists.
+
+        `extra_warm_steps`: an optional iterable of ("program"|"calibrate",
+        zero-arg callable) warm steps chained AFTER the batch grid — how
+        UnifiedServer interleaves the new voice's STREAMING program grid
+        through the same non-pausing scheduler."""
+        extra = prewarm_kwargs.pop("extra_warm_steps", None)
         fut: "Future[dict]" = Future()
         with self._cond:
             if self._closed:
                 raise RuntimeError("server is closed")
             self._control.append(("add", key, runtime, prewarm,
-                                  prewarm_kwargs, fut))
+                                  prewarm_kwargs, extra, fut))
             self._cond.notify_all()
         return fut
 
@@ -913,7 +993,7 @@ class MultiVoiceBatchingServer:
                 return
             item = self._control.popleft()
         if item[0] == "add":
-            _, key, runtime, prewarm, prewarm_kwargs, fut = item
+            _, key, runtime, prewarm, prewarm_kwargs, extra, fut = item
             try:
                 with self._cond:
                     if key in self._servers:
@@ -921,10 +1001,23 @@ class MultiVoiceBatchingServer:
                 srv = BatchingServer(runtime, cond=self._cond,
                                      start_worker=False,
                                      **self._batcher_kwargs)
-                stats = srv.prewarm(**prewarm_kwargs) if prewarm else {}
                 with self._cond:
                     self._servers[key] = srv
-                _deliver(fut, stats)
+                    if prewarm or extra is not None:
+                        # Warm incrementally between traffic groups (see
+                        # add_voice); the future resolves when the grid
+                        # finishes.
+                        steps = (srv.prewarm_steps(**prewarm_kwargs)
+                                 if prewarm else iter(()))
+                        if extra is not None:
+                            steps = itertools.chain(steps, extra)
+                        self._warming[key] = {
+                            "iter": steps,
+                            "srv": srv, "programs": 0,
+                            "t0": time.perf_counter(), "fut": fut,
+                        }
+                if not prewarm and extra is None:
+                    _deliver(fut, {})
             except Exception as e:  # noqa: BLE001 — surface on the future
                 _deliver(fut, exc=e)
             return
@@ -932,6 +1025,14 @@ class MultiVoiceBatchingServer:
         try:
             with self._cond:
                 srv = self._servers.pop(key, None)
+                st = self._warming.pop(key, None)
+                if st is not None:
+                    _deliver(st["fut"], {
+                        "programs": st["programs"],
+                        "seconds": time.perf_counter() - st["t0"],
+                        "frames_per_phoneme": st["srv"]._fpp,
+                        "cancelled": True,
+                    })
                 if srv is None:
                     raise KeyError(f"unknown voice {key!r}")
                 srv._closed = True
@@ -946,6 +1047,63 @@ class MultiVoiceBatchingServer:
             _deliver(fut, failed)
         except Exception as e:  # noqa: BLE001
             _deliver(fut, exc=e)
+
+    def _advance_warm(self) -> None:
+        """Run ONE prewarm step of the oldest warming voice (worker thread
+        only); resolves the add_voice future when its grid completes."""
+        with self._cond:
+            if not self._warming:
+                return
+            key, st = next(iter(self._warming.items()))
+            self._groups_since_warm = 0
+        try:
+            kind, step = next(st["iter"], (None, None))
+            if step is None:
+                raise StopIteration
+        except StopIteration:
+            with self._cond:
+                self._warming.pop(key, None)
+            _deliver(st["fut"], {
+                "programs": st["programs"],
+                "seconds": time.perf_counter() - st["t0"],
+                "frames_per_phoneme": st["srv"]._fpp,
+            })
+            return
+        try:
+            step()  # device work — outside the lock
+            if kind == "program":
+                with self._cond:
+                    st["programs"] += 1
+        except Exception as e:  # noqa: BLE001 — surface on the add future
+            with self._cond:
+                self._warming.pop(key, None)
+            # The voice STAYS registered (already-warm programs serve);
+            # the failure surfaces on the add_voice future.
+            _deliver(st["fut"], exc=e)
+
+    def _cancel_all_warming(self, reason: str) -> None:
+        with self._cond:
+            warming, self._warming = self._warming, {}
+        for key, st in warming.items():
+            _deliver(st["fut"], exc=RuntimeError(
+                f"voice {key!r} prewarm abandoned: {reason}"))
+
+    def warming(self) -> Dict[str, dict]:
+        """Prewarm progress of voices added on the live server:
+        {voice: {"programs": done-so-far, "seconds": elapsed}}. Empty when
+        every resident voice is fully warm."""
+        now = time.perf_counter()
+        with self._cond:
+            return {k: {"programs": st["programs"],
+                        "seconds": now - st["t0"]}
+                    for k, st in self._warming.items()}
+
+    def ready(self) -> bool:
+        """True when no voice is mid-prewarm and no control op is queued —
+        the readiness signal /healthz surfaces (a warming server still
+        SERVES, but first requests on unwarmed programs pay compiles)."""
+        with self._cond:
+            return not self._warming and not self._control
 
     def _snapshot(self) -> Dict[str, BatchingServer]:
         # Voice add/remove mutates self._servers on the worker thread, so
@@ -998,11 +1156,17 @@ class MultiVoiceBatchingServer:
 
     # -- scheduling ------------------------------------------------------
 
-    def _take_group(self, block: bool):
+    def _take_group(self, block: bool, ripe_only: bool = False):
         """(server, group) for the globally oldest head request; None on
         shutdown with drained queues; (None, []) when not blocking and
         nothing is ready. Mirrors BatchingServer._take_group's batching
-        window across all voices."""
+        window across all voices.
+
+        `ripe_only` (only meaningful with block=False — UnifiedServer's
+        loop): when the oldest group is still inside its batching window
+        and below its size limit, return ("wait", seconds-remaining)
+        instead of popping it early, so stream ticks can fill the window
+        without costing batch aggregation."""
         with self._cond:
             while True:
                 if self._control:
@@ -1017,19 +1181,31 @@ class MultiVoiceBatchingServer:
                     if best_t is None or t < best_t:
                         best_srv, best_key, best_t = s, key, t
                 if best_srv is None:
+                    if self._warming and not self._closed:
+                        return ("warm",)  # idle time all goes to warming
                     if self._closed:
                         return None
                     if not block:
                         return (None, [])
                     self._cond.wait()
                     continue
+                if (self._warming
+                        and self._groups_since_warm >= self.warm_every):
+                    # Pace warming against live traffic: one warm step per
+                    # warm_every groups, so a cold add_voice converges even
+                    # under saturation without pausing resident voices.
+                    return ("warm",)
                 q = best_srv._queues[best_key]
                 limit = best_srv._group_limit(best_key)
-                if len(q) < limit and not self._closed and block:
+                if len(q) < limit and not self._closed:
                     remaining = self.max_wait_s - (time.perf_counter() - best_t)
                     if remaining > 0:
-                        self._cond.wait(timeout=remaining)
-                        continue
+                        if block:
+                            self._cond.wait(timeout=remaining)
+                            continue
+                        if ripe_only:
+                            return ("wait", remaining)
+                self._groups_since_warm += 1
                 return best_srv, best_srv._pop_group_locked(best_key)
 
     def _serve_loop(self) -> None:
@@ -1042,62 +1218,106 @@ class MultiVoiceBatchingServer:
         try:
             self._serve_loop_impl()
         except BaseException as e:  # noqa: BLE001 — fail open, never hang
-            for entry in self._inflight:
-                for req in entry[1]:
-                    _deliver(req.future,
-                             exc=RuntimeError(f"serving worker died: {e!r}"))
-            with self._cond:  # Condition uses an RLock: nested entry is fine
-                self._closed = True
-                for s in self._servers.values():
-                    s._fail_all(e)
-                for item in self._control:
-                    fut = item[-1]
-                    _deliver(fut,
-                             exc=RuntimeError(f"serving worker died: {e!r}"))
-                self._control.clear()
-                self._cond.notify_all()
+            self._fail_worker(e)
             raise
+
+    def _fail_worker(self, e: BaseException) -> None:
+        """The worker (internal or UnifiedServer's) died: fail every
+        in-flight and queued future, close, abandon warms — fail open,
+        never hang."""
+        for entry in self._inflight:
+            for req in entry[1]:
+                _deliver(req.future,
+                         exc=RuntimeError(f"serving worker died: {e!r}"))
+        with self._cond:  # Condition uses an RLock: nested entry is fine
+            self._closed = True
+            for s in self._servers.values():
+                s._fail_all(e)
+            for item in self._control:
+                fut = item[-1]
+                _deliver(fut,
+                         exc=RuntimeError(f"serving worker died: {e!r}"))
+            self._control.clear()
+            self._cond.notify_all()
+        self._cancel_all_warming(f"serving worker died: {e!r}")
+
+    def _serve_step(self, pending, *, block: bool, ripe_only: bool = False):
+        """ONE scheduler step — the body of _serve_loop_impl, factored so
+        UnifiedServer can interleave it with streaming ticks on its own
+        worker. `pending` is the depth-2 in-flight entry from the previous
+        step (or None). Returns (new_pending, status):
+
+          "shutdown" — closed with queues drained (pending landed);
+          "served"   — did device/control/warm work;
+          "idle"     — block=False and nothing queued anywhere;
+          "wait"     — ripe_only and the oldest group needs more batching
+                       time (new_pending carries (None, seconds)-style info
+                       via self._wait_hint).
+
+        Both idle and wait are only returned with pending is None — when a
+        fetch is outstanding this step lands it instead ("served")."""
+        self._inflight = [pending] if pending else []
+        took = self._take_group(block=block, ripe_only=ripe_only)
+        if took is None:  # shutdown, all queues drained
+            if pending is not None:
+                srv, group, outs, meta = pending
+                srv._finish_group(group, outs, meta)
+            self._cancel_all_warming("server closed")
+            return None, "shutdown"
+        if took[0] in ("control", "warm"):
+            # Land the in-flight fetch before a voice load/unload or a
+            # warm step (both own the device for their duration).
+            if pending is not None:
+                psrv, pgroup, pouts, pmeta = pending
+                psrv._finish_group(pgroup, pouts, pmeta)
+                self._inflight = []
+            if took[0] == "control":
+                self._handle_control()
+            else:
+                self._advance_warm()
+            return None, "served"
+        if took[0] in (None, "wait"):
+            if pending is not None:
+                psrv, pgroup, pouts, pmeta = pending
+                psrv._finish_group(pgroup, pouts, pmeta)
+                self._inflight = []
+                return None, "served"
+            self._wait_hint = took[1] if took[0] == "wait" else None
+            return None, "wait" if took[0] == "wait" else "idle"
+        srv, group = took
+        if not group:
+            # _pop_group_locked can come back empty (all expired): treat
+            # like idle-with-pending.
+            if pending is not None:
+                psrv, pgroup, pouts, pmeta = pending
+                psrv._finish_group(pgroup, pouts, pmeta)
+                self._inflight = []
+                return None, "served"
+            return None, "idle"
+        dispatched = srv._dispatch_group(group)
+        new_pending = None
+        if dispatched is not None:
+            pgroup, pouts, pmeta = dispatched
+            new_pending = (srv, pgroup, pouts, pmeta)
+        # mirror BOTH the just-dispatched group and the old fetch:
+        # a crash while finishing the old one must fail both sets
+        self._inflight = [x for x in (new_pending, pending) if x]
+        if pending is not None:
+            psrv, pgroup, pouts, pmeta = pending
+            psrv._finish_group(pgroup, pouts, pmeta)
+        self._inflight = [new_pending] if new_pending else []
+        return new_pending, "served"
 
     def _serve_loop_impl(self) -> None:
         pending = None
         while True:
-            self._inflight = [pending] if pending else []
-            took = self._take_group(block=pending is None)
-            if took is None:  # shutdown, all queues drained
-                if pending is not None:
-                    srv, group, outs, meta = pending
-                    srv._finish_group(group, outs, meta)
+            pending, status = self._serve_step(pending,
+                                               block=pending is None)
+            if status == "shutdown":
                 return
-            if took[0] == "control":
-                # Land the in-flight fetch before any voice load/unload
-                # (a load's prewarm owns the device for a while).
-                if pending is not None:
-                    psrv, pgroup, pouts, pmeta = pending
-                    psrv._finish_group(pgroup, pouts, pmeta)
-                    pending = None
-                    self._inflight = []
-                self._handle_control()
-                continue
-            srv, group = took
-            if group:
-                dispatched = srv._dispatch_group(group)
-                new_pending = None
-                if dispatched is not None:
-                    pgroup, pouts, pmeta = dispatched
-                    new_pending = (srv, pgroup, pouts, pmeta)
-                # mirror BOTH the just-dispatched group and the old fetch:
-                # a crash while finishing the old one must fail both sets
-                self._inflight = [x for x in (new_pending, pending) if x]
-                if pending is not None:
-                    psrv, pgroup, pouts, pmeta = pending
-                    psrv._finish_group(pgroup, pouts, pmeta)
-                pending = new_pending
-                self._inflight = [pending] if pending else []
-            elif pending is not None:
-                psrv, pgroup, pouts, pmeta = pending
-                psrv._finish_group(pgroup, pouts, pmeta)
-                pending = None
-                self._inflight = []
+            # "idle"/"wait" are unreachable here: block=True waits inside
+            # _take_group, and with pending set a no-group step lands the
+            # fetch and reports "served".
 
     def close(self) -> None:
         with self._cond:
@@ -1107,7 +1327,12 @@ class MultiVoiceBatchingServer:
             for s in self._servers.values():
                 s._closed = True
             self._cond.notify_all()
-        self._worker.join(timeout=600)
+        if self._worker is not None:
+            self._worker.join(timeout=600)
+        else:
+            # Externally driven (UnifiedServer): the driver has stopped by
+            # the time close() runs, so abandon warms here.
+            self._cancel_all_warming("server closed")
 
     def __enter__(self) -> "MultiVoiceBatchingServer":
         return self

@@ -36,12 +36,14 @@ Endpoints (JSON in, WAV or JSON out):
 Errors: 400 malformed request, 404 unknown voice/route, 429 admission
 shed (ServerOverloaded / DeadlineExceeded), 500 synthesis failure.
 
-There is deliberately NO chunked-streaming endpoint on PiperHTTPServer:
-low-latency streaming needs the StreamingServer's own device worker, and
-running it concurrently with the batcher would put two threads on the
-tunneled device (the stall documented in docs/BENCH.md). Streaming
-deployments run PiperStreamingHTTPServer (below) as its own process —
-chunked `POST /v1/stream`, one voice per process, CLI `--serve --stream`.
+Streaming: construct PiperHTTPServer with `stream=True` (CLI `--serve
+--stream`) and the SAME process additionally serves chunked
+`POST /v1/stream` for every voice — the backend swaps to UnifiedServer
+(engine/unified.py), which runs the batcher and the streaming scheduler
+on ONE device worker thread (the tunneled device stalls under two, see
+docs/BENCH.md — the constraint is on threads, not on surfaces).
+PiperStreamingHTTPServer (below) remains as the minimal single-voice
+streaming-only deployment.
 """
 
 from __future__ import annotations
@@ -164,6 +166,127 @@ def _prometheus_metrics(per_voice: Dict[str, dict]) -> str:
     return "\n".join(lines) + "\n"
 
 
+def _stream_items(req: dict, rt: PiperRuntime, phonemizers: dict):
+    """The stream program for one request: (items, ignored) where items
+    are ordered ("gap", pcm_bytes) and ("utt", ids, submit_kwargs,
+    volume) entries — plain requests interleave sentences with one gap,
+    SSML requests walk the document's assembly script. Raises ValueError
+    (-> 400) on malformed input. Shared by the unified and the dedicated
+    streaming servers so request semantics cannot drift."""
+    from piper_tpu.core.audio import float_to_int16
+
+    sr = rt.sample_rate
+
+    def gap_bytes(seconds: float) -> bytes:
+        return float_to_int16(
+            np.zeros(int(round(seconds * sr)), np.float32)).tobytes()
+
+    if req.get("ssml") is not None:
+        from piper_tpu.core.ssml import submit_kwargs
+
+        plan, _ = _ssml_plan_for(req, rt, phonemizers)
+        common = {k: req[k] for k in ("seed", "noise_scale", "noise_w")
+                  if req.get(k) is not None}
+        items = []
+        for item in plan.assembly:
+            if item[0] == "gap":
+                items.append(("gap", gap_bytes(item[1])))
+                continue
+            u = plan.utterances[item[1]]
+            items.append(("utt", u.ids, submit_kwargs(u.ctx, common),
+                          u.ctx.volume))
+        return items, plan.ignored
+    gap_s = float(req.get("sentence_silence", 0.2))
+    if gap_s < 0:
+        raise ValueError("sentence_silence must be >= 0")
+    ids_list = _ids_for_request(req, rt, phonemizers)
+    kwargs = {k: req[k] for k in
+              ("seed", "noise_scale", "length_scale",
+               "noise_w", "speaker_id")
+              if req.get(k) is not None}
+    _speaker_kwargs(req, rt, kwargs)
+    gp = gap_bytes(gap_s)
+    items = []
+    for i, ids in enumerate(ids_list):
+        if i:
+            items.append(("gap", gp))
+        items.append(("utt", ids, kwargs, 1.0))
+    return items, []
+
+
+def _handle_stream_post(handler: "_JsonHandler", req: dict,
+                        rt: PiperRuntime, submit, phonemizers: dict) -> None:
+    """POST /v1/stream body for ONE resolved voice: plan the stream
+    program, admit the first utterance synchronously (errors before
+    headers are real status codes), then write one HTTP chunk per decoded
+    window. `submit` is a callable(ids, **kwargs) -> stream handle.
+    Requires the handler's protocol_version to be HTTP/1.1 (chunked)."""
+    from piper_tpu.core.audio import float_to_int16
+    from piper_tpu.engine.batcher import ServerOverloaded as _Overloaded
+
+    try:
+        items, ignored = _stream_items(req, rt, phonemizers)
+    except ValueError as e:
+        handler._send_json(400, {"error": str(e)})
+        return
+    except Exception as e:  # noqa: BLE001
+        handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+        return
+    # Admit the FIRST utterance's stream before sending headers:
+    # synchronous admission errors (max_sessions) come back as
+    # a real 429, not a truncated 200. Later utterances can
+    # still shed mid-stream, which truncates — unavoidable
+    # once bytes are on the wire.
+    first = next(i for i in items if i[0] == "utt")
+    try:
+        handle = submit(first[1], **first[2])
+    except _Overloaded as e:
+        handler._send_json(429, {"error": str(e)})
+        return
+    except (ValueError, KeyError) as e:  # door-step validation (e.g. mix)
+        handler._send_json(400, {"error": str(e)})
+        return
+    except Exception as e:  # noqa: BLE001
+        handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+        return
+    handler.send_response(200)
+    handler.send_header("Content-Type", "audio/x-raw-int16")
+    handler.send_header("Transfer-Encoding", "chunked")
+    handler.send_header("X-Sample-Rate", str(rt.sample_rate))
+    if ignored:  # SSML features the subset cannot realize
+        handler.send_header("X-Piper-Ignored", "; ".join(ignored))
+    handler.end_headers()
+
+    def wchunk(b: bytes) -> None:
+        if b:
+            handler.wfile.write(f"{len(b):X}\r\n".encode())
+            handler.wfile.write(b)
+            handler.wfile.write(b"\r\n")
+
+    try:
+        for item in items:
+            if item[0] == "gap":
+                wchunk(item[1])
+                continue
+            if item is not first:
+                handle = submit(item[1], **item[2])
+            vol = item[3]
+            for chunk in handle:
+                samples = chunk.samples
+                if vol != 1.0:
+                    from piper_tpu.core.audio import pcm_to_float32
+
+                    samples = np.clip(
+                        pcm_to_float32(samples) * vol, -1.0, 1.0)
+                wchunk(float_to_int16(samples).tobytes())
+        handler.wfile.write(b"0\r\n\r\n")
+    finally:
+        # Client gone mid-stream (BrokenPipe/timeout): release
+        # the session slot instead of leaking it — the server
+        # would otherwise hit max_sessions permanently.
+        handle.cancel()
+
+
 def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
     """Mono 16-bit PCM WAV in memory (the one WavWriter serializer, over a
     BytesIO, so the on-disk and over-the-wire formats cannot drift)."""
@@ -271,24 +394,51 @@ class PiperHTTPServer(_HttpLifecycle):
 
     `runtimes` maps voice key -> PiperRuntime; the first key is the default
     voice. Batcher kwargs (max_batch, max_pending, deadline_ms, ...) pass
-    through to MultiVoiceBatchingServer."""
+    through to MultiVoiceBatchingServer.
+
+    `stream=True` swaps the backend to UnifiedServer: the same process —
+    still ONE device worker thread — additionally serves chunked
+    `POST /v1/stream` for every voice (body: same fields as /v1/synthesize
+    plus optional "seed"; response: chunked audio/x-raw-int16, one HTTP
+    chunk per decoded window). `stream_kwargs` pass to each voice's
+    StreamingServer (emit_frames, max_sessions, ...)."""
 
     def __init__(self, runtimes: Dict[str, PiperRuntime], *,
                  host: str = "127.0.0.1", port: int = 0,
+                 stream: bool = False,
+                 stream_kwargs: Optional[dict] = None,
                  **batcher_kwargs):
         if not runtimes:
             raise ValueError("at least one voice required")
         self.runtimes = dict(runtimes)
         self.default_voice = next(iter(self.runtimes))
-        self.server = MultiVoiceBatchingServer(self.runtimes,
-                                               **batcher_kwargs)
+        self.stream = bool(stream)
+        if self.stream:
+            from piper_tpu.engine.unified import UnifiedServer
+
+            self.server = UnifiedServer(self.runtimes,
+                                        stream_kwargs=stream_kwargs,
+                                        **batcher_kwargs)
+        else:
+            self.server = MultiVoiceBatchingServer(self.runtimes,
+                                                   **batcher_kwargs)
         self._phonemizers: Dict[int, object] = {}
         outer = self
 
         class Handler(_JsonHandler):
+            if self.stream:
+                protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
+
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._send_json(200, {"ok": True})
+                    # Liveness is the 200 itself; `ready` distinguishes
+                    # "serving but still compiling programs" (a voice
+                    # added on a live server mid-prewarm) from fully warm
+                    # — orchestrator readiness probes should gate on it.
+                    self._send_json(200, {
+                        "ok": True,
+                        "ready": outer.server.ready(),
+                        "warming": outer.server.warming()})
                 elif self.path == "/v1/voices":
                     # speakers: name -> id when the config has a map (lets
                     # clients discover what "speaker"/"speaker_mix" accept)
@@ -304,12 +454,34 @@ class PiperHTTPServer(_HttpLifecycle):
                     self._send_json(200, outer.server.metrics())
                 elif self.path == "/metrics":
                     self._send(200, _prometheus_metrics(
-                        outer.server.metrics()).encode(),
+                        outer._flat_metrics()).encode(),
                         "text/plain; version=0.0.4")
                 else:
                     self._send_json(404, {"error": "unknown route"})
 
             def do_POST(self):
+                if self.path == "/v1/stream":
+                    if not outer.stream:
+                        self._send_json(404, {
+                            "error": "streaming is not enabled on this "
+                                     "server (start with stream=True / "
+                                     "--serve --stream)"})
+                        return
+                    req = self._read_json_body()
+                    if req is None:
+                        return
+                    voice = req.get("voice", outer.default_voice)
+                    rt = outer.runtimes.get(voice)
+                    if rt is None:
+                        self._send_json(404,
+                                        {"error": f"unknown voice {voice!r}"})
+                        return
+                    _handle_stream_post(
+                        self, req, rt,
+                        lambda ids, **kw: outer.server.submit_stream(
+                            voice, ids, **kw),
+                        outer._phonemizers)
+                    return
                 if self.path not in ("/v1/synthesize", "/v1/audio/speech",
                                      "/v1/durations"):
                     self._send_json(404, {"error": "unknown route"})
@@ -559,6 +731,19 @@ class PiperHTTPServer(_HttpLifecycle):
 
     # -- lifecycle ---------------------------------------------------------
 
+    def _flat_metrics(self) -> Dict[str, dict]:
+        """Per-voice flat numeric metrics for the Prometheus exporter: the
+        unified backend's nested {"batch","stream"} shape flattens to the
+        batch counters plus stream_* prefixed streaming counters."""
+        m = self.server.metrics()
+        if not self.stream:
+            return m
+        flat = {k: dict(v) for k, v in m["batch"].items()}
+        for k, sm in m["stream"].items():
+            flat.setdefault(k, {}).update(
+                {f"stream_{kk}": vv for kk, vv in sm.items()})
+        return flat
+
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)
 
@@ -567,13 +752,12 @@ class PiperHTTPServer(_HttpLifecycle):
 
 
 class PiperStreamingHTTPServer(_HttpLifecycle):
-    """Low-latency chunked streaming over HTTP for ONE voice.
-
-    A separate server class — and a separate deployment PROCESS — from
-    PiperHTTPServer: the StreamingServer owns its device worker thread, and
-    running it alongside the batcher would put two threads on the tunneled
-    device (the stall documented in docs/BENCH.md). One voice per process
-    for the same reason.
+    """Low-latency chunked streaming over HTTP for ONE voice — the minimal
+    streaming-only deployment (the StreamingServer's own worker, nothing
+    else on the device). Most deployments should prefer
+    PiperHTTPServer(stream=True), which serves this same /v1/stream
+    contract PLUS the batched endpoints for N voices from one process on
+    one unified device worker (engine/unified.py).
 
     POST /v1/stream  {phoneme_ids|ipa|text|ssml, seed?, noise_scale?,
                       length_scale?, noise_w?, speaker_id?, speaker_mix?,
@@ -595,7 +779,6 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
 
     def __init__(self, runtime: PiperRuntime, *, host: str = "127.0.0.1",
                  port: int = 0, **stream_kwargs):
-        from piper_tpu.core.audio import float_to_int16
         from piper_tpu.engine.stream_server import StreamingServer
 
         self.rt = runtime
@@ -621,117 +804,10 @@ class PiperStreamingHTTPServer(_HttpLifecycle):
                 req = self._read_json_body()
                 if req is None:
                     return
-                try:
-                    # A stream program: ("gap", pcm_bytes) and
-                    # ("utt", ids, submit_kwargs, volume) items in order —
-                    # plain requests interleave sentences with one gap,
-                    # SSML requests walk the document's assembly script.
-                    items, ignored = outer._stream_items(req)
-                except ValueError as e:
-                    self._send_json(400, {"error": str(e)})
-                    return
-                except Exception as e:  # noqa: BLE001
-                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
-                    return
-                # Admit the FIRST utterance's stream before sending headers:
-                # synchronous admission errors (max_sessions) come back as
-                # a real 429, not a truncated 200. Later utterances can
-                # still shed mid-stream, which truncates — unavoidable
-                # once bytes are on the wire.
-                first = next(i for i in items if i[0] == "utt")
-                try:
-                    handle = outer.server.submit(first[1], **first[2])
-                except ServerOverloaded as e:
-                    self._send_json(429, {"error": str(e)})
-                    return
-                except ValueError as e:  # door-step validation (e.g. mix)
-                    self._send_json(400, {"error": str(e)})
-                    return
-                except Exception as e:  # noqa: BLE001
-                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
-                    return
-                self.send_response(200)
-                self.send_header("Content-Type", "audio/x-raw-int16")
-                self.send_header("Transfer-Encoding", "chunked")
-                self.send_header("X-Sample-Rate", str(outer.rt.sample_rate))
-                if ignored:  # SSML features the subset cannot realize
-                    self.send_header("X-Piper-Ignored", "; ".join(ignored))
-                self.end_headers()
-
-                def wchunk(b: bytes) -> None:
-                    if b:
-                        self.wfile.write(f"{len(b):X}\r\n".encode())
-                        self.wfile.write(b)
-                        self.wfile.write(b"\r\n")
-
-                try:
-                    for item in items:
-                        if item[0] == "gap":
-                            wchunk(item[1])
-                            continue
-                        if item is not first:
-                            handle = outer.server.submit(item[1], **item[2])
-                        vol = item[3]
-                        for chunk in handle:
-                            samples = chunk.samples
-                            if vol != 1.0:
-                                from piper_tpu.core.audio import pcm_to_float32
-
-                                samples = np.clip(
-                                    pcm_to_float32(samples) * vol, -1.0, 1.0)
-                            wchunk(float_to_int16(samples).tobytes())
-                    self.wfile.write(b"0\r\n\r\n")
-                finally:
-                    # Client gone mid-stream (BrokenPipe/timeout): release
-                    # the session slot instead of leaking it — the server
-                    # would otherwise hit max_sessions permanently.
-                    handle.cancel()
+                _handle_stream_post(self, req, outer.rt,
+                                    outer.server.submit, outer._phonemizers)
 
         self._init_http(host, port, Handler)
-
-    def _stream_items(self, req: dict):
-        """The stream program for one request: (items, ignored) where items
-        are ordered ("gap", pcm_bytes) and ("utt", ids, submit_kwargs,
-        volume) entries. Raises ValueError (-> 400) on malformed input."""
-        from piper_tpu.core.audio import float_to_int16
-
-        sr = self.rt.sample_rate
-
-        def gap_bytes(seconds: float) -> bytes:
-            return float_to_int16(
-                np.zeros(int(round(seconds * sr)), np.float32)).tobytes()
-
-        if req.get("ssml") is not None:
-            from piper_tpu.core.ssml import submit_kwargs
-
-            plan, _ = _ssml_plan_for(req, self.rt, self._phonemizers)
-            common = {k: req[k] for k in ("seed", "noise_scale", "noise_w")
-                      if req.get(k) is not None}
-            items = []
-            for item in plan.assembly:
-                if item[0] == "gap":
-                    items.append(("gap", gap_bytes(item[1])))
-                    continue
-                u = plan.utterances[item[1]]
-                items.append(("utt", u.ids, submit_kwargs(u.ctx, common),
-                              u.ctx.volume))
-            return items, plan.ignored
-        gap_s = float(req.get("sentence_silence", 0.2))
-        if gap_s < 0:
-            raise ValueError("sentence_silence must be >= 0")
-        ids_list = _ids_for_request(req, self.rt, self._phonemizers)
-        kwargs = {k: req[k] for k in
-                  ("seed", "noise_scale", "length_scale",
-                   "noise_w", "speaker_id")
-                  if req.get(k) is not None}
-        _speaker_kwargs(req, self.rt, kwargs)
-        gp = gap_bytes(gap_s)
-        items = []
-        for i, ids in enumerate(ids_list):
-            if i:
-                items.append(("gap", gp))
-            items.append(("utt", ids, kwargs, 1.0))
-        return items, []
 
     def prewarm(self, **kwargs):
         return self.server.prewarm(**kwargs)

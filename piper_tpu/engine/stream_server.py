@@ -139,10 +139,18 @@ class StreamingServer:
         max_sessions: int = 64,
         queue_chunks: int = 8,
         tick_wait_s: float = 0.002,
+        start_worker: bool = True,
+        on_submit=None,
     ) -> None:
+        """`start_worker=False` + `on_submit` exist for UnifiedServer: it
+        drives tick_dispatch()/tick_process() from ITS one worker thread
+        (interleaved with batched groups) and needs submit() to wake that
+        worker — on_submit is called after each session lands in the
+        incoming queue."""
         from piper_tpu.models.vits.hparams import receptive_field_frames
 
         self.rt = runtime
+        self._on_submit = on_submit
         hp = runtime.hparams
         self.halo = receptive_field_frames(hp)
         self.hop = hp.hop_length
@@ -167,9 +175,15 @@ class StreamingServer:
             "window_rows": 0, "padded_rows": 0, "sessions": 0,
             "head_rows": 0, "padded_head_rows": 0,
         }
-        self._worker = threading.Thread(
-            target=self._run, name="piper-stream-server", daemon=True)
-        self._worker.start()
+        # Depth-2 state: last tick's dispatched-but-unfetched work. Owned by
+        # whichever single thread drives tick() (the internal worker, or
+        # UnifiedServer's).
+        self._inflight: list = []
+        self._worker: Optional[threading.Thread] = None
+        if start_worker:
+            self._worker = threading.Thread(
+                target=self._run, name="piper-stream-server", daemon=True)
+            self._worker.start()
 
     # -- client surface ------------------------------------------------------
 
@@ -231,6 +245,8 @@ class StreamingServer:
             out=queue.Queue(maxsize=self.queue_chunks),
         )
         self._incoming.put(s)
+        if self._on_submit is not None:
+            self._on_submit()
         return _StreamHandle(s)
 
     def metrics(self) -> dict:
@@ -260,14 +276,36 @@ class StreamingServer:
         programs take conditioning via enc, so only heads fork) — opt in
         on deployments that take speaker_mix streams (it roughly doubles
         the head grid)."""
-        import jax.numpy as jnp
-
-        from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
-
         if self._n_open:
             raise RuntimeError("prewarm must run before traffic "
                                f"({self._n_open} streams open)")
         t0 = time.perf_counter()
+        programs = 0
+        for kind, step in self.prewarm_steps(
+                phoneme_lengths=phoneme_lengths, row_rungs=row_rungs,
+                head_rungs=head_rungs, speaker_mix=speaker_mix):
+            step()
+            if kind == "program":
+                programs += 1
+        return {"seconds": time.perf_counter() - t0, "programs": programs}
+
+    def prewarm_steps(
+        self,
+        phoneme_lengths: Sequence[int] = (14, 56, 224),
+        row_rungs: Optional[Sequence[int]] = None,
+        head_rungs: Optional[Sequence[int]] = None,
+        speaker_mix: bool = False,
+    ):
+        """The streaming program grid as a lazy sequence of ("program",
+        zero-arg callable) steps; running every step in order equals
+        prewarm(). Callers MUST invoke each yielded step before advancing
+        (later window steps reuse the head step's encode output). This is
+        what lets UnifiedServer.add_voice warm a new voice's STREAM grid
+        between live traffic groups instead of pausing resident voices."""
+        import jax.numpy as jnp
+
+        from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS
+
         rungs = tuple(row_rungs) if row_rungs is not None else self.row_rungs
         h_rungs = (tuple(head_rungs) if head_rungs is not None
                    else self.head_rungs)
@@ -279,18 +317,24 @@ class StreamingServer:
         variants = [(None, None)]
         if speaker_mix and getattr(self.rt.hparams, "n_speakers", 1) > 1:
             variants.append((None, {0: 1.0}))
-        programs = 0
         for length in phoneme_lengths:
             ids = (base * (-(-length // len(base))))[:length]
-            enc = audio0 = total = seed_j = ns = None
-            for v_sid, v_mix in variants:
-                enc, audio0, total, seed_j, ns = self.rt.dispatch_stream_head(
-                    ids, c0=self.c0, halo=self.halo, seed=0,
-                    speaker_id=v_sid, speaker_mix=v_mix)
-                jax.device_get((audio0, total))
-                programs += 1
-            for rung in (r for r in h_rungs if r > 1):
-                for v_sid, v_mix in variants:
+            # state shared between steps: the last solo head's outputs feed
+            # the window-rung warms (call-in-order contract).
+            state: dict = {}
+
+            def warm_head(ids, v_sid, v_mix, state=state):
+                def step():
+                    enc, audio0, total, seed_j, ns = (
+                        self.rt.dispatch_stream_head(
+                            ids, c0=self.c0, halo=self.halo, seed=0,
+                            speaker_id=v_sid, speaker_mix=v_mix))
+                    jax.device_get((audio0, total))
+                    state["enc"], state["seed_j"] = enc, seed_j
+                return step
+
+            def warm_head_batch(ids, rung, v_sid, v_mix):
+                def step():
                     _, a0, tot, _, _ = self.rt.dispatch_stream_head_batch(
                         [ids] * rung, c0=self.c0, halo=self.halo,
                         seeds=[0] * rung,
@@ -299,23 +343,35 @@ class StreamingServer:
                         speaker_mixes=(None if v_mix is None
                                        else [v_mix] * rung))
                     jax.device_get((a0, tot))
-                    programs += 1
+                return step
+
+            def warm_window(rung, state=state):
+                def step():
+                    enc, seed_j = state["enc"], state["seed_j"]
+                    encR = jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs, axis=0),
+                        *([enc] * rung))
+                    audio = self.rt.dispatch_window_batch(
+                        encR, jnp.stack([seed_j] * rung).astype(jnp.uint32),
+                        np.full((rung,), -self.halo, np.int32),
+                        np.full((rung,), self.c0, np.int32),
+                        np.full((rung,), 0.667, np.float32),
+                        emit_frames=self.emit_frames, halo=self.halo)
+                    jax.device_get(audio)
+                return step
+
+            for v_sid, v_mix in variants:
+                yield ("program", warm_head(ids, v_sid, v_mix))
+            for rung in (r for r in h_rungs if r > 1):
+                for v_sid, v_mix in variants:
+                    yield ("program", warm_head_batch(ids, rung, v_sid, v_mix))
             for rung in rungs:
-                encR = jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs, axis=0), *([enc] * rung))
-                audio = self.rt.dispatch_window_batch(
-                    encR, jnp.stack([seed_j] * rung).astype(jnp.uint32),
-                    np.full((rung,), -self.halo, np.int32),
-                    np.full((rung,), self.c0, np.int32),
-                    np.full((rung,), 0.667, np.float32),
-                    emit_frames=self.emit_frames, halo=self.halo)
-                jax.device_get(audio)
-                programs += 1
-        return {"seconds": time.perf_counter() - t0, "programs": programs}
+                yield ("program", warm_window(rung))
 
     def shutdown(self) -> None:
         self._stop.set()
-        self._worker.join(timeout=30)
+        if self._worker is not None:
+            self._worker.join(timeout=30)
         # A submit() that passed the stop check concurrently with this
         # shutdown can land in _incoming after the worker's final empty()
         # check — fail those sessions instead of stranding their consumers.
@@ -581,83 +637,123 @@ class StreamingServer:
             if not final:
                 self._active.append(s)
 
-    def _run(self) -> None:
-        inflight: list = []
-        while not (self._stop.is_set()
-                   and not inflight and self._incoming.empty()
-                   and not self._active):
-            # Hoisted so the crash handler can always reference this tick's
-            # partially-built collections (an exception early in the tick
-            # must not NameError in the handler).
-            new_work: list = []
-            drained: List[_Session] = []
-            ready: List[_Session] = []
+    def pending(self) -> bool:
+        """True while undelivered work remains: dispatched-but-unfetched
+        device results, active sessions, or unprocessed submits. Drives both
+        the internal worker's exit condition and UnifiedServer's scheduling
+        (a pending stream outranks an unripe batch group)."""
+        return bool(self._inflight or self._active
+                    or not self._incoming.empty())
+
+    def tick(self) -> bool:
+        """One scheduler tick — driver thread only (the internal worker or
+        UnifiedServer's). Dispatches new streams' heads and ready sessions'
+        batched windows, then fetches and processes the PREVIOUS tick's
+        in-flight results (depth-2: the fetch RTT overlaps this tick's
+        compute). Never raises: a failure fails every touched session (fail
+        open). Returns False when the tick was a no-op (nothing to dispatch
+        and nothing in flight) — the driver may idle-wait."""
+        # Hoisted so the crash handler can always reference this tick's
+        # partially-built collections (an exception early in the tick
+        # must not NameError in the handler).
+        new_work: list = []
+        drained: List[_Session] = []
+        ready: List[_Session] = []
+        try:
+            # New streams: dispatch their heads (TTFB path).
             try:
-                # New streams: dispatch their heads (TTFB path).
+                while True:
+                    drained.append(self._incoming.get_nowait())
+            except queue.Empty:
+                pass
+            if drained:
+                new_work += self._dispatch_heads(drained)
+            # Active streams with queue room: batched windows. Mixed
+            # phoneme buckets batch together (rows pad to the group
+            # max); sorting by bucket keeps padding minimal when a
+            # group splits across the row cap.
+            ready, waiting = [], []
+            for s in self._active:
+                if s.cancelled:
+                    # abandoned consumer: free its slot, decode nothing
+                    self._cancel_session(s)
+                elif s.out.qsize() < self.queue_chunks:
+                    ready.append(s)
+                else:
+                    waiting.append(s)
+            self._active = waiting
+            ready.sort(key=lambda s: s.enc.m_p.shape[-1], reverse=True)
+            max_rows = self.row_rungs[-1]
+            for i in range(0, len(ready), max_rows):
+                new_work += self._dispatch_windows(ready[i : i + max_rows])
+            if not new_work and not self._inflight:
+                return False
+            # Fetch LAST tick's results while this tick's work computes
+            # (depth-2), one device_get for every pending array.
+            if self._inflight:
+                fetched = jax.device_get(
+                    [w[2] for w in self._inflight])
+                for (kind, target, _), data in zip(self._inflight, fetched):
+                    self._process(kind, target, data)
+            self._inflight = new_work
+            self._metrics["ticks"] += 1
+            return True
+        except Exception as e:  # noqa: BLE001 — fail open sessions
+            # Fail EVERY session this tick touched: last tick's
+            # in-flight work, THIS tick's freshly dispatched work and
+            # its drained/ready sources (review finding: sessions in
+            # new_work/ready were in neither inflight nor _active, so
+            # their consumers hung forever and their slots leaked),
+            # and everything still waiting. _fail/_close are
+            # idempotent via the failed flag.
+            for kind, target, _ in list(self._inflight) + list(new_work):
+                for s in (target,) if kind == "head" else target:
+                    self._fail(s, e)
+            self._inflight = []
+            for s in list(self._active) + list(ready) + list(drained):
+                self._fail(s, e)
+            self._active = []
+            return True
+
+    def drain(self) -> None:
+        """Fetch and process whatever is still in flight WITHOUT dispatching
+        new work — the final step of a driver that is stopping."""
+        inflight, self._inflight = self._inflight, []
+        if not inflight:
+            return
+        try:
+            fetched = jax.device_get([w[2] for w in inflight])
+            for (kind, target, _), data in zip(inflight, fetched):
+                self._process(kind, target, data)
+        except Exception as e:  # noqa: BLE001
+            for kind, target, _ in inflight:
+                for s in (target,) if kind == "head" else target:
+                    self._fail(s, e)
+
+    def _fail_all(self, err: Exception) -> None:
+        """Fail every open session (driver crashed — fail open, never hang).
+        Idempotent via each session's failed flag."""
+        for kind, target, _ in self._inflight:
+            for s in (target,) if kind == "head" else target:
+                self._fail(s, err)
+        self._inflight = []
+        for s in self._active:
+            self._fail(s, err)
+        self._active = []
+        while True:
+            try:
+                s = self._incoming.get_nowait()
+            except queue.Empty:
+                return
+            self._fail(s, err)
+
+    def _run(self) -> None:
+        while not (self._stop.is_set() and not self.pending()):
+            if not self.tick():
+                # idle: wait for arrivals without spinning
                 try:
-                    while True:
-                        drained.append(self._incoming.get_nowait())
+                    s0 = self._incoming.get(timeout=self.tick_wait_s)
+                    self._incoming.put(s0)
                 except queue.Empty:
                     pass
-                if drained:
-                    new_work += self._dispatch_heads(drained)
-                # Active streams with queue room: batched windows. Mixed
-                # phoneme buckets batch together (rows pad to the group
-                # max); sorting by bucket keeps padding minimal when a
-                # group splits across the row cap.
-                ready, waiting = [], []
-                for s in self._active:
-                    if s.cancelled:
-                        # abandoned consumer: free its slot, decode nothing
-                        self._cancel_session(s)
-                    elif s.out.qsize() < self.queue_chunks:
-                        ready.append(s)
-                    else:
-                        waiting.append(s)
-                self._active = waiting
-                ready.sort(key=lambda s: s.enc.m_p.shape[-1], reverse=True)
-                max_rows = self.row_rungs[-1]
-                for i in range(0, len(ready), max_rows):
-                    new_work += self._dispatch_windows(ready[i : i + max_rows])
-                if not new_work and not inflight:
-                    # idle: wait for arrivals without spinning
-                    try:
-                        s0 = self._incoming.get(timeout=self.tick_wait_s)
-                        self._incoming.put(s0)
-                    except queue.Empty:
-                        pass
-                    continue
-                # Fetch LAST tick's results while this tick's work computes
-                # (depth-2), one device_get for every pending array.
-                if inflight:
-                    fetched = jax.device_get(
-                        [w[2] for w in inflight])
-                    for (kind, target, _), data in zip(inflight, fetched):
-                        self._process(kind, target, data)
-                inflight = new_work
-                self._metrics["ticks"] += 1
-            except Exception as e:  # noqa: BLE001 — fail open sessions
-                # Fail EVERY session this tick touched: last tick's
-                # in-flight work, THIS tick's freshly dispatched work and
-                # its drained/ready sources (review finding: sessions in
-                # new_work/ready were in neither inflight nor _active, so
-                # their consumers hung forever and their slots leaked),
-                # and everything still waiting. _fail/_close are
-                # idempotent via the failed flag.
-                for kind, target, _ in list(inflight) + list(new_work):
-                    for s in (target,) if kind == "head" else target:
-                        self._fail(s, e)
-                inflight = []
-                for s in list(self._active) + list(ready) + list(drained):
-                    self._fail(s, e)
-                self._active = []
-        # drain: fetch whatever is still in flight
-        if inflight:
-            try:
-                fetched = jax.device_get([w[2] for w in inflight])
-                for (kind, target, _), data in zip(inflight, fetched):
-                    self._process(kind, target, data)
-            except Exception as e:  # noqa: BLE001
-                for kind, target, _ in inflight:
-                    for s in (target,) if kind == "head" else target:
-                        self._fail(s, e)
+        self.drain()

@@ -1,0 +1,290 @@
+"""One process, ONE device worker, every serving surface.
+
+Round-3 deployments split batch synthesis (MultiVoiceBatchingServer /
+PiperHTTPServer) and low-latency streaming (StreamingServer /
+PiperStreamingHTTPServer) across separate PROCESSES because each owned a
+device worker thread and two threads on the tunneled device stall the axon
+client (docs/BENCH.md). The constraint is real; the process split was not:
+this module runs both schedulers on a SINGLE worker thread, so one server
+exposes batched synthesis, durations/alignment, duration forcing, AND
+chunked streaming for N voices — the deployment shape the reference's
+single runtime implies (it exposes synthesize and synthesizeStream from one
+object, PiperMetalRuntime.swift:69,:95; its "streaming" chunks a finished
+waveform, so this is the TPU-native superset).
+
+Scheduling policy — latency first, batching preserved:
+
+* Every loop iteration ticks pending STREAMS first (their windows bound
+  audible underrun; a tick is one batched window decode + the previous
+  tick's fetch, see StreamingServer.tick). A newly submitted stream's head
+  (its TTFB) therefore waits at most one batch group + one stream tick.
+* Batch groups dispatch between stream ticks via
+  MultiVoiceBatchingServer._serve_step(ripe_only=True): a group whose
+  batching window (max_wait_ms) hasn't elapsed and whose size is below
+  limit is NOT popped early — stream ticks fill the wait, so unifying
+  costs batch traffic no aggregation.
+* add_voice warm steps and control ops ride the same step scheduler the
+  multi-voice batcher already paces (warm_every), so a cold voice load
+  never pauses resident voices OR live streams.
+
+The single-thread device discipline is preserved by construction: both
+sub-servers are created with start_worker=False and only the unified
+worker ever calls their dispatch/fetch paths.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional
+
+from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+from piper_tpu.engine.runtime import PiperRuntime
+from piper_tpu.engine.stream_server import StreamingServer
+
+
+class UnifiedServer:
+    """Batched + streaming serving for N voices on one worker thread.
+
+    Usage::
+
+        server = UnifiedServer({"alba": rt_a, "ryan": rt_b})
+        server.prewarm()                       # before traffic
+        fut = server.submit("alba", ids)       # batched synthesis future
+        handle = server.submit_stream("ryan", ids)  # chunked stream
+        for chunk in handle: play(chunk)
+
+    `stream_kwargs` pass to every voice's StreamingServer (emit_frames,
+    row_rungs, max_sessions, ...); batcher kwargs (max_batch, max_wait_ms,
+    max_pending, deadline_ms, cache_mb, warm_every, ...) pass to the
+    MultiVoiceBatchingServer. The `batch` attribute exposes the full
+    batch-side API (submit/submit_durations/submit_forced/metrics/...);
+    the submit* methods here are conveniences over it.
+    """
+
+    def __init__(self, runtimes: Dict[str, PiperRuntime], *,
+                 stream_kwargs: Optional[dict] = None,
+                 **batcher_kwargs):
+        self._cond = threading.Condition()
+        self._stream_kwargs = dict(stream_kwargs or {})
+        self._stream_kwargs.setdefault("tick_wait_s", 0.002)
+        self._tick_wait = float(self._stream_kwargs["tick_wait_s"])
+        self.batch = MultiVoiceBatchingServer(
+            runtimes, cond=self._cond, start_worker=False, **batcher_kwargs)
+        self._streams: Dict[str, StreamingServer] = {
+            key: self._make_stream(rt) for key, rt in runtimes.items()}
+        # Streams of removed voices: kept ticking until their open sessions
+        # drain (graceful removal), then dropped.
+        self._draining: List[StreamingServer] = []
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="piper-unified-server", daemon=True)
+        self._worker.start()
+
+    def _make_stream(self, rt: PiperRuntime) -> StreamingServer:
+        return StreamingServer(rt, start_worker=False,
+                               on_submit=self._wake, **self._stream_kwargs)
+
+    def _wake(self) -> None:
+        with self._cond:
+            self._cond.notify_all()
+
+    # -- client surface ------------------------------------------------------
+
+    @property
+    def voices(self) -> List[str]:
+        return self.batch.voices
+
+    def submit(self, voice: str, phoneme_ids, **kwargs):
+        return self.batch.submit(voice, phoneme_ids, **kwargs)
+
+    def submit_durations(self, voice: str, phoneme_ids, **kwargs):
+        return self.batch.submit_durations(voice, phoneme_ids, **kwargs)
+
+    def submit_forced(self, voice: str, phoneme_ids, durations, **kwargs):
+        return self.batch.submit_forced(voice, phoneme_ids, durations,
+                                        **kwargs)
+
+    def submit_stream(self, voice: str, phoneme_ids, **kwargs):
+        """Open a low-latency stream on `voice`; returns the iterable
+        chunk handle (see StreamingServer.submit). Streams of different
+        voices tick independently (distinct weights can't share a batched
+        window); streams of the SAME voice batch their windows."""
+        if self._closed:
+            raise RuntimeError("server is closed")
+        with self._cond:
+            ss = self._streams.get(voice)
+        if ss is None:
+            raise KeyError(f"unknown voice {voice!r}")
+        return ss.submit(phoneme_ids, **kwargs)
+
+    def add_voice(self, key: str, runtime: PiperRuntime, *,
+                  prewarm: bool = True, stream_prewarm: bool = True,
+                  stream_prewarm_kwargs: Optional[dict] = None,
+                  **prewarm_kwargs):
+        """Register a new voice WITHOUT pausing resident voices or live
+        streams: batch-grid warm steps (and, with stream_prewarm, the
+        streaming grid's) interleave with traffic at one-program
+        granularity (MultiVoiceBatchingServer.add_voice). The voice accepts
+        batch submits immediately and stream submits as soon as this method
+        returns; pre-warm traffic may pay its program's compile inline.
+        Returns the prewarm-stats Future."""
+        ss = self._make_stream(runtime)
+        if prewarm and stream_prewarm:
+            prewarm_kwargs = dict(prewarm_kwargs)
+            prewarm_kwargs["extra_warm_steps"] = ss.prewarm_steps(
+                **(stream_prewarm_kwargs or {}))
+        fut = self.batch.add_voice(key, runtime, prewarm=prewarm,
+                                   **prewarm_kwargs)
+        with self._cond:
+            self._streams[key] = ss
+        return fut
+
+    def remove_voice(self, key: str):
+        """Unload a voice: queued batch requests fail (see
+        MultiVoiceBatchingServer.remove_voice), new batch/stream submits
+        raise, and OPEN streams finish gracefully (their sessions keep
+        ticking until drained). Returns the batch-side Future."""
+        with self._cond:
+            ss = self._streams.pop(key, None)
+            if ss is not None:
+                ss._stop.set()  # rejects new submits; open sessions drain
+                self._draining.append(ss)
+        return self.batch.remove_voice(key)
+
+    def prewarm(self, stream: bool = True,
+                stream_kwargs: Optional[dict] = None, **kwargs) -> dict:
+        """Compile every voice's batch grid (+ streaming grid when
+        `stream`) ahead of traffic. Must run BEFORE submitting — it drives
+        the device from the calling thread while the worker is idle (the
+        one-thread rule both sub-servers document)."""
+        out = {"batch": self.batch.prewarm(**kwargs)}
+        if stream:
+            out["stream"] = {
+                key: ss.prewarm(**(stream_kwargs or {}))
+                for key, ss in self._snapshot_streams().items()}
+        return out
+
+    def metrics(self) -> dict:
+        """{"batch": per-voice batcher metrics, "stream": per-voice
+        streaming metrics, "warming": add_voice progress}."""
+        return {"batch": self.batch.metrics(),
+                "stream": {k: ss.metrics()
+                           for k, ss in self._snapshot_streams().items()},
+                "warming": self.batch.warming()}
+
+    def warming(self) -> dict:
+        return self.batch.warming()
+
+    def ready(self) -> bool:
+        """Readiness (vs liveness): False while any voice's grid is still
+        warming or a voice load/unload is queued — the server SERVES in
+        that state, but requests landing on unwarmed programs pay their
+        compile. /healthz surfaces this as "warming"."""
+        return self.batch.ready()
+
+    def reset_metrics(self) -> None:
+        self.batch.reset_metrics()
+
+    # -- worker ----------------------------------------------------------
+
+    def _snapshot_streams(self) -> Dict[str, StreamingServer]:
+        with self._cond:
+            return dict(self._streams)
+
+    def _tick_streams(self) -> tuple:
+        """One tick for every stream server with pending work. Returns
+        (did_work, still_pending): did_work False means every tick was a
+        no-op (sessions exist but are e.g. blocked on consumers)."""
+        with self._cond:
+            servers = list(self._streams.values()) + self._draining
+            # Drop drained removed-voice servers (no sessions left).
+            self._draining = [ss for ss in self._draining if ss.pending()]
+        did = pend = False
+        for ss in servers:
+            if ss.pending():
+                did = ss.tick() or did
+                pend = pend or ss.pending()
+        return did, pend
+
+    def _run(self) -> None:
+        self.batch._inflight = []
+        try:
+            self._run_impl()
+        except BaseException as e:  # noqa: BLE001 — fail open, never hang
+            self.batch._fail_worker(e)
+            for ss in list(self._snapshot_streams().values()) + self._draining:
+                ss._fail_all(e)
+            raise
+
+    def _run_impl(self) -> None:
+        pending = None
+        while True:
+            s_did, s_pend = self._tick_streams()
+            pending, status = self.batch._serve_step(
+                pending, block=False, ripe_only=True)
+            if status == "shutdown":
+                self._drain_streams()
+                return
+            if status == "served" or s_did:
+                continue
+            # Nothing did device work this round: sleep until a submit
+            # (either kind) or the oldest batch group's window elapses.
+            timeout = self.batch._wait_hint if status == "wait" else None
+            if s_pend:
+                # Sessions exist but are blocked on consumers: poll at the
+                # stream cadence so a drained chunk queue resumes quickly.
+                timeout = min(timeout or self._tick_wait, self._tick_wait)
+            with self._cond:
+                # Re-check EVERYTHING under the lock before sleeping — a
+                # submit (either kind) or control op that landed between
+                # the ticks above and here already sent its notify.
+                if (self._closed or self.batch._control
+                        or any(ss.pending()
+                               for ss in self._streams.values())
+                        or any(q for s in self.batch._servers.values()
+                               for q in s._queues.values())):
+                    continue
+                self._cond.wait(timeout=timeout if timeout is not None
+                                else 1.0)
+
+    def _drain_streams(self) -> None:
+        """The batch side shut down (close() was called and its queues
+        drained): finish every open stream's remaining windows, bounded by
+        consumers draining their queues (close() joins with a timeout)."""
+        while True:
+            with self._cond:
+                servers = list(self._streams.values()) + self._draining
+            if not any(ss.pending() for ss in servers):
+                break
+            if not any(ss.tick() for ss in servers if ss.pending()):
+                time.sleep(self._tick_wait)
+        for ss in servers:
+            ss.drain()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def close(self) -> None:
+        with self._cond:
+            if self._closed:
+                return
+            self._closed = True
+            self.batch._closed = True
+            for s in self.batch._servers.values():
+                s._closed = True
+            for ss in list(self._streams.values()) + self._draining:
+                ss._stop.set()
+            self._cond.notify_all()
+        self._worker.join(timeout=600)
+        # Defense for a worker that died or timed out: abandon leftover
+        # warms and strand no stream consumer (idempotent either way).
+        self.batch._cancel_all_warming("server closed")
+        err = RuntimeError("UnifiedServer is shut down")
+        for ss in list(self._snapshot_streams().values()) + self._draining:
+            ss._fail_all(err)
+
+    def __enter__(self) -> "UnifiedServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

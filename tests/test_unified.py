@@ -1,0 +1,300 @@
+"""UnifiedServer: batch + streaming on ONE worker thread, one process.
+
+The load-bearing properties:
+  * streams served while batch traffic runs are EXACT (same audio as a
+    solo incremental decode) — unification must not change realization;
+  * batch futures and stream chunks both complete under mixed load with
+    a single device worker (the thread discipline the tunneled device
+    requires);
+  * add_voice on a live server interleaves warm steps with traffic
+    instead of pausing resident voices (VERDICT r3 #2).
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
+from piper_tpu.engine.unified import UnifiedServer
+
+
+def _collect(chunks):
+    chunks = list(chunks)
+    assert chunks[-1].is_final
+    assert all(not c.is_final for c in chunks[:-1])
+    return np.concatenate([c.samples for c in chunks])
+
+
+@pytest.fixture(scope="module")
+def unified(tiny_runtime):
+    srv = UnifiedServer(
+        {"v": tiny_runtime}, max_batch=4, max_wait_ms=5,
+        stream_kwargs=dict(emit_frames=16, c0=8, row_rungs=(1, 2, 4),
+                           max_sessions=8))
+    yield srv
+    srv.close()
+
+
+def test_batch_then_stream_one_server(unified, tiny_runtime):
+    """Both surfaces work from one server object; stream audio is exact
+    vs the solo incremental reference."""
+    fut = unified.submit("v", FIXTURE_IDS)
+    audio = fut.result(timeout=300)
+    assert len(audio) > 0 and np.isfinite(audio).all()
+
+    ids = FIXTURE_IDS * 3
+    got = _collect(unified.submit_stream("v", ids, seed=5))
+    ref = np.concatenate([
+        c.samples
+        for c in tiny_runtime.synthesize_stream_incremental(ids, seed=5)])
+    assert len(got) == len(ref)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_mixed_batch_and_stream_load(unified, tiny_runtime):
+    """Concurrent batch submitters AND stream consumers on one worker:
+    every future resolves, every stream is exact, nothing deadlocks."""
+    ids = FIXTURE_IDS * 2
+    ref = np.concatenate([
+        c.samples
+        for c in tiny_runtime.synthesize_stream_incremental(ids, seed=21)])
+    stream_out = {}
+    errors = []
+
+    def stream_client(i):
+        try:
+            stream_out[i] = _collect(
+                unified.submit_stream("v", ids, seed=21))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=stream_client, args=(i,))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    # Batch traffic while the streams decode.
+    futs = [unified.submit("v", FIXTURE_IDS[: 4 + i % 6])
+            for i in range(12)]
+    durs = unified.submit_durations("v", FIXTURE_IDS)
+    batch = [f.result(timeout=300) for f in futs]
+    d = durs.result(timeout=300)
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(len(a) > 0 and np.isfinite(a).all() for a in batch)
+    assert d.sum() > 0
+    for i in range(3):
+        np.testing.assert_allclose(stream_out[i], ref, atol=1e-5)
+    m = unified.metrics()
+    assert m["batch"]["v"]["completed"] >= 12
+    assert m["stream"]["v"]["sessions"] >= 3
+
+
+def test_stream_exact_under_batch_traffic(unified, tiny_runtime):
+    """A stream that RUNS while batch groups dispatch equals its solo
+    decode bit-for-bit at the fp32 tolerance — scheduling never changes
+    realization."""
+    ids = FIXTURE_IDS * 4
+    ref = np.concatenate([
+        c.samples
+        for c in tiny_runtime.synthesize_stream_incremental(ids, seed=7)])
+    handle = unified.submit_stream("v", ids, seed=7)
+    futs = [unified.submit("v", FIXTURE_IDS) for _ in range(6)]
+    got = _collect(handle)
+    for f in futs:
+        assert len(f.result(timeout=300)) > 0
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_unknown_voice_and_closed(tiny_runtime):
+    srv = UnifiedServer({"v": tiny_runtime}, max_batch=2, max_wait_ms=2,
+                        stream_kwargs=dict(emit_frames=16, c0=8,
+                                           row_rungs=(1, 2)))
+    try:
+        with pytest.raises(KeyError):
+            srv.submit_stream("nope", FIXTURE_IDS)
+        with pytest.raises(KeyError):
+            srv.submit("nope", FIXTURE_IDS)
+    finally:
+        srv.close()
+    with pytest.raises(RuntimeError):
+        srv.submit_stream("v", FIXTURE_IDS)
+    with pytest.raises(RuntimeError):
+        srv.submit("v", FIXTURE_IDS)
+
+
+# -- non-pausing add_voice (stub-level, deterministic timing) ---------------
+
+
+class _StubRT:
+    """Instant dispatch/fetch stand-in (see test_batcher._StubRuntime)."""
+
+    def __init__(self):
+        from types import SimpleNamespace
+
+        self.hparams = SimpleNamespace(n_vocab=1000, hop_length=4)
+        self.options = SimpleNamespace(
+            phoneme_buckets=(16, 32, 64), batch_buckets=(1, 2, 4, 8),
+            mode="split")
+
+    def dispatch_batch(self, ids_batch, **kw):
+        return None, {"b": len(ids_batch)}
+
+    def fetch_batch(self, outs, meta):
+        return [np.zeros(8, np.float32)] * meta["b"]
+
+
+def test_add_voice_warm_steps_interleave_with_traffic():
+    """VERDICT r3 #2: a cold add_voice must NOT pause resident voices for
+    its whole grid. Warm steps (stubbed at 40 ms each) interleave with
+    traffic at one-step granularity, so no resident-voice request waits
+    longer than ~one step — where the old behavior paused for the full
+    grid (here 8 * 40 = 320 ms)."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    step_times = []
+    STEP_S = 0.04
+    N_STEPS = 8
+
+    def make_steps():
+        def one():
+            time.sleep(STEP_S)
+            step_times.append(time.perf_counter())
+        for _ in range(N_STEPS):
+            yield ("program", one)
+
+    srv = MultiVoiceBatchingServer({"a": _StubRT()}, max_batch=4,
+                                   max_wait_ms=1, warm_every=1)
+    try:
+        fut = srv.add_voice("b", _StubRT(), prewarm=False,
+                            extra_warm_steps=make_steps())
+        latencies = []
+        deadline = time.perf_counter() + 10.0
+        while not fut.done() and time.perf_counter() < deadline:
+            t0 = time.perf_counter()
+            srv.submit("a", FIXTURE_IDS).result(timeout=30)
+            latencies.append(time.perf_counter() - t0)
+        stats = fut.result(timeout=30)
+        assert stats["programs"] == N_STEPS
+        assert len(step_times) == N_STEPS
+        # The whole grid took >= N_STEPS * STEP_S of worker time, yet no
+        # resident request waited anywhere near that: each waits at most
+        # ~one step (+ scheduling slack).
+        assert latencies, "no traffic completed during warming"
+        assert max(latencies) < N_STEPS * STEP_S * 0.75, (
+            f"a resident request stalled {max(latencies)*1e3:.0f} ms — "
+            f"warming is pausing traffic")
+        # And traffic genuinely interleaved: steps did not all run
+        # back-to-back before the first request completed.
+        assert len(latencies) >= 3
+        # The new voice serves after (and during) warming.
+        assert srv.submit("b", FIXTURE_IDS).result(timeout=30).shape == (8,)
+        assert srv.ready()
+    finally:
+        srv.close()
+
+
+def test_add_voice_warming_progress_and_metrics():
+    """warming() exposes per-voice progress while steps run; ready() is
+    False mid-warm and True after."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    gate = threading.Event()
+    entered = threading.Event()
+
+    def make_steps():
+        def blocked():
+            entered.set()
+            gate.wait(timeout=30)
+        yield ("program", blocked)
+        yield ("program", lambda: None)
+
+    srv = MultiVoiceBatchingServer({"a": _StubRT()}, max_batch=4,
+                                   max_wait_ms=1)
+    try:
+        fut = srv.add_voice("b", _StubRT(), prewarm=False,
+                            extra_warm_steps=make_steps())
+        assert entered.wait(timeout=30)
+        assert not srv.ready()
+        w = srv.warming()
+        assert "b" in w and w["b"]["programs"] == 0
+        gate.set()
+        stats = fut.result(timeout=30)
+        assert stats["programs"] == 2
+        assert srv.ready() and srv.warming() == {}
+    finally:
+        gate.set()
+        srv.close()
+
+
+def test_add_voice_failed_step_surfaces_on_future():
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    def make_steps():
+        yield ("program", lambda: None)
+
+        def boom():
+            raise ValueError("injected warm failure")
+        yield ("program", boom)
+
+    srv = MultiVoiceBatchingServer({"a": _StubRT()}, max_batch=4,
+                                   max_wait_ms=1)
+    try:
+        fut = srv.add_voice("b", _StubRT(), prewarm=False,
+                            extra_warm_steps=make_steps())
+        with pytest.raises(ValueError, match="injected warm failure"):
+            fut.result(timeout=30)
+        # the voice stays registered: already-warm programs serve
+        assert srv.submit("b", FIXTURE_IDS).result(timeout=30).shape == (8,)
+    finally:
+        srv.close()
+
+
+def test_unified_add_and_remove_voice(tiny_voice, tiny_runtime):
+    """add_voice on a live UnifiedServer: batch grid + STREAM grid warm
+    between traffic; remove_voice drains open streams gracefully."""
+    from piper_tpu.engine.runtime import PiperRuntime
+
+    srv = UnifiedServer({"v": tiny_runtime}, max_batch=2, max_wait_ms=2,
+                        stream_kwargs=dict(emit_frames=16, c0=8,
+                                           row_rungs=(1, 2)))
+    try:
+        rt2 = PiperRuntime(*tiny_voice)
+        fut = srv.add_voice(
+            "w", rt2, p_buckets=[16],
+            stream_prewarm_kwargs=dict(phoneme_lengths=(14,),
+                                       row_rungs=(1, 2), head_rungs=(1,)))
+        # resident voice keeps serving while w warms (at least one request
+        # lands before the warm future resolves — and more until it does)
+        assert len(srv.submit("v", FIXTURE_IDS).result(timeout=300)) > 0
+        while not fut.done():
+            assert len(srv.submit("v", FIXTURE_IDS).result(timeout=300)) > 0
+        stats = fut.result(timeout=600)
+        assert stats["programs"] > 0
+        # both surfaces live on the added voice
+        assert len(srv.submit("w", FIXTURE_IDS).result(timeout=300)) > 0
+        got = _collect(srv.submit_stream("w", FIXTURE_IDS * 2, seed=3))
+        ref = np.concatenate([
+            c.samples for c in rt2.synthesize_stream_incremental(
+                FIXTURE_IDS * 2, seed=3)])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        # removal: an OPEN stream on w finishes; new submits fail
+        handle = srv.submit_stream("w", FIXTURE_IDS * 2, seed=4)
+        srv.remove_voice("w").result(timeout=300)
+        with pytest.raises(KeyError):
+            srv.submit_stream("w", FIXTURE_IDS)
+        with pytest.raises(KeyError):
+            srv.submit("w", FIXTURE_IDS)
+        drained = _collect(handle)  # graceful: session decodes to the end
+        np.testing.assert_allclose(
+            drained,
+            np.concatenate([
+                c.samples for c in rt2.synthesize_stream_incremental(
+                    FIXTURE_IDS * 2, seed=4)]),
+            atol=1e-5)
+        # voice v unaffected throughout
+        assert len(srv.submit("v", FIXTURE_IDS).result(timeout=300)) > 0
+    finally:
+        srv.close()
