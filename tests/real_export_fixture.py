@@ -156,12 +156,13 @@ FINGERPRINT_NODES = 2755
 FINGERPRINT_INITIALIZERS = 401
 
 # Shape-inference filler node count shared by every reconstruction: chosen so
-# the medium voice lands on its PINNED real total of 2755 nodes (core = 182:
+# the medium voice lands on its PINNED real total of 2755 nodes (core = 184:
 # 1 Gather + 89 Constants + 4 ConvTranspose + 72 resblock Convs + 16 flow-WN
-# Convs). ryan-high / libritts-high real totals are unknown offline; their
-# reconstructions reuse this filler so their totals are deterministic and
-# architecture-derived (core grows with the 5th upsample level).
-_FILLER_NODES = 2573
+# Convs + 2 RandomNormalLike). ryan-high / libritts-high real totals are
+# unknown offline; their reconstructions reuse this filler so their totals
+# are deterministic and architecture-derived (core grows with the 5th
+# upsample level).
+_FILLER_NODES = 2571
 
 # The three BASELINE.json architectures (BASELINE.md targets). `sid_input`
 # mirrors real Piper exports: single-speaker graphs carry a vestigial `sid`
@@ -257,6 +258,17 @@ def build_real_like_checkpoint(
                  attr_ints("pads", [(hp.flow_kernel_size - 1) // 2 * d] * 2),
                  attr_ints("strides", [1])],
             ))
+    # 3b. The two RNG nodes every real export samples noise with (the
+    # duration-predictor noise, then the decoder's main flow noise — in
+    # graph order; the reference overrides these for test vectors,
+    # GraphExecutor.swift:2647-2651, and tools/compare_with_ort.py
+    # externalizes exactly this pair via onnx/rewrite.py).
+    nodes.append(node_proto(
+        "RandomNormalLike", ["/dp/x_masked"], ["/dp/dp_noise"],
+        [attr_int("dtype", 1)], name="/dp/RandomNormalLike"))
+    nodes.append(node_proto(
+        "RandomNormalLike", ["/flow/m_p_expanded"], ["/flow/main_noise"],
+        [attr_int("dtype", 1)], name="/flow/RandomNormalLike"))
     # 4. Filler: the shape-inference / arithmetic chains a torch export is
     # full of (the op mix GraphExecutor.swift:591-2663 dispatches), padding
     # to exactly 2755 nodes.

@@ -32,30 +32,31 @@ sys.path.insert(0, str(REPO))
 from piper_tpu.core.test_vector import FIXTURE_PHONEME_IDS as FIXTURE_IDS
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--model", required=True)
-    parser.add_argument("--config", default=None)
-    parser.add_argument("--ids", default=None, help="comma-separated phoneme ids")
-    parser.add_argument("--tolerance", type=float, default=1e-3)
-    parser.add_argument("--seed", type=int, default=0)
-    args = parser.parse_args()
+def compare(model_path: str, config_path=None, ids=None, tolerance: float = 1e-3,
+            seed: int = 0, ort=None) -> dict:
+    """The full comparison pipeline, ORT injected so a rot-guard test can
+    exercise every piper-tpu-side step (noise recording, graph rewrite,
+    rewritten-model save, feed construction, error math) with a stub
+    runner while the real package is uninstallable offline
+    (tests/test_tool_rot.py). `ort` must expose
+    InferenceSession(path, providers=...).run(None, feeds) — the
+    onnxruntime module itself in production.
 
-    try:
-        import onnxruntime as ort
-    except ImportError:
-        raise SystemExit("onnxruntime is required for this comparison")
+    Returns {"ours": samples, "theirs": samples, "err": max-abs,
+    "ok": bool, "frames": n}."""
+    if ort is None:
+        import onnxruntime as ort  # noqa: F811 — the production runner
 
     from piper_tpu.engine.runtime import PiperRuntime
     from piper_tpu.onnx import load_model
     from piper_tpu.onnx.rewrite import externalize_random
     from piper_tpu.onnx.writer import save_model_ir
 
-    ids = [int(x) for x in args.ids.split(",")] if args.ids else FIXTURE_IDS
-    rt = PiperRuntime(args.model, args.config)
+    ids = list(ids) if ids is not None else list(FIXTURE_IDS)
+    rt = PiperRuntime(model_path, config_path)
     hp = rt.hparams
 
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(seed)
     dp_noise = rng.standard_normal((1, 2, len(ids))).astype(np.float32)
     rt.synthesize(ids, dp_noise=dp_noise)  # probe for the frame bucket
     frames = int(rt.last_run_timings.frames)
@@ -63,14 +64,14 @@ def main() -> None:
     ours = rt.synthesize(ids, dp_noise=dp_noise, main_noise=main_noise)
 
     # Rewrite the graph so ORT takes the same noise as inputs.
-    model = load_model(args.model)
+    model = load_model(model_path)
     rewritten, noise_inputs = externalize_random(model)
     if len(noise_inputs) != 2:
         raise SystemExit(
             f"expected exactly 2 RNG nodes (dp, main) in the export; found "
             f"{noise_inputs} — cannot feed recorded noise unambiguously"
         )
-    rewritten_path = str(Path(args.model).with_suffix(".norng.onnx"))
+    rewritten_path = str(Path(model_path).with_suffix(".norng.onnx"))
     save_model_ir(rewritten_path, rewritten)
 
     sess = ort.InferenceSession(rewritten_path, providers=["CPUExecutionProvider"])
@@ -109,13 +110,34 @@ def main() -> None:
 
     n = min(len(ours), len(theirs))
     err = float(np.max(np.abs(ours[:n] - theirs[:n]))) if n else float("inf")
-    ok = err <= args.tolerance and abs(len(ours) - len(theirs)) <= 256
+    ok = err <= tolerance and abs(len(ours) - len(theirs)) <= 256
+    return {"ours": ours, "theirs": theirs, "err": err, "ok": ok,
+            "frames": frames}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--ids", default=None, help="comma-separated phoneme ids")
+    parser.add_argument("--tolerance", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    try:
+        import onnxruntime as ort
+    except ImportError:
+        raise SystemExit("onnxruntime is required for this comparison")
+
+    ids = [int(x) for x in args.ids.split(",")] if args.ids else None
+    r = compare(args.model, args.config, ids=ids, tolerance=args.tolerance,
+                seed=args.seed, ort=ort)
     print(
-        f"piper-tpu {len(ours)} samples, ORT {len(theirs)} samples, "
-        f"max-abs err {err:.2e} (tolerance {args.tolerance}) -> "
-        f"{'PASS' if ok else 'FAIL'}"
+        f"piper-tpu {len(r['ours'])} samples, ORT {len(r['theirs'])} samples, "
+        f"max-abs err {r['err']:.2e} (tolerance {args.tolerance}) -> "
+        f"{'PASS' if r['ok'] else 'FAIL'}"
     )
-    raise SystemExit(0 if ok else 1)
+    raise SystemExit(0 if r["ok"] else 1)
 
 
 if __name__ == "__main__":
