@@ -151,6 +151,26 @@ class RunTimings:
     rtf: float = 0.0  # real-time factor (audio seconds per wall second)
 
 
+# In-PROCESS program-set sharing across runtimes: the jitted programs
+# built by _build_jits close over nothing but (hparams, precision knobs,
+# pallas flag, output dtype) — weights are ARGUMENTS — so two runtimes of
+# the same architecture and options can share one set of compiled
+# programs. Without this, every PiperRuntime instance retraces and
+# recompiles the identical grid (measured ~8 s/program on the 1-vCPU dev
+# host): a MultiVoiceBatchingServer with N same-arch voices paid N fold
+# prewarm, and add_voice of a same-arch voice re-warmed programs the
+# process already held. Entries live for the process (voices unload
+# rarely; executables are tens of MB per grid).
+_PROGRAM_SETS: dict = {}
+
+
+def _freeze(v):
+    """Hashable view of hparams/option values (lists -> tuples, recursively)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
 _jit_cache_enabled = False
 
 
@@ -494,6 +514,26 @@ class PiperRuntime:
                 f"this voice has {hp.num_upsamples} upsample levels — give one "
                 f"tier per level (or a single tier name for all levels)"
             )
+        # Program-set sharing (see _PROGRAM_SETS): the closures below read
+        # ONLY the locals hashed into this key — params arrive as call
+        # arguments — so same-(arch, knobs) runtimes reuse one compiled set.
+        import dataclasses as _dc
+
+        key = (
+            tuple((f.name, _freeze(getattr(hp, f.name)))
+                  for f in _dc.fields(hp)),
+            prec, _freeze(voc_prec), _freeze(flow_prec), _freeze(use_pallas),
+            self.options.output_dtype,
+        )
+        cached = _PROGRAM_SETS.get(key)
+        if cached is not None:
+            (self._encode_keyed, self._encode_injected, self._decode_keyed,
+             self._decode_injected, self._fused_keyed, self._fused_forced,
+             self._decode_window_keyed, self._decode_window_injected,
+             self._stream_head_keyed, self._stream_head_batch_keyed,
+             self._decode_window_batch_keyed) = cached
+            return
+
         if self.options.output_dtype == "int16":
             def to_pcm(a):
                 return (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
@@ -743,6 +783,12 @@ class PiperRuntime:
             stream_head_batch_keyed, static_argnames=("window", "halo"))
         self._decode_window_batch_keyed = jax.jit(
             decode_window_batch_keyed, static_argnames=("window", "halo"))
+        _PROGRAM_SETS[key] = (
+            self._encode_keyed, self._encode_injected, self._decode_keyed,
+            self._decode_injected, self._fused_keyed, self._fused_forced,
+            self._decode_window_keyed, self._decode_window_injected,
+            self._stream_head_keyed, self._stream_head_batch_keyed,
+            self._decode_window_batch_keyed)
 
     # -- synthesis -------------------------------------------------------------
 

@@ -89,6 +89,28 @@ def main(argv=None):
                          "(0 = one canonical phrase per factor; with "
                          "--cache-mb that is a near-100%% hit canned-phrase "
                          "workload, larger pools lower the hit rate)")
+    ap.add_argument("--unified", action="store_true",
+                    help="serve through UnifiedServer (batch + streaming on "
+                         "ONE worker) instead of the dedicated batcher — "
+                         "run both in one session to measure the "
+                         "unification tax")
+    ap.add_argument("--stream-rate", type=float, default=0.0,
+                    help="with --unified: additionally open low-latency "
+                         "streams at this Poisson rate (streams/s) during "
+                         "the measured pass; reports stream TTFB p50/p95 "
+                         "alongside the batch numbers")
+    ap.add_argument("--stream-factor", type=int, default=4,
+                    help="stream utterance length (x the 14-phoneme fixture)")
+    ap.add_argument("--add-voice-at", type=float, default=None,
+                    help="seconds into the measured pass to add_voice a new "
+                         "voice on the live server (non-pausing warm); "
+                         "reports resident-voice p50 before/during/after "
+                         "the warm")
+    ap.add_argument("--add-voice-quality", default=None,
+                    help="architecture of the added voice (default: same "
+                         "as --quality — programs shared; a different "
+                         "quality makes every warm step a real executable "
+                         "load/compile)")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -170,8 +192,54 @@ def main(argv=None):
                 shed["overload"] += 1
                 continue
             audio_s += len(audio) / rt.sample_rate
-            out.append(((done_at.get("t", time.perf_counter())) - t_submit, f))
+            out.append(((done_at.get("t", time.perf_counter())) - t_submit, f,
+                        t_submit - t_start))
         return out, audio_s, time.perf_counter() - t_start, shed
+
+    def run_streams(server, duration, rng, rate, t_start):
+        """Poisson stream arrivals on the unified server alongside the batch
+        traffic; one pool thread per stream drains its chunks. Returns
+        per-stream dicts: ttfb_ms, audio_s, wall_s."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        ids = (FIXTURE_IDS * args.stream_factor)[:4096]
+        stats: list = []
+        futs = []
+
+        def one_stream():
+            t0 = time.perf_counter()
+            try:
+                handle = server.submit_stream("v0", ids)
+            except ServerOverloaded:
+                stats.append({"shed": True})
+                return
+            first = None
+            n = 0
+            for chunk in handle:
+                if first is None:
+                    first = time.perf_counter() - t0
+                n += len(chunk.samples)
+            stats.append({"ttfb_ms": first * 1e3,
+                          "audio_s": n / rt.sample_rate,
+                          "wall_s": time.perf_counter() - t0})
+
+        with ThreadPoolExecutor(max_workers=64) as pool:
+            next_at = t_start
+            while True:
+                now = time.perf_counter()
+                if now - t_start >= duration:
+                    break
+                if now < next_at:
+                    time.sleep(min(next_at - now, 0.005))
+                    continue
+                try:
+                    futs.append(pool.submit(one_stream))
+                except RuntimeError:
+                    break
+                next_at += rng.exponential(1.0 / rate)
+            for f in futs:
+                f.result(timeout=600)
+        return stats
 
     http_srv = None
     if args.http:
@@ -227,7 +295,22 @@ def main(argv=None):
 
         def merged_metrics():
             return _merge_voice_metrics(server.metrics())
-    elif args.voices > 1:
+    elif args.unified:
+        from piper_tpu.engine.unified import UnifiedServer
+
+        server = UnifiedServer(
+            runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+            max_pending=args.max_pending, deadline_ms=args.deadline_ms,
+            cache_mb=args.cache_mb)
+        voice_keys = list(runtimes)
+
+        def submit(rng, ids):
+            return server.submit(voice_keys[int(rng.integers(len(voice_keys)))],
+                                 ids, noise_scale=None)
+
+        def merged_metrics():
+            return _merge_voice_metrics(server.batch.metrics())
+    elif args.voices > 1 or args.add_voice_at is not None:
         server = MultiVoiceBatchingServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_pending=args.max_pending, deadline_ms=args.deadline_ms,
@@ -262,17 +345,37 @@ def main(argv=None):
             bucket_for(len((FIXTURE_IDS * f)[:4096]),
                        rt.options.phoneme_buckets, "phoneme")
             for f in factors})
-        warm = server.prewarm(p_buckets=p_buckets)
-        if args.voices > 1 or args.http:  # multi-voice server: per-voice dicts
-            programs = sum(w["programs"] for w in warm.values())
-            secs = sum(w["seconds"] for w in warm.values())
-            fpp = next(iter(warm.values()))["frames_per_phoneme"]
+        if args.unified:
+            warm = server.prewarm(p_buckets=p_buckets,
+                                  stream=args.stream_rate > 0)
+            programs = sum(w["programs"] for w in warm["batch"].values())
+            programs += sum(w["programs"]
+                            for w in warm.get("stream", {}).values())
+            secs = sum(w["seconds"] for w in warm["batch"].values())
+            secs += sum(w["seconds"]
+                        for w in warm.get("stream", {}).values())
+            fpp = next(iter(warm["batch"].values()))["frames_per_phoneme"]
         else:
-            programs, secs, fpp = (warm["programs"], warm["seconds"],
-                                   warm["frames_per_phoneme"])
+            warm = server.prewarm(p_buckets=p_buckets)
+            if args.voices > 1 or args.http or args.add_voice_at is not None:
+                # multi-voice server: per-voice dicts
+                programs = sum(w["programs"] for w in warm.values())
+                secs = sum(w["seconds"] for w in warm.values())
+                fpp = next(iter(warm.values()))["frames_per_phoneme"]
+            else:
+                programs, secs, fpp = (warm["programs"], warm["seconds"],
+                                       warm["frames_per_phoneme"])
         print(f"[serving_sim] prewarmed {programs} grid programs in "
               f"{secs:.0f}s (fpp {fpp:.2f})",
               file=sys.stderr)
+        add_rt = None
+        if args.add_voice_at is not None:
+            # Build the new voice's runtime BEFORE the measured pass (the
+            # checkpoint build/load is host work; the cost under study is
+            # the on-worker program warming).
+            add_args = argparse.Namespace(**vars(rt_args))
+            add_args.quality = args.add_voice_quality or args.quality
+            add_rt = bench_mod.get_runtime(add_args)
         rates = ([float(r) for r in args.rates.split(",")] if args.rates
                  else [args.rate])
         # Short warmup traffic pass (steady-state queues, executable
@@ -283,14 +386,63 @@ def main(argv=None):
             # Each pass reports its own counters, not the warmup's or the
             # previous rates' (the server is shared across the sweep).
             server.reset_metrics()
+            import threading as _t
+
+            t_start = time.perf_counter()
+            stream_stats: list = []
+            stream_th = None
+            if args.stream_rate > 0:
+                if not args.unified:
+                    raise SystemExit("--stream-rate requires --unified")
+
+                def _streams():
+                    stream_stats.extend(run_streams(
+                        server, args.duration,
+                        np.random.default_rng(args.seed + 7),
+                        args.stream_rate, t_start))
+
+                stream_th = _t.Thread(target=_streams)
+                stream_th.start()
+            add_state: dict = {}
+            add_th = None
+            if args.add_voice_at is not None:
+
+                def _adder():
+                    time.sleep(args.add_voice_at)
+                    add_state["t_add"] = time.perf_counter() - t_start
+                    fut = server.add_voice(
+                        f"vnew_{rate:g}", add_rt,
+                        p_buckets=p_buckets,
+                        **({"stream_prewarm": False} if args.unified
+                           else {}))
+                    stats = fut.result(timeout=1200)
+                    add_state["t_done"] = time.perf_counter() - t_start
+                    add_state["stats"] = stats
+
+                add_th = _t.Thread(target=_adder)
+                add_th.start()
             results, audio_s, wall, shed = run_traffic(
                 submit, args.duration, np.random.default_rng(args.seed), rate)
+            if add_th is not None:
+                add_th.join(timeout=1800)
+            if stream_th is not None:
+                stream_th.join(timeout=1800)
             report(args, rate, results, audio_s, wall, shed, merged_metrics(),
-                   factors)
+                   factors, stream_stats=stream_stats, add_state=add_state)
 
 
-def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
-    lats_ms = sorted(l * 1e3 for l, _ in results)
+def _pctl(sorted_vals, p):
+    if not sorted_vals:
+        return None
+    k = (len(sorted_vals) - 1) * p / 100.0
+    lo, hi = int(np.floor(k)), int(np.ceil(k))
+    return sorted_vals[lo] if lo == hi else (
+        sorted_vals[lo] + (sorted_vals[hi] - sorted_vals[lo]) * (k - lo))
+
+
+def report(args, rate, results, audio_s, wall, shed, server_metrics, factors,
+           stream_stats=None, add_state=None):
+    lats_ms = sorted(l * 1e3 for l, _, _ in results)
     if not lats_ms:
         # Tiny rate/--duration (or all requests failed) can leave the
         # measured window empty; report that instead of an IndexError.
@@ -338,7 +490,51 @@ def report(args, rate, results, audio_s, wall, shed, server_metrics, factors):
         },
         **({"voices": args.voices} if args.voices > 1 else {}),
         **({"http": True} if getattr(args, "http", False) else {}),
+        **({"unified": True} if getattr(args, "unified", False) else {}),
+        **_stream_report(stream_stats),
+        **_add_voice_report(results, add_state),
     }), flush=True)
+
+
+def _stream_report(stream_stats) -> dict:
+    if not stream_stats:
+        return {}
+    ok = [s for s in stream_stats if "ttfb_ms" in s]
+    ttfbs = sorted(s["ttfb_ms"] for s in ok)
+    walls = sum(s["wall_s"] for s in ok)
+    audio = sum(s["audio_s"] for s in ok)
+    return {"streams": {
+        "count": len(ok),
+        "shed": sum(1 for s in stream_stats if s.get("shed")),
+        "ttfb_ms": {"p50": round(_pctl(ttfbs, 50), 1),
+                    "p95": round(_pctl(ttfbs, 95), 1),
+                    "max": round(ttfbs[-1], 1)} if ttfbs else None,
+        "audio_s_total": round(audio, 1),
+        "rtf_per_stream_mean": round(audio / walls, 1) if walls else None,
+    }}
+
+
+def _add_voice_report(results, add_state) -> dict:
+    """Resident-voice latency windows around a live add_voice: the
+    non-pausing criterion is p50(during warm) staying near p50(before)."""
+    if not add_state or "t_add" not in add_state:
+        return {}
+    t_add = add_state["t_add"]
+    t_done = add_state.get("t_done")
+
+    def win(lo, hi):
+        w = sorted(l * 1e3 for l, _, t in results if lo <= t < hi)
+        return ({"p50": round(_pctl(w, 50), 1), "max": round(w[-1], 1),
+                 "n": len(w)} if w else None)
+
+    return {"add_voice": {
+        "at_s": round(t_add, 2),
+        "warm_s": round(t_done - t_add, 2) if t_done else None,
+        "programs": (add_state.get("stats") or {}).get("programs"),
+        "resident_before": win(0.0, t_add),
+        "resident_during_warm": win(t_add, t_done if t_done else 1e9),
+        "resident_after": win(t_done, 1e9) if t_done else None,
+    }}
 
 
 if __name__ == "__main__":

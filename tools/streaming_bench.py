@@ -167,6 +167,13 @@ def main(argv=None):
                     help="after the main run, re-run the same workload with "
                          "solo heads (head_rungs=1) in the same process — "
                          "a drift-free A/B of burst-TTFB head batching")
+    ap.add_argument("--ab-rungs", default=None,
+                    help="semicolon-separated head-rung CAPS to A/B in one "
+                         "process (e.g. '8;16' answers the VERDICT r3 #4 "
+                         "question: does a 16-row head rung beat splitting "
+                         "a 16-burst into two 8s, and how fast does it "
+                         "stabilize — read the per-round rows, round 0 is "
+                         "the program's first post-prewarm execution)")
     ap.add_argument("--quality", default="medium")
     ap.add_argument("--platform", default=None, choices=(None, "cpu", "tpu"))
     ap.add_argument("--precision", default=None)
@@ -202,6 +209,19 @@ def main(argv=None):
     ids = (FIXTURE_IDS * (-(-args.phonemes // len(FIXTURE_IDS))))[
         : args.phonemes]
 
+    if args.ab_rungs:
+        # Drift-free A/B of head-rung caps in ONE process: same chip state,
+        # same utterance, per-round TTFB rows expose stabilization (the
+        # round-3 "16 is faster but slow to stabilize" open question).
+        runs = []
+        for cap in (int(c) for c in args.ab_rungs.split(";")):
+            ladder = [r for r in (1, 2, 4, 8, 16, 32) if r <= cap]
+            runs.append(run_config(rt, ids, args, head_rungs=ladder,
+                                   label=f"head_cap_{cap}"))
+        print(json.dumps({"metric": runs[0]["metric"],
+                          "value": runs[0]["value"],
+                          "unit": runs[0]["unit"], "ab": runs}))
+        return 0
     rungs = ([int(r) for r in args.head_rungs.split(",")]
              if args.head_rungs else None)
     summary = run_config(rt, ids, args, head_rungs=rungs)
