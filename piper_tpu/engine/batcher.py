@@ -155,6 +155,12 @@ class BatchingServer:
         self.rt = runtime
         self.max_batch = max_batch
         self.max_rows = max_rows
+        # Dynamic group-size scale in (0, 1]: UnifiedServer lowers it while
+        # streams are open so batch groups occupy the device in shorter
+        # slices (a waiting stream head's TTFB floor is the in-flight
+        # group's remaining device time). 0.25 aligns with the prewarmed
+        # mid rung (_rungs includes limit//4), so no new programs compile.
+        self.group_scale = 1.0
         self.fused = (runtime.options.mode == "fused") if fused is None else fused
         self.max_pending = max_pending
         self.deadline_s = deadline_ms / 1e3 if deadline_ms is not None else None
@@ -422,6 +428,18 @@ class BatchingServer:
             # encode program — a traffic-dependent row count would compile
             # mid-serve (40-100 s worker stall on the tunneled dev chip).
             return self._dur_rows(bucket)
+        budget = int(self.phoneme_budget * self.group_scale)
+        return max(1, min(self.max_rows, budget // bucket))
+
+    def _group_limit_unscaled(self, key) -> int:
+        """The bucket's FULL group limit, ignoring group_scale — the rung
+        ladder and frame budgets derive from this so the compiled program
+        grid is identical whatever scale the scheduler is running at."""
+        bucket = key[1]
+        if not isinstance(bucket, int):
+            return 1
+        if len(key) > 2 and key[2] == "dur":
+            return self._dur_rows(bucket)
         return max(1, min(self.max_rows, self.phoneme_budget // bucket))
 
     def _dur_rows(self, p_bucket: int) -> int:
@@ -440,7 +458,7 @@ class BatchingServer:
         """The padded-row counts groups of this bucket may use: a small
         rung (sparse traffic), a mid rung, and the bucket's full group
         limit — the whole compiled-program grid is n_buckets x <=3."""
-        limit = self._group_limit(((), p_bucket))
+        limit = self._group_limit_unscaled(((), p_bucket))
         cand = sorted({min(8, limit), max(1, limit // 4), limit})
         # Only mesh runtimes need ladder-snapped rungs (dp divisibility);
         # single-chip fused programs take exact row counts, and snapping a

@@ -124,8 +124,13 @@ class StreamingServer:
     head_rungs: batch sizes the BATCHED head program compiles for — a burst
     of simultaneous arrivals (same phoneme bucket) runs its fused heads in
     one program instead of serializing b=1 executions, so burst TTFB stays
-    near solo TTFB. Defaults to row_rungs capped at 8 (heads are the
-    expensive compile; larger bursts split).
+    near solo TTFB. Defaults to row_rungs capped at 16: the round-4 A/B
+    (docs/calibration/streaming_r4_ab_rungs.json, same session) measured a
+    16-stream burst at TTFB p50 ~294 ms with the 16-row head vs ~1158 ms
+    split into two 8-row heads; the "slow to stabilize" effect round 3
+    observed is a one-round first-execution transient both configs show
+    and prewarm() absorbs. Larger bursts than 16 split (a 32-row head is
+    another compile for a rarer event — raise head_rungs per deployment).
     """
 
     def __init__(
@@ -159,7 +164,7 @@ class StreamingServer:
         self.row_rungs = tuple(sorted(int(r) for r in row_rungs))
         self.head_rungs = (tuple(sorted(int(r) for r in head_rungs))
                            if head_rungs is not None
-                           else tuple(r for r in self.row_rungs if r <= 8)
+                           else tuple(r for r in self.row_rungs if r <= 16)
                            or (self.row_rungs[0],))
         self.max_sessions = int(max_sessions)
         self.queue_chunks = int(queue_chunks)

@@ -64,7 +64,19 @@ class UnifiedServer:
 
     def __init__(self, runtimes: Dict[str, PiperRuntime], *,
                  stream_kwargs: Optional[dict] = None,
+                 stream_group_frac: float = 1.0,
                  **batcher_kwargs):
+        """`stream_group_frac` (0 < f <= 1): while ANY stream is open,
+        batch groups pop at this fraction of their normal size. A waiting
+        stream's next window (and a new stream's head/TTFB) sits behind
+        the in-flight batch group's remaining device time, so smaller
+        groups trade some batch efficiency for stream latency. 0.25
+        aligns with the prewarmed mid rung (no new programs). Default 1.0:
+        full batching; lower it on deployments where stream TTFB under
+        heavy batch co-traffic matters more than peak batch throughput."""
+        if not 0.0 < stream_group_frac <= 1.0:
+            raise ValueError("stream_group_frac must be in (0, 1]")
+        self._stream_group_frac = float(stream_group_frac)
         self._cond = threading.Condition()
         self._stream_kwargs = dict(stream_kwargs or {})
         self._stream_kwargs.setdefault("tick_wait_s", 0.002)
@@ -217,9 +229,23 @@ class UnifiedServer:
                 ss._fail_all(e)
             raise
 
+    def _apply_group_scale(self) -> None:
+        """Shrink batch groups while streams are open (stream_group_frac);
+        restore full batching when the last stream closes. Worker thread
+        only; scale changes affect future pops, in-flight groups finish."""
+        if self._stream_group_frac >= 1.0:
+            return
+        with self._cond:
+            streams = list(self._streams.values()) + self._draining
+            active = any(ss._n_open for ss in streams)
+            scale = self._stream_group_frac if active else 1.0
+            for srv in self.batch._servers.values():
+                srv.group_scale = scale
+
     def _run_impl(self) -> None:
         pending = None
         while True:
+            self._apply_group_scale()
             s_did, s_pend = self._tick_streams()
             pending, status = self.batch._serve_step(
                 pending, block=False, ripe_only=True)

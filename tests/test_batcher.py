@@ -63,6 +63,7 @@ def test_length_bucketed_grouping(runtime):
     srv.rt = runtime
     srv.max_batch = 4
     srv.max_rows = 128
+    srv.group_scale = 1.0
     srv.phoneme_budget = 4 * 128
     srv.max_wait_s = 0.0
     srv.deadline_s = None

@@ -298,3 +298,53 @@ def test_unified_add_and_remove_voice(tiny_voice, tiny_runtime):
         assert len(srv.submit("v", FIXTURE_IDS).result(timeout=300)) > 0
     finally:
         srv.close()
+
+
+def test_stream_group_frac_scales_pops_not_grid():
+    """group_scale shrinks how many requests a group POPS, but the rung
+    ladder (the compiled program grid) stays derived from the full limit —
+    a scaled scheduler must never pad to an un-prewarmed rung."""
+    from piper_tpu.engine.batcher import BatchingServer
+
+    srv = BatchingServer(_StubRT(), max_batch=8, max_rows=128,
+                         max_wait_ms=1, start_worker=False)
+    key = ((None, None, None), 16)
+    full = srv._group_limit(key)
+    rungs_full = srv._rungs(16)
+    srv.group_scale = 0.25
+    assert srv._group_limit(key) == max(1, full // 4)
+    assert srv._rungs(16) == rungs_full  # grid unchanged
+    assert srv._group_limit_unscaled(key) == full
+    srv.group_scale = 1.0
+    assert srv._group_limit(key) == full
+
+
+def test_unified_stream_group_frac_applies_while_streaming(tiny_runtime):
+    srv = UnifiedServer({"v": tiny_runtime}, max_batch=4, max_wait_ms=2,
+                        stream_group_frac=0.25,
+                        stream_kwargs=dict(emit_frames=16, c0=8,
+                                           row_rungs=(1, 2)))
+    try:
+        with pytest.raises(ValueError):
+            UnifiedServer({"v": tiny_runtime}, stream_group_frac=0.0)
+        handle = srv.submit_stream("v", FIXTURE_IDS * 2, seed=1)
+        # While the stream is open the worker applies the reduced scale.
+        deadline = time.perf_counter() + 60
+        scaled = False
+        while time.perf_counter() < deadline and not scaled:
+            scaled = all(s.group_scale == 0.25
+                         for s in srv.batch._servers.values())
+            time.sleep(0.01)
+        assert scaled, "group_scale not applied while a stream is open"
+        _collect(handle)  # drain the stream
+        # After it closes, full batching returns.
+        deadline = time.perf_counter() + 60
+        restored = False
+        while time.perf_counter() < deadline and not restored:
+            # a batch submit keeps the worker looping
+            srv.submit("v", FIXTURE_IDS).result(timeout=60)
+            restored = all(s.group_scale == 1.0
+                           for s in srv.batch._servers.values())
+        assert restored, "group_scale not restored after streams closed"
+    finally:
+        srv.close()

@@ -101,6 +101,11 @@ def main(argv=None):
                          "alongside the batch numbers")
     ap.add_argument("--stream-factor", type=int, default=4,
                     help="stream utterance length (x the 14-phoneme fixture)")
+    ap.add_argument("--stream-group-frac", type=float, default=1.0,
+                    help="with --unified: batch groups pop at this fraction "
+                         "of their size while streams are open (TTFB vs "
+                         "batch-efficiency tradeoff; 0.25 = prewarmed mid "
+                         "rung)")
     ap.add_argument("--add-voice-at", type=float, default=None,
                     help="seconds into the measured pass to add_voice a new "
                          "voice on the live server (non-pausing warm); "
@@ -111,6 +116,10 @@ def main(argv=None):
                          "as --quality — programs shared; a different "
                          "quality makes every warm step a real executable "
                          "load/compile)")
+    ap.add_argument("--warm-every", type=int, default=2,
+                    help="one add_voice warm step per this many traffic "
+                         "groups (higher = gentler on resident latency, "
+                         "longer warm)")
     ap.add_argument("--platform", help="force jax platform (e.g. cpu)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
@@ -301,7 +310,8 @@ def main(argv=None):
         server = UnifiedServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_pending=args.max_pending, deadline_ms=args.deadline_ms,
-            cache_mb=args.cache_mb)
+            cache_mb=args.cache_mb, warm_every=args.warm_every,
+            stream_group_frac=args.stream_group_frac)
         voice_keys = list(runtimes)
 
         def submit(rng, ids):
@@ -314,7 +324,7 @@ def main(argv=None):
         server = MultiVoiceBatchingServer(
             runtimes, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
             max_pending=args.max_pending, deadline_ms=args.deadline_ms,
-            cache_mb=args.cache_mb)
+            cache_mb=args.cache_mb, warm_every=args.warm_every)
         voice_keys = list(runtimes)
 
         def submit(rng, ids):
@@ -346,8 +356,10 @@ def main(argv=None):
                        rt.options.phoneme_buckets, "phoneme")
             for f in factors})
         if args.unified:
-            warm = server.prewarm(p_buckets=p_buckets,
-                                  stream=args.stream_rate > 0)
+            stream_len = len((FIXTURE_IDS * args.stream_factor)[:4096])
+            warm = server.prewarm(
+                p_buckets=p_buckets, stream=args.stream_rate > 0,
+                stream_kwargs=dict(phoneme_lengths=(stream_len,)))
             programs = sum(w["programs"] for w in warm["batch"].values())
             programs += sum(w["programs"]
                             for w in warm.get("stream", {}).values())
