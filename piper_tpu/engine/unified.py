@@ -64,16 +64,18 @@ class UnifiedServer:
 
     def __init__(self, runtimes: Dict[str, PiperRuntime], *,
                  stream_kwargs: Optional[dict] = None,
-                 stream_group_frac: float = 1.0,
+                 stream_group_frac: float = 0.25,
                  **batcher_kwargs):
         """`stream_group_frac` (0 < f <= 1): while ANY stream is open,
         batch groups pop at this fraction of their normal size. A waiting
         stream's next window (and a new stream's head/TTFB) sits behind
         the in-flight batch group's remaining device time, so smaller
-        groups trade some batch efficiency for stream latency. 0.25
-        aligns with the prewarmed mid rung (no new programs). Default 1.0:
-        full batching; lower it on deployments where stream TTFB under
-        heavy batch co-traffic matters more than peak batch throughput."""
+        groups trade batch-group granularity for stream latency. The
+        default 0.25 aligns with the prewarmed mid rung (no new programs)
+        and measured stream TTFB p50 31-38% lower (343->237 ms at
+        150 req/s, 388->240 at 300) with batch aggregate unchanged within
+        session drift (BENCH.md "Round 4"); 1.0 restores full-size groups
+        while streams are open."""
         if not 0.0 < stream_group_frac <= 1.0:
             raise ValueError("stream_group_frac must be in (0, 1]")
         self._stream_group_frac = float(stream_group_frac)
