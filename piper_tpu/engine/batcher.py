@@ -428,8 +428,16 @@ class BatchingServer:
             # encode program — a traffic-dependent row count would compile
             # mid-serve (40-100 s worker stall on the tunneled dev chip).
             return self._dur_rows(bucket)
-        budget = int(self.phoneme_budget * self.group_scale)
-        return max(1, min(self.max_rows, budget // bucket))
+        # Scale the CLAMPED limit, not the budget: when max_rows is the
+        # binding constraint (short buckets), scaling the budget alone
+        # yields e.g. 64 from a 128-row limit whose rung ladder is
+        # {8, 32, 128} — a 33..64-row pop would pad to the FULL rung,
+        # halving batch throughput without helping stream latency. Scaling
+        # the limit itself (128 * 0.25 = 32) lands on the mid rung.
+        limit = self._group_limit_unscaled(key)
+        if self.group_scale < 1.0:
+            limit = max(1, int(limit * self.group_scale))
+        return limit
 
     def _group_limit_unscaled(self, key) -> int:
         """The bucket's FULL group limit, ignoring group_scale — the rung
@@ -1076,9 +1084,15 @@ class MultiVoiceBatchingServer:
             self._groups_since_warm = 0
         try:
             kind, step = next(st["iter"], (None, None))
-            if step is None:
-                raise StopIteration
-        except StopIteration:
+        except Exception as e:  # noqa: BLE001 — the generator BODY raised
+            # (e.g. bad prewarm kwargs only surface at first resume): fail
+            # ONLY this add_voice future, exactly like a failed step() —
+            # letting it propagate would _fail_worker the whole server.
+            with self._cond:
+                self._warming.pop(key, None)
+            _deliver(st["fut"], exc=e)
+            return
+        if step is None:  # grid complete
             with self._cond:
                 self._warming.pop(key, None)
             _deliver(st["fut"], {

@@ -237,18 +237,20 @@ def _handle_stream_post(handler: "_JsonHandler", req: dict,
     # a real 429, not a truncated 200. Later utterances can
     # still shed mid-stream, which truncates — unavoidable
     # once bytes are on the wire.
-    first = next(i for i in items if i[0] == "utt")
-    try:
-        handle = submit(first[1], **first[2])
-    except _Overloaded as e:
-        handler._send_json(429, {"error": str(e)})
-        return
-    except (ValueError, KeyError) as e:  # door-step validation (e.g. mix)
-        handler._send_json(400, {"error": str(e)})
-        return
-    except Exception as e:  # noqa: BLE001
-        handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
-        return
+    first = next((i for i in items if i[0] == "utt"), None)
+    handle = None
+    if first is not None:
+        try:
+            handle = submit(first[1], **first[2])
+        except _Overloaded as e:
+            handler._send_json(429, {"error": str(e)})
+            return
+        except (ValueError, KeyError) as e:  # door-step validation (e.g. mix)
+            handler._send_json(400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001
+            handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            return
     handler.send_response(200)
     handler.send_header("Content-Type", "audio/x-raw-int16")
     handler.send_header("Transfer-Encoding", "chunked")
@@ -262,6 +264,16 @@ def _handle_stream_post(handler: "_JsonHandler", req: dict,
             handler.wfile.write(f"{len(b):X}\r\n".encode())
             handler.wfile.write(b)
             handler.wfile.write(b"\r\n")
+
+    if handle is None:
+        # No utterances at all (SSML of only <break/>s, or empty text):
+        # nothing to admit — stream the silence and finish. A bare
+        # next() here used to raise StopIteration out of the handler,
+        # dropping the connection with no response.
+        for item in items:
+            wchunk(item[1])
+        handler.wfile.write(b"0\r\n\r\n")
+        return
 
     try:
         for item in items:

@@ -43,6 +43,30 @@ from piper_tpu.engine.runtime import PiperRuntime
 from piper_tpu.engine.stream_server import StreamingServer
 
 
+class _WakeCondition(threading.Condition):
+    """A Condition whose notifies bump a generation counter. The unified
+    worker is NOT waiting while it runs its tick/serve pass, so a notify
+    sent during the pass (a submit, control op, or close) would be lost;
+    instead of re-checking every producer's queue state before sleeping
+    (which cannot distinguish NEW work from known-waiting work and turns
+    the timed waits into a busy spin), the worker snapshots `gen` before
+    the pass and skips the sleep only when it changed. Producers hold the
+    lock when notifying (threading.Condition enforces this), so the bump
+    is race-free."""
+
+    def __init__(self):
+        super().__init__()
+        self.gen = 0
+
+    def notify(self, n: int = 1) -> None:
+        self.gen += 1
+        super().notify(n)
+
+    def notify_all(self) -> None:
+        self.gen += 1
+        super().notify_all()
+
+
 class UnifiedServer:
     """Batched + streaming serving for N voices on one worker thread.
 
@@ -79,7 +103,7 @@ class UnifiedServer:
         if not 0.0 < stream_group_frac <= 1.0:
             raise ValueError("stream_group_frac must be in (0, 1]")
         self._stream_group_frac = float(stream_group_frac)
-        self._cond = threading.Condition()
+        self._cond = _WakeCondition()
         self._stream_kwargs = dict(stream_kwargs or {})
         self._stream_kwargs.setdefault("tick_wait_s", 0.002)
         self._tick_wait = float(self._stream_kwargs["tick_wait_s"])
@@ -144,15 +168,28 @@ class UnifiedServer:
         returns; pre-warm traffic may pay its program's compile inline.
         Returns the prewarm-stats Future."""
         ss = self._make_stream(runtime)
+        with self._cond:
+            # Duplicate keys must fail HERE, before the stream registry is
+            # touched: registering first and letting the batch worker
+            # reject the duplicate would clobber the resident voice's
+            # StreamingServer (its open sessions would never tick again).
+            if self._closed:
+                raise RuntimeError("server is closed")
+            if key in self._streams:
+                raise ValueError(f"voice {key!r} already loaded")
+            self._streams[key] = ss
         if prewarm and stream_prewarm:
             prewarm_kwargs = dict(prewarm_kwargs)
             prewarm_kwargs["extra_warm_steps"] = ss.prewarm_steps(
                 **(stream_prewarm_kwargs or {}))
-        fut = self.batch.add_voice(key, runtime, prewarm=prewarm,
-                                   **prewarm_kwargs)
-        with self._cond:
-            self._streams[key] = ss
-        return fut
+        try:
+            return self.batch.add_voice(key, runtime, prewarm=prewarm,
+                                        **prewarm_kwargs)
+        except BaseException:
+            with self._cond:
+                if self._streams.get(key) is ss:
+                    del self._streams[key]
+            raise
 
     def remove_voice(self, key: str):
         """Unload a voice: queued batch requests fail (see
@@ -247,6 +284,8 @@ class UnifiedServer:
     def _run_impl(self) -> None:
         pending = None
         while True:
+            with self._cond:
+                gen0 = self._cond.gen
             self._apply_group_scale()
             s_did, s_pend = self._tick_streams()
             pending, status = self.batch._serve_step(
@@ -264,14 +303,14 @@ class UnifiedServer:
                 # stream cadence so a drained chunk queue resumes quickly.
                 timeout = min(timeout or self._tick_wait, self._tick_wait)
             with self._cond:
-                # Re-check EVERYTHING under the lock before sleeping — a
-                # submit (either kind) or control op that landed between
-                # the ticks above and here already sent its notify.
-                if (self._closed or self.batch._control
-                        or any(ss.pending()
-                               for ss in self._streams.values())
-                        or any(q for s in self.batch._servers.values()
-                               for q in s._queues.values())):
+                # A producer that notified while we were mid-pass (its
+                # notify landed before this wait) bumped the generation:
+                # rerun the pass instead of sleeping through it. Unripe
+                # batch queues and consumer-blocked streams do NOT bump it,
+                # so the timed waits above actually sleep (re-checking raw
+                # queue state here would spin flat-out for the whole
+                # batching window / stream lifetime).
+                if self._closed or self._cond.gen != gen0:
                     continue
                 self._cond.wait(timeout=timeout if timeout is not None
                                 else 1.0)

@@ -25,12 +25,36 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache for the suite: ~80% of suite wall time is
-# compiles, and on one core they cost 5-40s each. The runtime itself only
-# enables the on-disk cache on TPU (a cache dir shared ACROSS machines can
-# carry unsupported CPU features), but the test cache lives and dies on this
-# box, so reruns are safe — and collapse from ~14 min to minutes.
-_cache_dir = Path.home() / ".cache" / "piper-tpu" / "test-jit-cache"
+# compiles, and on one core they cost 5-40s each. The dir is keyed by a
+# CPU-feature fingerprint: the HOME directory survives across dev-session
+# hosts while the host CPU changes, and XLA's CPU cache stores AOT machine
+# code — loading an entry compiled for another machine's features SIGSEGVs
+# mid-suite ("Machine type used for XLA:CPU compilation doesn't match"
+# warnings, then exit 139; observed 2026-08-19). A new host therefore gets
+# a fresh cache instead of the old host's machine code.
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith(("flags", "Features")):
+                return hashlib.sha256(line.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    return "nofp"
+
+
+_cache_root = Path.home() / ".cache" / "piper-tpu"
+_cache_dir = _cache_root / f"test-jit-cache-{_cpu_fingerprint()}"
 try:
+    # The pre-fingerprint dir may hold another machine's code: remove it.
+    _legacy = _cache_root / "test-jit-cache"
+    if _legacy.is_dir():
+        import shutil
+
+        shutil.rmtree(_legacy, ignore_errors=True)
     _cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

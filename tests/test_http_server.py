@@ -339,6 +339,13 @@ def test_streaming_http_server(tmp_path_factory):
         assert len(pcm) > 0
         _, b = stream({"phoneme_ids": list(FIXTURE_IDS), "seed": 7})
         assert a == b  # deterministic per seed
+        # a document with nothing to speak is a clean 400 (the handler's
+        # no-utterance branch is additionally hardened so a future input
+        # path yielding zero utterances streams its gaps instead of
+        # raising bare StopIteration and dropping the connection)
+        resp, err = stream({"ssml": "<speak><break time='120ms'/></speak>"})
+        assert resp.status == 400
+        assert "nothing to speak" in json.loads(err)["error"]
         # validation errors come back as JSON before any audio
         resp, err = stream({"phoneme_ids": []})
         assert resp.status == 400

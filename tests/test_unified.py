@@ -319,6 +319,97 @@ def test_stream_group_frac_scales_pops_not_grid():
     assert srv._group_limit(key) == full
 
 
+def test_stream_group_frac_scales_clamped_limit():
+    """Review finding: when max_rows is the BINDING constraint (short
+    buckets at large max_batch), scaling the phoneme budget instead of the
+    clamped limit produced pops ABOVE the mid rung — a 33..64-row group
+    padded to the FULL 128 rung, halving batch throughput while streams
+    were open. The scaled limit must land at or below the mid rung."""
+    from piper_tpu.engine.batcher import BatchingServer
+
+    srv = BatchingServer(_StubRT(), max_batch=32, max_rows=128,
+                         max_wait_ms=1, start_worker=False)
+    key = ((None, None, None), 16)
+    full = srv._group_limit_unscaled(key)
+    assert full == 128  # the clamp engages: budget//bucket = 256 > max_rows
+    rungs = srv._rungs(16)
+    srv.group_scale = 0.25
+    scaled = srv._group_limit(key)
+    assert scaled == full // 4
+    mid = sorted(rungs)[1] if len(rungs) > 1 else rungs[0]
+    assert scaled <= mid, (scaled, rungs)
+
+
+def test_add_voice_duplicate_key_preserves_stream_server(tiny_runtime):
+    """Review finding: add_voice used to register the new StreamingServer
+    unconditionally BEFORE the batch worker rejected the duplicate key,
+    clobbering the resident voice's stream server (its open sessions never
+    ticked again). Duplicates must fail synchronously, registry untouched."""
+    srv = UnifiedServer({"v": tiny_runtime}, max_batch=2, max_wait_ms=2,
+                        stream_kwargs=dict(emit_frames=16, c0=8,
+                                           row_rungs=(1, 2)))
+    try:
+        old_ss = srv._streams["v"]
+        with pytest.raises(ValueError, match="already loaded"):
+            srv.add_voice("v", tiny_runtime)
+        assert srv._streams["v"] is old_ss
+        # streams on the resident voice still tick and serve
+        assert len(_collect(srv.submit_stream("v", FIXTURE_IDS, seed=2))) > 0
+    finally:
+        srv.close()
+
+
+def test_add_voice_generator_error_fails_only_the_future():
+    """Review finding: an exception raised by the warm-step GENERATOR BODY
+    (e.g. bad prewarm kwargs surface at first resume) used to propagate out
+    of _advance_warm and _fail_worker the whole multi-voice server. It must
+    fail only the add_voice future, like a failed step() already does."""
+    from piper_tpu.engine.batcher import MultiVoiceBatchingServer
+
+    def make_steps():
+        raise TypeError("bad prewarm kwargs")
+        yield  # pragma: no cover — makes this a generator function
+
+    srv = MultiVoiceBatchingServer({"a": _StubRT()}, max_batch=4,
+                                   max_wait_ms=1)
+    try:
+        fut = srv.add_voice("b", _StubRT(), prewarm=False,
+                            extra_warm_steps=make_steps())
+        with pytest.raises(TypeError, match="bad prewarm kwargs"):
+            fut.result(timeout=30)
+        # the SERVER survives: the resident voice still serves
+        assert srv.submit("a", FIXTURE_IDS).result(timeout=30).shape == (8,)
+        assert srv.ready()
+    finally:
+        srv.close()
+
+
+def test_worker_sleeps_through_batching_window(tiny_runtime):
+    """Review finding: the pre-sleep re-check treated an unripe batch queue
+    as a wake signal, making the 'wait' timeout dead code — the worker
+    hot-looped for the whole batching window. With the wake-generation
+    condition it makes only a handful of passes while the window runs."""
+    srv = UnifiedServer({"v": tiny_runtime}, max_batch=8, max_wait_ms=400,
+                        stream_kwargs=dict(emit_frames=16, c0=8,
+                                           row_rungs=(1, 2)))
+    try:
+        calls = [0]
+        orig = srv.batch._serve_step
+
+        def counting(*a, **kw):
+            calls[0] += 1
+            return orig(*a, **kw)
+
+        srv.batch._serve_step = counting
+        fut = srv.submit("v", FIXTURE_IDS)
+        time.sleep(0.25)  # well inside the 400 ms batching window
+        n = calls[0]
+        assert n < 100, f"worker made {n} passes in 250 ms — busy spin"
+        assert len(fut.result(timeout=300)) > 0
+    finally:
+        srv.close()
+
+
 def test_unified_stream_group_frac_applies_while_streaming(tiny_runtime):
     srv = UnifiedServer({"v": tiny_runtime}, max_batch=4, max_wait_ms=2,
                         stream_group_frac=0.25,
