@@ -196,6 +196,7 @@ class BatchingServer:
         self._worker: Optional[threading.Thread] = None
         if start_worker:
             self._worker = threading.Thread(target=self._serve_loop,
+                                            name="piper-batch-server",
                                             daemon=True)
             self._worker.start()
 
@@ -880,6 +881,10 @@ class BatchingServer:
             self._cond.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=600)
+            if self._worker.is_alive():
+                raise RuntimeError(
+                    "BatchingServer worker did not exit within 600s; "
+                    "thread leaked")
 
     def __enter__(self) -> "BatchingServer":
         return self
@@ -948,12 +953,13 @@ class MultiVoiceBatchingServer:
         # paces warm steps against traffic groups.
         self._warming: Dict[str, dict] = {}
         self._groups_since_warm = 0
-        # When _serve_step returns "wait", seconds left in the oldest
+        # When serve_step returns "wait", seconds left in the oldest
         # group's batching window (UnifiedServer's idle-wait hint).
         self._wait_hint: Optional[float] = None
         self._worker: Optional[threading.Thread] = None
         if start_worker:
             self._worker = threading.Thread(target=self._serve_loop,
+                                            name="piper-mv-server",
                                             daemon=True)
             self._worker.start()
 
@@ -1012,6 +1018,26 @@ class MultiVoiceBatchingServer:
             self._cond.notify_all()
         return fut
 
+    def warm_voice(self, key: str, *, extra_warm_steps=None,
+                   **prewarm_kwargs) -> "Future[dict]":
+        """Warm an ALREADY-registered voice's program grid ON the worker
+        thread — the same paced warm-step scheduler add_voice uses (one
+        step per warm_every traffic groups; all idle time goes to
+        warming). This is how prewarm() enforces the one-thread device
+        rule in code instead of convention: the caller blocks on the
+        returned Future while the worker drives the device, and submits
+        landing mid-warm are served between steps. `extra_warm_steps`
+        chains additional ("program"|"calibrate", callable) steps after
+        the batch grid (UnifiedServer's streaming grid)."""
+        fut: "Future[dict]" = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._control.append(("warm", key, prewarm_kwargs,
+                                  extra_warm_steps, fut))
+            self._cond.notify_all()
+        return fut
+
     def _handle_control(self) -> None:
         """Executed on the worker thread between groups."""
         with self._cond:
@@ -1044,6 +1070,26 @@ class MultiVoiceBatchingServer:
                         }
                 if not prewarm and extra is None:
                     _deliver(fut, {})
+            except Exception as e:  # noqa: BLE001 — surface on the future
+                _deliver(fut, exc=e)
+            return
+        if item[0] == "warm":
+            _, key, prewarm_kwargs, extra, fut = item
+            try:
+                with self._cond:
+                    srv = self._servers.get(key)
+                    if srv is None:
+                        raise KeyError(f"unknown voice {key!r}")
+                    if key in self._warming:
+                        raise RuntimeError(
+                            f"voice {key!r} is already warming")
+                    steps = srv.prewarm_steps(**prewarm_kwargs)
+                    if extra is not None:
+                        steps = itertools.chain(steps, extra)
+                    self._warming[key] = {
+                        "iter": steps, "srv": srv, "programs": 0,
+                        "t0": time.perf_counter(), "fut": fut,
+                    }
             except Exception as e:  # noqa: BLE001 — surface on the future
                 _deliver(fut, exc=e)
             return
@@ -1113,7 +1159,7 @@ class MultiVoiceBatchingServer:
             # the failure surfaces on the add_voice future.
             _deliver(st["fut"], exc=e)
 
-    def _cancel_all_warming(self, reason: str) -> None:
+    def cancel_all_warming(self, reason: str) -> None:
         with self._cond:
             warming, self._warming = self._warming, {}
         for key, st in warming.items():
@@ -1177,14 +1223,54 @@ class MultiVoiceBatchingServer:
             s.reset_metrics()
 
     def prewarm(self, **kwargs) -> Dict[str, dict]:
-        """Compile every voice's fused program grid ahead of traffic. Must
-        run BEFORE submitting (it drives the device from the calling thread
-        while the worker is idle — the one-thread device-I/O rule)."""
+        """Compile every voice's fused program grid ahead of traffic, ON
+        the worker thread (warm_voice steps) — the one-thread device rule
+        is enforced by code, not calling convention, so a submit racing
+        prewarm is safe: it serves between warm steps (and may pay its own
+        program's compile inline when it lands first). Blocks until every
+        voice's grid is warm; returns {voice: prewarm stats}."""
+        futs = {key: self.warm_voice(key, **kwargs) for key in self.voices}
+        return {key: f.result() for key, f in futs.items()}
+
+    # -- external-driver interface (UnifiedServer) -----------------------
+    # The unified worker drives this scheduler from ITS one thread. These
+    # methods are the declared contract (plus serve_step / warm_voice /
+    # cancel_all_warming above) — no caller may reach into private state.
+
+    def begin_drive(self) -> None:
+        """The external driver owns the depth-2 in-flight slot from here
+        (call once, from the driving thread, before its first
+        serve_step)."""
+        self._inflight = []
+
+    @property
+    def wait_hint(self) -> Optional[float]:
+        """After serve_step returned "wait": seconds left in the oldest
+        group's batching window (the driver's idle-wait bound)."""
+        return self._wait_hint
+
+    def fail_worker(self, e: BaseException) -> None:
+        """Driver crashed: fail every queued and in-flight future, abandon
+        warms, and reject future submits (fail open, never hang)."""
+        self._fail_worker(e)
+
+    def stop_accepting(self) -> None:
+        """Reject new submits on every voice WITHOUT joining any thread —
+        the external driver is shutting down and drains via serve_step
+        (which reports "shutdown" once the queues empty)."""
         with self._cond:
-            if any(s._pending for s in self._servers.values()):
-                raise RuntimeError("prewarm must run before traffic")
-            servers = dict(self._servers)
-        return {key: s.prewarm(**kwargs) for key, s in servers.items()}
+            self._closed = True
+            for s in self._servers.values():
+                s._closed = True
+            self._cond.notify_all()
+
+    def set_group_scale(self, scale: float) -> None:
+        """Scale every voice's group-pop size (UnifiedServer shrinks batch
+        groups while streams are open). Affects future pops only;
+        in-flight groups finish at their popped size."""
+        with self._cond:
+            for s in self._servers.values():
+                s.group_scale = scale
 
     # -- scheduling ------------------------------------------------------
 
@@ -1271,9 +1357,9 @@ class MultiVoiceBatchingServer:
                          exc=RuntimeError(f"serving worker died: {e!r}"))
             self._control.clear()
             self._cond.notify_all()
-        self._cancel_all_warming(f"serving worker died: {e!r}")
+        self.cancel_all_warming(f"serving worker died: {e!r}")
 
-    def _serve_step(self, pending, *, block: bool, ripe_only: bool = False):
+    def serve_step(self, pending, *, block: bool, ripe_only: bool = False):
         """ONE scheduler step — the body of _serve_loop_impl, factored so
         UnifiedServer can interleave it with streaming ticks on its own
         worker. `pending` is the depth-2 in-flight entry from the previous
@@ -1294,7 +1380,7 @@ class MultiVoiceBatchingServer:
             if pending is not None:
                 srv, group, outs, meta = pending
                 srv._finish_group(group, outs, meta)
-            self._cancel_all_warming("server closed")
+            self.cancel_all_warming("server closed")
             return None, "shutdown"
         if took[0] in ("control", "warm"):
             # Land the in-flight fetch before a voice load/unload or a
@@ -1343,7 +1429,7 @@ class MultiVoiceBatchingServer:
     def _serve_loop_impl(self) -> None:
         pending = None
         while True:
-            pending, status = self._serve_step(pending,
+            pending, status = self.serve_step(pending,
                                                block=pending is None)
             if status == "shutdown":
                 return
@@ -1361,10 +1447,14 @@ class MultiVoiceBatchingServer:
             self._cond.notify_all()
         if self._worker is not None:
             self._worker.join(timeout=600)
+            if self._worker.is_alive():
+                raise RuntimeError(
+                    "MultiVoiceBatchingServer worker did not exit within "
+                    "600s; thread leaked")
         else:
             # Externally driven (UnifiedServer): the driver has stopped by
             # the time close() runs, so abandon warms here.
-            self._cancel_all_warming("server closed")
+            self.cancel_all_warming("server closed")
 
     def __enter__(self) -> "MultiVoiceBatchingServer":
         return self

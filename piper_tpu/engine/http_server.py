@@ -373,7 +373,7 @@ class _HttpLifecycle:
         """Serve in a background thread (handlers never touch the device)."""
         self._serving = True
         self._thread = threading.Thread(target=self.httpd.serve_forever,
-                                        daemon=True)
+                                        name="piper-http", daemon=True)
         self._thread.start()
 
     def serve_forever(self) -> None:
@@ -387,9 +387,16 @@ class _HttpLifecycle:
         if self._serving:
             self.httpd.shutdown()
         self.httpd.server_close()
+        leaked = False
         if self._thread is not None:
             self._thread.join(timeout=30)
+            leaked = self._thread.is_alive()
+        # Close the backend even when the accept thread leaked — raising
+        # first would leak the device worker too.
         self._close_backend()
+        if leaked:
+            raise RuntimeError(
+                "HTTP accept thread did not exit within 30s; thread leaked")
 
     def _close_backend(self) -> None:  # pragma: no cover — overridden
         raise NotImplementedError

@@ -49,12 +49,17 @@ def _cpu_fingerprint() -> str:
 _cache_root = Path.home() / ".cache" / "piper-tpu"
 _cache_dir = _cache_root / f"test-jit-cache-{_cpu_fingerprint()}"
 try:
-    # The pre-fingerprint dir may hold another machine's code: remove it.
+    # The pre-fingerprint dir may hold another machine's code: remove it —
+    # but only when it looks idle (mtime > 1 h old). A concurrent pytest
+    # run from an older checkout still writes there; deleting it mid-run
+    # silently forces minutes of recompiles on this 1-vCPU box.
     _legacy = _cache_root / "test-jit-cache"
     if _legacy.is_dir():
         import shutil
+        import time as _time
 
-        shutil.rmtree(_legacy, ignore_errors=True)
+        if _time.time() - _legacy.stat().st_mtime > 3600:
+            shutil.rmtree(_legacy, ignore_errors=True)
     _cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -65,6 +70,61 @@ except Exception:  # noqa: BLE001 — cache is best-effort
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import pytest  # noqa: E402
+
+# -- vm.max_map_count guard ---------------------------------------------------
+# Root cause of the round-4 full-suite segfault (deterministic, test ~388,
+# inside XLA executable (de)serialization): every live JIT'd XLA:CPU module
+# holds ~3 anonymous mappings PER DEVICE (code/rodata/data), the suite
+# accumulates compiled programs for its whole lifetime, and at ~443 tests the
+# process crosses the kernel's default vm.max_map_count (65530). mmap then
+# fails inside XLA's AOT loader/serializer, which does not check the failure
+# -> SIGSEGV. Measured: the crash fired at 65156 mappings; prefix halves of
+# the suite (~35k maps each) pass; jax.clear_caches() + gc releases the
+# mappings (probe: 8-device mesh programs cost ~24 maps each, all released)
+# and live jit wrappers transparently recompile/deserialize on next call.
+# The guard clears between test modules whenever the count nears the limit.
+
+_MAP_HARD_BOUND = 60_000
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _map_count_guard():
+    yield
+    from piper_tpu.utils.procmaps import clear_jit_caches_if_crowded, map_count
+
+    if clear_jit_caches_if_crowded():
+        # If clearing no longer releases enough, fail LOUDLY here instead
+        # of segfaulting inside XLA a few modules later.
+        n = map_count()
+        assert n < _MAP_HARD_BOUND, (
+            f"{n} memory mappings remain after jax.clear_caches() — "
+            f"approaching vm.max_map_count; the suite would segfault "
+            f"inside XLA executable (de)serialization soon")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_leaked_piper_threads(request):
+    """No piper-* worker thread may survive its test module (round-4
+    VERDICT: three StreamingServer workers from long-finished modules were
+    alive at the suite's segfault — a leaked device-driving thread races
+    later compilations in the process). Every server worker is named
+    piper-* so leaks are attributable."""
+    yield
+    import threading
+    import time
+
+    def leaked():
+        return [t for t in threading.enumerate()
+                if t.name.startswith("piper-") and t.is_alive()]
+
+    deadline = time.monotonic() + 5.0
+    ts = leaked()
+    while ts and time.monotonic() < deadline:
+        time.sleep(0.05)
+        ts = leaked()
+    assert not ts, (
+        f"{request.module.__name__} leaked piper worker threads: "
+        f"{sorted(t.name for t in ts)}")
 
 
 @pytest.fixture(scope="session")

@@ -394,13 +394,13 @@ def test_worker_sleeps_through_batching_window(tiny_runtime):
                                            row_rungs=(1, 2)))
     try:
         calls = [0]
-        orig = srv.batch._serve_step
+        orig = srv.batch.serve_step
 
         def counting(*a, **kw):
             calls[0] += 1
             return orig(*a, **kw)
 
-        srv.batch._serve_step = counting
+        srv.batch.serve_step = counting
         fut = srv.submit("v", FIXTURE_IDS)
         time.sleep(0.25)  # well inside the 400 ms batching window
         n = calls[0]
