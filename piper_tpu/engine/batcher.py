@@ -398,6 +398,9 @@ class BatchingServer:
             m = dict(self._metrics)
             m["queue_depth"] = self._pending
             m["cache_bytes"] = self._cache_bytes
+        # Resident weight bytes (0 once the runtime is closed) — lets
+        # operators budget loaded voices against device HBM.
+        m["hbm_bytes"] = self.rt.hbm_bytes()
         m["wait_ms_mean"] = (m.pop("wait_ms_sum") / m["rows"]) if m["rows"] else 0.0
         m["rows_per_group"] = (m["rows"] / m["groups"]) if m["groups"] else 0.0
         return m

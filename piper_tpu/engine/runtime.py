@@ -164,6 +164,30 @@ class RunTimings:
 _PROGRAM_SETS: dict = {}
 
 
+def program_set_count() -> int:
+    """Resident shared program sets (one per (arch, precision/options)
+    combination seen this process). Exposed for capacity monitoring."""
+    return len(_PROGRAM_SETS)
+
+
+def evict_program_sets() -> int:
+    """Drop every shared program set; returns the number evicted. The
+    underlying executables free once no live runtime still references
+    its jitted programs (each runtime keeps its own handles). Long-lived
+    multi-architecture deployments call this after retiring an
+    architecture — _PROGRAM_SETS otherwise grows for the process
+    lifetime (documented; one entry is a tuple of jit wrappers, tens of
+    MB of executables per grid once compiled)."""
+    import gc
+
+    n = len(_PROGRAM_SETS)
+    _PROGRAM_SETS.clear()
+    gc.collect()
+    return n
+
+
+
+
 def _freeze(v):
     """Hashable view of hparams/option values (lists -> tuples, recursively)."""
     if isinstance(v, (list, tuple)):
@@ -408,6 +432,7 @@ class PiperRuntime:
 
         import threading
 
+        self._hbm_bytes: Optional[int] = None  # lazy; 0 once closed
         self._compiled_keys: set = set()
         # Serializes synthesis bookkeeping (_compiled_keys, profiler,
         # last_run_timings) for multi-threaded callers (pipeline fetchers,
@@ -789,6 +814,56 @@ class PiperRuntime:
             self._decode_window_keyed, self._decode_window_injected,
             self._stream_head_keyed, self._stream_head_batch_keyed,
             self._decode_window_batch_keyed)
+
+    # -- lifecycle -------------------------------------------------------------
+
+    @property
+    def params(self) -> Params:
+        """The on-device weight dict. Every synthesis path reads this, so
+        a closed runtime fails fast and uniformly here instead of with a
+        pytree/KeyError deep inside a jit call."""
+        p = self._params
+        if p is None:
+            raise RuntimeError(
+                "PiperRuntime is closed — its weights were released "
+                "(PiperRuntime.close())")
+        return p
+
+    @params.setter
+    def params(self, value: Params) -> None:
+        self._params = value
+
+    def hbm_bytes(self) -> int:
+        """Device bytes held by this voice's weights (logical size; on a
+        mesh the per-device share is this divided by the replication
+        factor — tp-sharded tensors already count once). 0 once closed.
+        Surfaced per voice in serving metrics so operators can budget
+        resident voices against HBM."""
+        if self._hbm_bytes is None:
+            self._hbm_bytes = sum(int(v.nbytes) for v in self.params.values())
+        return self._hbm_bytes
+
+    @property
+    def closed(self) -> bool:
+        return self._params is None
+
+    def close(self) -> None:
+        """Release this voice's device memory (the weights — the dominant
+        HBM holder). Further synthesis raises RuntimeError. Compiled
+        programs are NOT dropped: they are shared across same-arch
+        runtimes via _PROGRAM_SETS (weights are call arguments) — evict
+        those explicitly with evict_program_sets() when the architecture
+        itself is being retired. Idempotent."""
+        with self._lock:
+            if self.closed:
+                return
+            params, self._params = self._params, None
+            self._hbm_bytes = 0
+        for v in params.values():
+            try:
+                v.delete()
+            except Exception:  # noqa: BLE001 — already deleted/donated
+                pass
 
     # -- synthesis -------------------------------------------------------------
 

@@ -112,8 +112,11 @@ class UnifiedServer:
         self._streams: Dict[str, StreamingServer] = {
             key: self._make_stream(rt) for key, rt in runtimes.items()}
         # Streams of removed voices: kept ticking until their open sessions
-        # drain (graceful removal), then dropped.
+        # drain (graceful removal), then dropped. _close_on_drain maps
+        # id(stream server) -> runtime to close() at that point
+        # (remove_voice(close_runtime=True)).
         self._draining: List[StreamingServer] = []
+        self._close_on_drain: Dict[int, PiperRuntime] = {}
         self._closed = False
         self._worker = threading.Thread(
             target=self._run, name="piper-unified-server", daemon=True)
@@ -191,17 +194,29 @@ class UnifiedServer:
                     del self._streams[key]
             raise
 
-    def remove_voice(self, key: str):
+    def remove_voice(self, key: str, *, close_runtime: bool = False):
         """Unload a voice: queued batch requests fail (see
         MultiVoiceBatchingServer.remove_voice), new batch/stream submits
         raise, and OPEN streams finish gracefully (their sessions keep
-        ticking until drained). Returns the batch-side Future."""
+        ticking until drained). Returns the batch-side Future.
+
+        `close_runtime=True` additionally calls PiperRuntime.close() —
+        releasing the voice's weights from device memory — once its last
+        open stream drains (on the worker thread; the batch side's
+        removal control op has run by then). Leave False when the caller
+        still owns the runtime for other use (the default matches
+        MultiVoiceBatchingServer, which never closes caller runtimes)."""
         with self._cond:
             ss = self._streams.pop(key, None)
             if ss is not None:
                 # rejects new submits; open sessions drain
                 ss.stop_accepting()
                 self._draining.append(ss)
+                if close_runtime:
+                    self._close_on_drain[id(ss)] = ss.rt
+        # Every registered voice has a stream server (made at __init__ or
+        # add_voice), so ss is None only for unknown keys — the batch-side
+        # future then carries the KeyError.
         return self.batch.remove_voice(key)
 
     @staticmethod
@@ -284,7 +299,17 @@ class UnifiedServer:
         with self._cond:
             servers = list(self._streams.values()) + self._draining
             # Drop drained removed-voice servers (no sessions left).
+            done = [ss for ss in self._draining if not ss.pending()]
             self._draining = [ss for ss in self._draining if ss.pending()]
+            to_close = [rt for ss in done
+                        if (rt := self._close_on_drain.pop(id(ss), None))
+                        is not None]
+        for rt in to_close:
+            # remove_voice(close_runtime=True): release the voice's
+            # weights now that its last stream drained. Worker thread —
+            # the device-owning thread — so the deletes are ordered with
+            # in-flight work.
+            rt.close()
         did = pend = False
         for ss in servers:
             if ss.pending():
@@ -389,6 +414,13 @@ class UnifiedServer:
         err = RuntimeError("UnifiedServer is shut down")
         for ss in list(self._snapshot_streams().values()) + self._draining:
             ss.fail_all(err)
+        # Pending close_runtime removals whose streams never drained:
+        # their consumers just failed, so release the weights now.
+        with self._cond:
+            leftovers, self._close_on_drain = (
+                list(self._close_on_drain.values()), {})
+        for rt in leftovers:
+            rt.close()
         if self._worker.is_alive():
             # A leaked device-driving thread races later compilations in
             # this process — never silent (round-4 VERDICT #2).
