@@ -399,8 +399,10 @@ class BatchingServer:
             m["queue_depth"] = self._pending
             m["cache_bytes"] = self._cache_bytes
         # Resident weight bytes (0 once the runtime is closed) — lets
-        # operators budget loaded voices against device HBM.
-        m["hbm_bytes"] = self.rt.hbm_bytes()
+        # operators budget loaded voices against device HBM. getattr:
+        # tests drive this scheduler with stub runtimes.
+        hbm = getattr(self.rt, "hbm_bytes", None)
+        m["hbm_bytes"] = int(hbm()) if callable(hbm) else 0
         m["wait_ms_mean"] = (m.pop("wait_ms_sum") / m["rows"]) if m["rows"] else 0.0
         m["rows_per_group"] = (m["rows"] / m["groups"]) if m["groups"] else 0.0
         return m

@@ -141,3 +141,55 @@ def test_real_voice_download_live(tmp_path):
     rt = PiperRuntime(model, config)
     audio = rt.synthesize(FIXTURE_IDS)
     assert len(audio) > 0 and np.isfinite(np.asarray(audio)).all()
+
+
+@pytest.mark.slow
+def test_release_check_plumbing(tmp_path):
+    """The one-command release drill (tools/release_check.py) end to end
+    with injected fakes: a 'downloaded' voice set served from the repo's
+    real-architecture reconstructions, the stub ORT, and a fake espeak
+    binary. Every step must run and report ok so the tool is one network
+    cable / pip install away from closing the env-bound gaps for real."""
+    from tools.release_check import _fingerprints, run_release_check
+
+    cfg = _write_config(tmp_path)
+    voices = {}
+    for fp in _fingerprints():
+        v = fp["voice"]
+        path = tmp_path / f"{v}.onnx"
+        build_real_like_checkpoint(path, seed=3, voice=v)
+        voices[v] = (path, cfg)
+
+    class _Manager:
+        def ensure_voice(self, vid):
+            return voices[vid]
+
+    fake = tmp_path / "espeak-ng"
+    fake.write_text("#!/bin/sh\necho 'ab'\n")
+    fake.chmod(0o755)
+
+    out = run_release_check(
+        ("download", "fingerprints", "ort", "espeak"),
+        manager=_Manager(), ort=_FakeOrt(str(cfg)), espeak_cmd=str(fake))
+    for step in ("download", "fingerprints", "ort", "espeak"):
+        assert out["steps"][step]["status"] == "ok", out["steps"][step]
+    assert out["steps"]["bench"]["status"] == "skipped"
+    assert out["ok"] is True
+
+
+def test_release_check_blocked_offline(tmp_path):
+    """Offline, the drill must degrade to a checklist — blocked with
+    reasons, exit-fail aggregate — not crash."""
+    from tools.release_check import run_release_check
+
+    class _NoNet:
+        def ensure_voice(self, vid):
+            raise OSError("network unreachable (offline test)")
+
+    out = run_release_check(("download", "fingerprints", "espeak"),
+                            manager=_NoNet(),
+                            espeak_cmd=str(tmp_path / "missing-binary"))
+    assert out["steps"]["download"]["status"] == "blocked"
+    assert out["steps"]["fingerprints"]["status"] == "blocked"
+    assert out["steps"]["espeak"]["status"] == "blocked"
+    assert out["ok"] is False
