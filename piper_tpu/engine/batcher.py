@@ -211,8 +211,9 @@ class BatchingServer:
     ) -> "Future[np.ndarray]":
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
-                                               speaker_mix)
+        ids, p_bucket = self._validate_request(
+            phoneme_ids, speaker_id, speaker_mix,
+            scales=(noise_scale, length_scale, noise_w))
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (noise_scale, length_scale, noise_w),
                        speaker_id, fut, speaker_mix=speaker_mix)
@@ -220,11 +221,26 @@ class BatchingServer:
 
     def _validate_request(self, phoneme_ids: Sequence[int],
                           speaker_id: Optional[int],
-                          speaker_mix: Optional[dict] = None):
+                          speaker_mix: Optional[dict] = None,
+                          scales: Optional[tuple] = None):
         """Validate up front so one bad request can't fail a whole group
         (shared by submit and submit_durations). Returns (ids, p_bucket);
         beyond-ladder lengths get the 'overflow' bucket and fail on their
         own future at dispatch."""
+        if scales is not None and any(v is not None for v in scales):
+            # Synchronous door check (HTTP 400, not an async 500): groups
+            # key on scales, so a bad value would fail at dispatch. Config
+            # defaults are presumed valid (getattr: stub-runtime tests).
+            from piper_tpu.engine.runtime import validate_scales
+
+            inf = getattr(getattr(self.rt, "config", None), "inference",
+                          None)
+            ns, ls, nw = ((inf.noise_scale, inf.length_scale, inf.noise_w)
+                          if inf is not None else (0.667, 1.0, 0.8))
+            validate_scales(
+                ns if scales[0] is None else float(scales[0]),
+                ls if scales[1] is None else float(scales[1]),
+                nw if scales[2] is None else float(scales[2]))
         ids = list(phoneme_ids)
         if not ids:
             raise ValueError("empty phoneme sequence")
@@ -275,8 +291,9 @@ class BatchingServer:
         grouping does not change it (PiperRuntime.phoneme_durations)."""
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
-                                               speaker_mix)
+        ids, p_bucket = self._validate_request(
+            phoneme_ids, speaker_id, speaker_mix,
+            scales=(None, length_scale, noise_w))
         fut: "Future[np.ndarray]" = Future()
         req = _Request(ids, (None, length_scale, noise_w), speaker_id, fut,
                        kind="dur", speaker_mix=speaker_mix)
@@ -301,8 +318,9 @@ class BatchingServer:
         varies with the plans' totals, bounded by the frame-bucket ladder."""
         if self._closed:
             raise RuntimeError("server is closed")
-        ids, p_bucket = self._validate_request(phoneme_ids, speaker_id,
-                                               speaker_mix)
+        ids, p_bucket = self._validate_request(
+            phoneme_ids, speaker_id, speaker_mix,
+            scales=(noise_scale, None, None))
         durs = [int(d) for d in durations]
         if len(durs) != len(ids):
             raise ValueError(
@@ -438,11 +456,18 @@ class BatchingServer:
         # binding constraint (short buckets), scaling the budget alone
         # yields e.g. 64 from a 128-row limit whose rung ladder is
         # {8, 32, 128} — a 33..64-row pop would pad to the FULL rung,
-        # halving batch throughput without helping stream latency. Scaling
-        # the limit itself (128 * 0.25 = 32) lands on the mid rung.
+        # halving batch throughput without helping stream latency. And
+        # snap the scaled limit DOWN to the rung ladder (advisor r4):
+        # pops pad UP to a rung, so any scaled limit strictly between
+        # rungs (e.g. 0.5 -> 64 on a {8, 32, 128} ladder) re-pads to the
+        # FULL rung — the exact inefficiency group_scale exists to avoid.
+        # Below the smallest rung, the smallest rung: capping rows under
+        # the padded size wastes rows without shrinking device time.
         limit = self._group_limit_unscaled(key)
         if self.group_scale < 1.0:
-            limit = max(1, int(limit * self.group_scale))
+            scaled = max(1, int(limit * self.group_scale))
+            rungs = self._rungs(bucket)
+            limit = max([r for r in rungs if r <= scaled] or [rungs[0]])
         return limit
 
     def _group_limit_unscaled(self, key) -> int:

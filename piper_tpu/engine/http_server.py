@@ -62,6 +62,15 @@ from piper_tpu.engine.batcher import (DeadlineExceeded,
 from piper_tpu.engine.runtime import PiperRuntime
 
 
+def _error_status(e: Exception) -> int:
+    """5xx classification for handler catch-alls: a missing phonemizer is
+    a deployment capability gap (501 — the voice serves phoneme_ids/ipa,
+    text needs espeak-ng installed), not an internal failure."""
+    from piper_tpu.phonemize import PhonemizerError
+
+    return 501 if isinstance(e, PhonemizerError) else 500
+
+
 def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
     """One id-list (single utterance) or a list of them (sentences)."""
     if "phoneme_ids" in req:
@@ -78,10 +87,12 @@ def _ids_for_request(req: dict, rt: PiperRuntime, phonemizers: dict):
         from piper_tpu.core.text import split_sentences
         from piper_tpu.phonemize import phonemizer_for
 
-        ph = phonemizer_for(rt, phonemizers)
+        # Validate the text BEFORE consulting the phonemizer: empty text
+        # is the client's error (400) even on a box without espeak-ng.
         sents = split_sentences(str(req["text"]))
         if not sents:
             raise ValueError("empty text")
+        ph = phonemizer_for(rt, phonemizers)
         return [ph.phoneme_ids(s) for s in sents]
     raise ValueError("pass phoneme_ids, ipa, or text")
 
@@ -230,7 +241,7 @@ def _handle_stream_post(handler: "_JsonHandler", req: dict,
         handler._send_json(400, {"error": str(e)})
         return
     except Exception as e:  # noqa: BLE001
-        handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+        handler._send_json(_error_status(e), {"error": f"{type(e).__name__}: {e}"})
         return
     # Admit the FIRST utterance's stream before sending headers:
     # synchronous admission errors (max_sessions) come back as
@@ -249,7 +260,7 @@ def _handle_stream_post(handler: "_JsonHandler", req: dict,
             handler._send_json(400, {"error": str(e)})
             return
         except Exception as e:  # noqa: BLE001
-            handler._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            handler._send_json(_error_status(e), {"error": f"{type(e).__name__}: {e}"})
             return
     handler.send_response(200)
     handler.send_header("Content-Type", "audio/x-raw-int16")
@@ -517,8 +528,8 @@ class PiperHTTPServer(_HttpLifecycle):
                         self._send_json(429, {"error": str(e)})
                     except ValueError as e:
                         self._send_json(400, {"error": str(e)})
-                    except Exception as e:  # noqa: BLE001 — surface as 500
-                        self._send_json(500,
+                    except Exception as e:  # noqa: BLE001 — surface as 5xx
+                        self._send_json(_error_status(e),
                                         {"error": f"{type(e).__name__}: {e}"})
                     else:
                         self._send_json(200, doc)
@@ -554,7 +565,7 @@ class PiperHTTPServer(_HttpLifecycle):
                     self._send_json(400, {"error": str(e)})
                     return
                 except Exception as e:  # noqa: BLE001 — surface as 500
-                    self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+                    self._send_json(_error_status(e), {"error": f"{type(e).__name__}: {e}"})
                     return
                 # unsupported-SSML-feature reports ride a header (the
                 # body is audio); the ssml module's contract is "reported,

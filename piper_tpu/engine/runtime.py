@@ -299,6 +299,22 @@ def parse_mix_spec(spec: str) -> dict:
     return raw
 
 
+def validate_scales(noise_scale: float, length_scale: float,
+                    noise_w: float) -> None:
+    """Synthesis-scale sanity shared by every door (runtime._scales, the
+    serving submits): length_scale must be finite and > 0 (it multiplies
+    phoneme durations — <= 0 produces zero/negative frame counts that
+    clamp into silent or garbage audio rather than erroring); the noise
+    scales must be finite and >= 0."""
+    import math
+
+    if not (math.isfinite(length_scale) and length_scale > 0):
+        raise ValueError(f"length_scale must be > 0, got {length_scale}")
+    for name, v in (("noise_scale", noise_scale), ("noise_w", noise_w)):
+        if not (math.isfinite(v) and v >= 0):
+            raise ValueError(f"{name} must be finite and >= 0, got {v}")
+
+
 def validate_speaker_mix(mix: dict, n_speakers: int,
                          speaker_id=None) -> None:
     """Door-step validation of a speaker blending spec {id: weight} —
@@ -2031,11 +2047,14 @@ class PiperRuntime:
 
     def _scales(self, noise_scale, length_scale, noise_w):
         """Plain Python floats — call sites convert once. (Device scalars here
-        would turn every later float() into a ~30 ms tunnel round trip.)"""
+        would turn every later float() into a ~30 ms tunnel round trip.)
+        Validates: a hostile/buggy caller's length_scale <= 0 or NaN would
+        otherwise clamp into silent/garbage audio instead of erroring."""
         inf = self.config.inference
         ns = inf.noise_scale if noise_scale is None else float(noise_scale)
         ls = inf.length_scale if length_scale is None else float(length_scale)
         nw = inf.noise_w if noise_w is None else float(noise_w)
+        validate_scales(ns, ls, nw)
         return ns, ls, nw
 
     def speaker_index(self, spec) -> int:

@@ -223,6 +223,20 @@ class StreamingServer:
         conditioning kind (distinct head programs)."""
         if self._stop.is_set():
             raise RuntimeError("StreamingServer is shut down")
+        if (noise_scale, length_scale, noise_w) != (None, None, None):
+            # Door-step scale validation (same rule as the batch submits):
+            # a bad value must raise HERE, not fail the head burst async.
+            from piper_tpu.engine.runtime import validate_scales
+
+            inf = getattr(getattr(self.rt, "config", None), "inference",
+                          None)
+            d_ns, d_ls, d_nw = ((inf.noise_scale, inf.length_scale,
+                                 inf.noise_w) if inf is not None
+                                else (0.667, 1.0, 0.8))
+            validate_scales(
+                d_ns if noise_scale is None else float(noise_scale),
+                d_ls if length_scale is None else float(length_scale),
+                d_nw if noise_w is None else float(noise_w))
         if speaker_mix is not None:
             # Synchronous door-step validation (a bad mix must raise here,
             # not fail the session asynchronously mid-burst).

@@ -340,6 +340,27 @@ def test_stream_group_frac_scales_clamped_limit():
     assert scaled <= mid, (scaled, rungs)
 
 
+def test_stream_group_frac_snaps_down_to_rung_ladder():
+    """Advisor r4: any fraction strictly between rungs (e.g. 0.5 -> 64 on
+    a {8, 32, 128} ladder) must snap DOWN to the largest rung <= the
+    scaled limit — pops pad UP to rungs, so an off-rung limit re-pads to
+    the FULL rung, recreating the inefficiency group_scale avoids. Below
+    the smallest rung, the smallest rung (capping rows under the padded
+    size wastes rows without shrinking device time)."""
+    from piper_tpu.engine.batcher import BatchingServer
+
+    srv = BatchingServer(_StubRT(), max_batch=32, max_rows=128,
+                         max_wait_ms=1, start_worker=False)
+    key = ((None, None, None), 16)
+    assert srv._rungs(16) == (8, 32, 128)
+    for frac, want in ((0.5, 32), (0.9, 32), (0.3, 32), (0.25, 32),
+                       (0.1, 8), (0.0625, 8), (0.01, 8)):
+        srv.group_scale = frac
+        got = srv._group_limit(key)
+        assert got == want, (frac, got)
+        assert got in srv._rungs(16)
+
+
 def test_add_voice_duplicate_key_preserves_stream_server(tiny_runtime):
     """Review finding: add_voice used to register the new StreamingServer
     unconditionally BEFORE the batch worker rejected the duplicate key,
